@@ -1,0 +1,368 @@
+"""Distributed sketch aggregation on Spark DataFrames.
+
+The execution shape (SURVEY.md §3.4, §4.3) is the same for every sketch:
+
+  scan (Catalyst prunes columns/filters)
+    -> [optional salted repartition for skewed keys]
+    -> mapInPandas: per-input-partition partial sketches   [level 0]
+    -> groupBy(bucket or group keys).applyInPandas(merge)  [level 1]
+    -> single final merge                                  [level 2]
+    -> scalar estimate
+
+The level-0 ``mapInPandas`` pre-combine is the load-bearing piece: Spark's
+``applyInPandas`` has no map-side combine, so without it a 10^12-row job
+would shuffle raw rows. With it, only O(partitions x groups) sketch blobs
+ever cross the shuffle (SURVEY.md §4.2, §7.3 risk 4).
+
+Everything row-wise happens in numpy over Arrow batches; the only Python
+crossing is the sketch kernel itself. Hashing defaults to Spark's built-in
+``xxhash64`` so the hot path stays inside whole-stage codegen; pass
+``hash_mode='murmur3'`` for postgresql-hll spec-parity hashing (vectorized
+numpy murmur3 inside the same Arrow batch loop).
+
+One generic scaffold (:class:`SketchSpec` + :func:`sketch_partials` +
+:func:`merge_sketch_partials`) serves HLL, CMS, Bloom, KLL and t-digest —
+each sketch only supplies zero/update/merge/serialize.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..sketchlib.hashing import murmur3_x64_128_low64
+from ..sketchlib.hll import HllConfig, HllSketch, hll_union_all
+
+DEFAULT_SALT_SEED = 0x5B1FF00D
+
+
+# ---------------------------------------------------------------------------
+# generic mergeable-sketch contract
+
+
+@dataclass
+class SketchSpec:
+    """zero/update/merge/serialize contract every sketch satisfies.
+
+    update receives a numpy array of the projected value column (already
+    hashed for hash-based sketches, raw doubles for quantile sketches).
+    States are opaque Python objects; serialize_fn must produce bytes whose
+    merge is associative (byte-exact for HLL/CMS/Bloom, bound-preserving
+    for KLL/t-digest — SURVEY.md §2.3).
+    """
+
+    name: str
+    zero_fn: Callable[[], Any]
+    update_fn: Callable[[Any, np.ndarray], Any]
+    merge_fn: Callable[[Any, Any], Any]
+    to_bytes_fn: Callable[[Any], bytes]
+    from_bytes_fn: Callable[[bytes], Any]
+
+
+def hll_spec(cfg: HllConfig | None = None) -> SketchSpec:
+    cfg = cfg or HllConfig()
+
+    def update(state: HllSketch, values: np.ndarray) -> HllSketch:
+        state.add_hashed(values)
+        return state
+
+    return SketchSpec(
+        name="hll",
+        zero_fn=lambda: HllSketch.empty(cfg),
+        update_fn=update,
+        merge_fn=lambda a, b: a.union(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=HllSketch.from_bytes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# projection helpers
+
+
+def _value_expr(df: DataFrame, col: str, hash_mode: str | None):
+    """Column projected into the Python worker.
+
+    'xxhash64' hashes JVM-side (whole-stage codegen) so Python only ever
+    sees int64; 'murmur3' ships the raw column and hashes vectorized in
+    numpy; None ships the raw column unhashed (quantile sketches).
+    """
+    if hash_mode == "xxhash64":
+        return F.xxhash64(F.col(col)).alias("__v")
+    return F.col(col).alias("__v")
+
+
+def _batch_values(pdf: pd.DataFrame, hash_mode: str | None) -> np.ndarray:
+    v = pdf["__v"]
+    if hash_mode == "xxhash64":
+        return v.to_numpy(dtype=np.int64)
+    if hash_mode == "murmur3":
+        return murmur3_x64_128_low64(v).view(np.int64)
+    return v.to_numpy(dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# level 0: per-input-partition partial sketches (the map-side combine)
+
+
+def sketch_partials(
+    df: DataFrame,
+    col: str,
+    spec: SketchSpec,
+    by: list[str] | None = None,
+    hash_mode: str | None = "xxhash64",
+    merge_buckets: int = 16,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Build one partial sketch per (input partition, group) via mapInPandas.
+
+    Global (by=None) output: ``bucket int, sketch binary, rows_seen long``
+    — bucket spreads the level-1 merge across ``merge_buckets`` reducers
+    so the tree merge has no single hot reducer (north_rule).
+    Grouped output: ``*by, sketch binary, rows_seen long``.
+    """
+    by = list(by or [])
+    if salt_partitions:
+        # explicit salted repartition for skewed keys: spreads one hot key
+        # across salt_partitions partitions; partials re-merge in level 1
+        df = df.repartition(
+            salt_partitions,
+            F.xxhash64(F.col(col), F.lit(DEFAULT_SALT_SEED)),
+        )
+    proj = df.where(F.col(col).isNotNull()).select(
+        *by, _value_expr(df, col, hash_mode)
+    )
+
+    if not by:
+        out_schema = StructType(
+            [
+                StructField("bucket", LongType()),
+                StructField("sketch", BinaryType()),
+                StructField("rows_seen", LongType()),
+            ]
+        )
+
+        def build_global(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            state = spec.zero_fn()
+            rows = 0
+            for pdf in batches:
+                if len(pdf):
+                    state = spec.update_fn(state, _batch_values(pdf, hash_mode))
+                    rows += len(pdf)
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+            yield pd.DataFrame(
+                {
+                    "bucket": [pid % merge_buckets],
+                    "sketch": [spec.to_bytes_fn(state)],
+                    "rows_seen": [rows],
+                }
+            )
+
+        return proj.mapInPandas(build_global, out_schema)
+
+    key_fields = [proj.schema[k] for k in by]
+    out_schema = StructType(
+        key_fields
+        + [StructField("sketch", BinaryType()), StructField("rows_seen", LongType())]
+    )
+
+    def build_grouped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, Any] = {}
+        counts: dict[tuple, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for key, idx in pdf.groupby(by, sort=False, dropna=False).indices.items():
+                key = key if isinstance(key, tuple) else (key,)
+                vals = _batch_values(pdf.iloc[idx], hash_mode)
+                if key in states:
+                    states[key] = spec.update_fn(states[key], vals)
+                    counts[key] += len(idx)
+                else:
+                    states[key] = spec.update_fn(spec.zero_fn(), vals)
+                    counts[key] = len(idx)
+        if not states:
+            return  # empty partition: emit nothing
+        keys = list(states)
+        data = {k: [key[i] for key in keys] for i, k in enumerate(by)}
+        data["sketch"] = [spec.to_bytes_fn(states[k]) for k in keys]
+        data["rows_seen"] = [counts[k] for k in keys]
+        yield pd.DataFrame(data)
+
+    return proj.mapInPandas(build_grouped, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# levels 1+2: tree merge of serialized partials
+
+
+def _merge_blobs(spec: SketchSpec, blobs: pd.Series) -> bytes:
+    acc = None
+    for blob in blobs:
+        s = spec.from_bytes_fn(bytes(blob))
+        acc = s if acc is None else spec.merge_fn(acc, s)
+    return spec.to_bytes_fn(acc if acc is not None else spec.zero_fn())
+
+
+def merge_sketch_partials(
+    partials: DataFrame,
+    spec: SketchSpec,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Merge partials down to one sketch per group (or one total).
+
+    Global: two-level tree — groupBy(bucket) level-1 merge (K-way fan-in),
+    then a single K-row final merge; no single reducer ever sees more than
+    max(#partitions/K, K) blobs. Grouped: one shuffle on the group keys —
+    the level-0 pre-combine already collapsed each group to at most one
+    blob per input partition.
+    """
+    by = list(by or [])
+    out_schema = StructType(
+        ([partials.schema[k] for k in by] if by else [])
+        + [StructField("sketch", BinaryType()), StructField("rows_seen", LongType())]
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = _merge_blobs(spec, pdf["sketch"])
+        row = {k: [pdf[k].iloc[0]] for k in by}
+        row["sketch"] = [merged]
+        row["rows_seen"] = [int(pdf["rows_seen"].sum())]
+        return pd.DataFrame(row)
+
+    if by:
+        return partials.groupBy(*by).applyInPandas(merge_group, out_schema)
+
+    level1 = partials.groupBy("bucket").applyInPandas(
+        lambda pdf: pd.DataFrame(
+            {
+                "sketch": [_merge_blobs(spec, pdf["sketch"])],
+                "rows_seen": [int(pdf["rows_seen"].sum())],
+            }
+        ),
+        StructType(
+            [StructField("sketch", BinaryType()), StructField("rows_seen", LongType())]
+        ),
+    )
+    return (
+        level1.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(merge_group, out_schema)
+    )
+
+
+def sketch_aggregate(
+    df: DataFrame,
+    col: str,
+    spec: SketchSpec,
+    by: list[str] | None = None,
+    hash_mode: str | None = "xxhash64",
+    merge_buckets: int = 16,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Full pipeline: level-0 partials -> tree merge -> one sketch row per
+    group (columns: ``*by, sketch, rows_seen``)."""
+    partials = sketch_partials(
+        df, col, spec, by, hash_mode, merge_buckets, salt_partitions
+    )
+    return merge_sketch_partials(partials, spec, by)
+
+
+# ---------------------------------------------------------------------------
+# HLL high-level API
+
+
+def hll_sketch_agg(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    cfg: HllConfig | None = None,
+    hash_mode: str = "xxhash64",
+    merge_buckets: int = 16,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Aggregate ``col`` into HLL sketch bytes (one row per group)."""
+    return sketch_aggregate(
+        df, col, hll_spec(cfg), by, hash_mode, merge_buckets, salt_partitions
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    cfg: HllConfig | None = None,
+    hash_mode: str = "xxhash64",
+    merge_buckets: int = 16,
+    salt_partitions: int | None = None,
+    alias: str | None = None,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) [GROUP BY by].
+
+    Exact whenever the per-group cardinality stays within the EXPLICIT
+    tier (cfg.explicit_threshold); within 1.04/sqrt(2^log2m) relative
+    error otherwise. Result column: ``alias`` or ``distinct_<col>``.
+    """
+    alias = alias or f"distinct_{col}"
+    sketches = hll_sketch_agg(
+        df, col, by, cfg, hash_mode, merge_buckets, salt_partitions
+    )
+    est = hll_estimate_udf()
+    out = sketches.withColumn(alias, est(F.col("sketch")))
+    keep = list(by or []) + [alias]
+    return out.select(*keep)
+
+
+def hll_estimate_udf():
+    """Scalar pandas UDF: sketch bytes -> cardinality estimate (long)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def hll_estimate(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: HllSketch.from_bytes(bytes(b)).estimate())
+
+    return hll_estimate
+
+
+def hll_union_udf():
+    """Scalar pandas UDF: union two sketch-bytes columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def hll_union_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [hll_union_all([bytes(x), bytes(y)]) for x, y in zip(a, b)]
+        )
+
+    return hll_union_pair
+
+
+def hll_intersect_udf():
+    """Scalar pandas UDF: inclusion-exclusion |A ∩ B| estimate (double).
+
+    Error compounds with both sketches' errors (README.md:74-81 caveat)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from ..sketchlib.hll import hll_intersect_estimate
+
+    @pandas_udf(DoubleType())
+    def hll_intersect(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [hll_intersect_estimate(bytes(x), bytes(y)) for x, y in zip(a, b)]
+        )
+
+    return hll_intersect
