@@ -1,0 +1,224 @@
+"""Spark-level APIs for the companion sketches (CMS, Bloom, KLL, t-digest).
+
+All four reuse the generic two-level scaffold in :mod:`.agg` — one
+implementation of the partial-build/tree-merge topology, five sketches
+(SURVEY.md §7.1 step 5). Hash-based sketches (CMS, Bloom) hash JVM-side
+via xxhash64; quantile sketches (KLL, t-digest) ship raw doubles over
+Arrow and never run per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+)
+
+from ..sketchlib.bloom import BloomFilter
+from ..sketchlib.cms import CountMinSketch
+from ..sketchlib.kll import KllSketch
+from ..sketchlib.tdigest import TDigest
+from .agg import SketchSpec, sketch_aggregate
+
+
+# ---------------------------------------------------------------------------
+# specs
+
+
+def cms_spec(depth: int = 5, width: int = 2048) -> SketchSpec:
+    def update(state: CountMinSketch, values: np.ndarray) -> CountMinSketch:
+        state.add_hashed(values)
+        return state
+
+    return SketchSpec(
+        name="cms",
+        zero_fn=lambda: CountMinSketch(depth, width),
+        update_fn=update,
+        merge_fn=lambda a, b: a.merge(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=CountMinSketch.from_bytes,
+    )
+
+
+def bloom_spec(m_bits: int = 1 << 20, k: int = 7) -> SketchSpec:
+    def update(state: BloomFilter, values: np.ndarray) -> BloomFilter:
+        state.add_hashed(values)
+        return state
+
+    return SketchSpec(
+        name="bloom",
+        zero_fn=lambda: BloomFilter(m_bits, k),
+        update_fn=update,
+        merge_fn=lambda a, b: a.merge(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=BloomFilter.from_bytes,
+    )
+
+
+def kll_spec(k: int = 200) -> SketchSpec:
+    def update(state: KllSketch, values: np.ndarray) -> KllSketch:
+        state.update(values)
+        return state
+
+    return SketchSpec(
+        name="kll",
+        zero_fn=lambda: KllSketch(k),
+        update_fn=update,
+        merge_fn=lambda a, b: a.merge(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=KllSketch.from_bytes,
+    )
+
+
+def tdigest_spec(delta: float = 200.0) -> SketchSpec:
+    def update(state: TDigest, values: np.ndarray) -> TDigest:
+        state.update(values)
+        return state
+
+    return SketchSpec(
+        name="tdigest",
+        zero_fn=lambda: TDigest(delta),
+        update_fn=update,
+        merge_fn=lambda a, b: a.merge(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=TDigest.from_bytes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS: heavy hitters / frequency estimates
+
+
+def cms_sketch_agg(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    depth: int = 5,
+    width: int = 2048,
+) -> DataFrame:
+    """Aggregate a CMS over ``col`` (columns: *by, sketch, rows_seen)."""
+    return sketch_aggregate(df, col, cms_spec(depth, width), by, "xxhash64")
+
+
+def cms_frequencies(
+    df: DataFrame,
+    col: str,
+    items_df: DataFrame,
+    depth: int = 5,
+    width: int = 2048,
+    alias: str = "est_count",
+) -> DataFrame:
+    """Estimate the frequency of each row of ``items_df[col]``.
+
+    The CMS is built distributed over ``df`` then broadcast (it is a few
+    hundred KB) and probed with a vectorized pandas UDF — the scale-path
+    pattern for "how often does each of these K items occur in 100 TB".
+    """
+    blob = bytes(cms_sketch_agg(df, col, depth=depth, width=width).collect()[0]["sketch"])
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(blob)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def probe(hashed: pd.Series) -> pd.Series:
+        cms = CountMinSketch.from_bytes(bc.value)
+        est = cms.query_hashed(hashed.to_numpy(np.int64))
+        return pd.Series(est.astype(np.int64))
+
+    return items_df.withColumn(alias, probe(F.xxhash64(F.col(col))))
+
+
+# ---------------------------------------------------------------------------
+# Bloom: membership / join pre-filter
+
+
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 7
+) -> bytes:
+    """Distributed Bloom build; returns serialized filter bytes."""
+    row = sketch_aggregate(df, col, bloom_spec(m_bits, k), None, "xxhash64").collect()[0]
+    return bytes(row["sketch"])
+
+
+def bloom_filter_join(
+    fact: DataFrame,
+    fact_col: str,
+    dim: DataFrame,
+    dim_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> DataFrame:
+    """Pre-filter ``fact`` rows whose ``fact_col`` cannot be in
+    ``dim[dim_col]`` (no false negatives: never drops a real match).
+
+    At scale this runs before the shuffle of a fact-dim join, cutting
+    shuffle volume by the non-matching fraction; the bitmap is broadcast.
+    """
+    blob = bloom_build(dim, dim_col, m_bits, k)
+    bc = fact.sparkSession.sparkContext.broadcast(blob)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BooleanType())
+    def might_contain(hashed: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(bc.value)
+        return pd.Series(bf.might_contain_hashed(hashed.to_numpy(np.int64)))
+
+    return fact.where(might_contain(F.xxhash64(F.col(fact_col))))
+
+
+# ---------------------------------------------------------------------------
+# quantile sketches
+
+
+def _quantiles_from_sketch_df(
+    sketches: DataFrame,
+    by: list[str] | None,
+    qs: list[float],
+    from_bytes,
+    prefix: str,
+) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    def make_udf(q: float):
+        def qf(blobs: pd.Series) -> pd.Series:
+            return blobs.map(lambda b: float(from_bytes(bytes(b)).quantile(q)))
+
+        return pandas_udf(qf, DoubleType())
+
+    cols = list(by or [])
+    out = sketches
+    for q in qs:
+        name = f"{prefix}{str(q).replace('.', '_')}"
+        out = out.withColumn(name, make_udf(q)(F.col("sketch")))
+        cols.append(name)
+    return out.select(*cols)
+
+
+def kll_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    by: list[str] | None = None,
+    k: int = 200,
+) -> DataFrame:
+    """Approximate quantiles of ``col`` via KLL (rank error ~ O(1/k))."""
+    sketches = sketch_aggregate(df, col, kll_spec(k), by, hash_mode=None)
+    return _quantiles_from_sketch_df(sketches, by, qs, KllSketch.from_bytes, "q")
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    by: list[str] | None = None,
+    delta: float = 200.0,
+) -> DataFrame:
+    """Approximate quantiles of ``col`` via t-digest (tail-accurate)."""
+    sketches = sketch_aggregate(df, col, tdigest_spec(delta), by, hash_mode=None)
+    return _quantiles_from_sketch_df(sketches, by, qs, TDigest.from_bytes, "q")

@@ -1,0 +1,177 @@
+"""Text-analysis operators for training-data pipelines.
+
+Hot-path philosophy: anything expressible with built-in
+``pyspark.sql.functions`` stays JVM-side inside whole-stage codegen
+(token counts, quality ratios); only genuinely model-ish logic (n-gram
+language ID, shingle fingerprints) crosses into Python, and then as
+Arrow-batched pandas UDFs over numpy — never per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from ..sketchlib.hashing import murmur3_x64_128_low64
+
+# ---------------------------------------------------------------------------
+# JVM-side column expressions (zero Python in the hot path)
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND letter/digit/
+    punctuation boundaries (a cheap BPE proxy for budget estimation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.trim(c), r"\s+|(?<=[a-z])(?=[A-Z0-9])|(?<=[0-9])(?=[a-zA-Z])")
+    return F.size(F.filter(pieces, lambda x: F.length(x) > 0))
+
+
+def char_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / F.length(c)
+    )
+
+
+def digit_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        digits.cast("double") / F.length(c)
+    )
+
+
+_STOPWORDS = "the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|was|at|by"
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    stops = F.size(F.filter(toks, lambda t: t.rlike(f"^({_STOPWORDS})$")))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        stops.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic document quality in [0,1]: long enough, not punctuation/
+    digit soup, some stopwords (prose-ness). Weights are arbitrary but
+    fixed; the point is a deterministic, fully JVM-side scoring column."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score
+        + 0.3 * (1.0 - F.least(punct_ratio(c) * 4.0, F.lit(1.0)))
+        + 0.3 * (1.0 - F.least(digit_ratio(c) * 4.0, F.lit(1.0))),
+        6,
+    )
+
+
+def add_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_chars", char_count(text_col))
+        .withColumn("punct_ratio", F.round(punct_ratio(text_col), 6))
+        .withColumn("quality", quality_score(text_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID — character-trigram heuristic (pandas UDF, Arrow-batched)
+
+# tiny per-language marker sets: (unicode ranges | frequent trigrams)
+_LANG_MARKERS = {
+    "zh": (0x4E00, 0x9FFF),
+    "ja": (0x3040, 0x30FF),
+    "ru": (0x0400, 0x04FF),
+}
+_LATIN_TRIGRAMS = {
+    "en": [" th", "the", "ing", " an", "and", " of", "ion", " to"],
+    "de": ["der", "ein", "sch", " un", "und", "ich", "en ", "cht"],
+    "fr": [" le", "les", " de", "des", "ent", "que", " la", "ais"],
+    "es": [" de", " la", "los", " el", "ción", "ent", "ar ", "que"],
+}
+
+
+def _lang_id_batch(texts: pd.Series) -> pd.Series:
+    out = []
+    for t in texts:
+        if not t:
+            out.append("other")
+            continue
+        sample = t[:400]
+        # script detection first (vectorized codepoint histogram)
+        cps = np.frombuffer(sample.encode("utf-32-le"), dtype=np.uint32)
+        for lang, (lo, hi) in _LANG_MARKERS.items():
+            if ((cps >= lo) & (cps <= hi)).mean() > 0.25:
+                out.append(lang)
+                break
+        else:
+            low = sample.lower()
+            scores = {
+                lang: sum(low.count(g) for g in grams)
+                for lang, grams in _LATIN_TRIGRAMS.items()
+            }
+            best = max(scores, key=scores.get)
+            out.append(best if scores[best] > 0 else "other")
+    return pd.Series(out, index=texts.index)
+
+
+def lang_id_udf():
+    return pandas_udf(_lang_id_batch, StringType())
+
+
+def detect_language(df: DataFrame, text_col: str = "text", alias: str = "lang_pred") -> DataFrame:
+    return df.withColumn(alias, lang_id_udf()(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — shingle rolling-hash (pandas UDF)
+
+
+def _fingerprint_batch(texts: pd.Series) -> pd.Series:
+    """64-bit document fingerprint: min-of-murmur over 8-gram shingles.
+
+    A deterministic content fingerprint robust to chunk boundaries
+    (rolling window), usable as a cheap near-dup pre-key.
+    """
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        if len(toks) < 8:
+            shingles = [" ".join(toks)] if toks else [""]
+        else:
+            shingles = [" ".join(toks[j : j + 8]) for j in range(len(toks) - 7)]
+        h = murmur3_x64_128_low64(pd.Series(shingles))
+        out[i] = int(h.min().astype(np.int64))
+    return pd.Series(out, index=texts.index)
+
+
+def fingerprint_udf():
+    return pandas_udf(_fingerprint_batch, LongType())
+
+
+def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_udf()(F.col(text_col)))

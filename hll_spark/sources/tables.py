@@ -1,0 +1,178 @@
+"""Sources: testdata loaders and the deterministic synthetic pages table.
+
+The reference has no I/O layer (its only "source" is bytes-from-file,
+/root/reference/README.md:144-157); all scan capability here is Spark's
+parquet reader (Catalyst handles predicate pushdown / column pruning /
+partition pruning for free — SURVEY.md §4.2). An Iceberg writer is used
+when a catalog is configured, else parquet (SURVEY.md §7.3 risk 6).
+
+The synthetic ``pages`` table matches BASELINE.json input_hint exactly:
+(url string, warc_ts timestamp, html binary, text string, lang string),
+with the per-row invariant that ``text`` is a byte-identical
+deterministic function of ``url`` (FIXTURES.md §1): same url -> same
+text bytes across runs, scales, and partitionings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+_LANGS = ["en", "zh", "de", "fr", "es", "ru", "ja", "other"]
+# cumulative permille cutoffs, en-skewed (FIXTURES.md §1)
+_LANG_CUTS = [450, 600, 700, 790, 870, 930, 980, 1000]
+
+_LOREM = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo "
+    "consequat duis aute irure in reprehenderit voluptate velit esse cillum "
+    "eu fugiat nulla pariatur excepteur sint occaecat cupidatat non proident "
+    "sunt culpa qui officia deserunt mollit anim id est laborum"
+).split()
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all driver testdata tables and register temp views."""
+    out = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def _text_for_url(url: str) -> str:
+    """Deterministic text from url ONLY (per-row invariant, input_hint)."""
+    digest = hashlib.sha256(url.encode()).digest()
+    head = digest[:8].hex()
+    n_words = 5 + digest[8] % 200
+    # counter-based PRNG keyed on url, independent of row order
+    seed = int.from_bytes(digest[9:13], "big")
+    words = [_LOREM[(seed + 2654435761 * i) % len(_LOREM)] for i in range(n_words)]
+    return f"page {head} " + " ".join(words)
+
+
+def generate_pages_pdf(
+    n_rows: int, n_hosts: int = 1000, dup_rate: float = 0.2, seed: int = 42
+) -> pd.DataFrame:
+    """Deterministic Common-Crawl-style pages batch (FIXTURES.md §1).
+
+    Hosts are Zipf(1.2)-skewed (exercises salted repartitioning);
+    duplicate urls injected at ``dup_rate`` so distinct(url) < count(*).
+    """
+    rng = np.random.default_rng(seed)
+    hosts = (rng.zipf(1.2, size=n_rows) - 1) % n_hosts
+    path_no = rng.integers(0, max(4, int(n_rows * (1 - dup_rate)) // n_hosts + 1), size=n_rows)
+    urls = [f"https://host{h:05d}.example.com/page/{p}" for h, p in zip(hosts, path_no)]
+    texts = [_text_for_url(u) for u in urls]
+    lang_bucket = [
+        int.from_bytes(hashlib.sha256(u.encode()).digest()[13:15], "big") % 1000
+        for u in urls
+    ]
+    langs = [_LANGS[np.searchsorted(_LANG_CUTS, b, side="right")] for b in lang_bucket]
+    ts = pd.Timestamp("2024-01-01T00:00:00") + pd.to_timedelta(
+        np.arange(n_rows), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": ts,
+            "html": [f"<html><body>{t}</body></html>".encode() for t in texts],
+            "text": texts,
+            "lang": langs,
+        }
+    )
+
+
+def generate_pages(
+    spark: SparkSession,
+    n_rows: int,
+    n_hosts: int = 1000,
+    dup_rate: float = 0.2,
+    seed: int = 42,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic pages generator.
+
+    Each partition generates its slice with a partition-derived seed, so
+    the table is reproducible at any parallelism and any scale without a
+    driver-side materialization (the 100 TB analogue: generation itself
+    is embarrassingly parallel).
+    """
+    n_partitions = n_partitions or max(1, n_rows // 50_000)
+    bounds = np.linspace(0, n_rows, n_partitions + 1).astype(np.int64)
+    slices = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "start": bounds[:-1],
+                "end": bounds[1:],
+                "pseed": [seed + 7919 * i for i in range(n_partitions)],
+            }
+        )
+    ).repartition(n_partitions, "pseed")
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                n = int(row["end"] - row["start"])
+                if n > 0:
+                    out = generate_pages_pdf(n, n_hosts, dup_rate, int(row["pseed"]))
+                    out["warc_ts"] = out["warc_ts"] + pd.to_timedelta(
+                        int(row["start"]), unit="s"
+                    )
+                    yield out
+
+    return slices.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def write_table(df: DataFrame, path_or_table: str, partition_by: list[str] | None = None):
+    """Sink: Iceberg when a catalog is configured, else parquet path."""
+    spark = df.sparkSession
+    has_iceberg = any(
+        k.startswith("spark.sql.catalog.")
+        for k, _ in spark.sparkContext.getConf().getAll()
+    )
+    if "/" not in path_or_table and has_iceberg:
+        writer = df.writeTo(path_or_table)
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+    else:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path_or_table)

@@ -1,0 +1,95 @@
+"""Text-analysis operator tests over the documents table + pages synth."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hll_spark.operators.text import (
+    add_quality_columns,
+    detect_language,
+    fingerprint_documents,
+    token_count,
+)
+from hll_spark.sources.tables import generate_pages, generate_pages_pdf
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_count_matches_python_split(spark, docs):
+    got = docs.select("doc_id", token_count("text").alias("n")).toPandas()
+    texts = docs.select("doc_id", "text").toPandas()
+    merged = got.merge(texts, on="doc_id")
+    for _, row in merged.iterrows():
+        assert row["n"] == len(row["text"].split()), row["text"][:50]
+
+
+def test_quality_columns_schema_and_ranges(spark, docs):
+    out = add_quality_columns(docs).toPandas()
+    assert set(["n_tokens", "punct_ratio", "quality"]) <= set(out.columns)
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert ((out["punct_ratio"] >= 0) & (out["punct_ratio"] <= 1)).all()
+
+
+def test_lang_id_deterministic_and_plausible(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog and the cat",
+                "der schnelle braune fuchs springt über den faulen hund und",
+                "le renard brun rapide saute par dessus le chien paresseux les",
+                "这是一段中文文本用来测试语言识别的功能是否正常工作",
+                "это русский текст для проверки определения языка",
+                "",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["id"]: r["lang_pred"] for r in detect_language(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "zh"
+    assert got[4] == "ru"
+    assert got[5] == "other"
+    # deterministic across runs
+    again = {r["id"]: r["lang_pred"] for r in detect_language(df).collect()}
+    assert got == again
+
+
+def test_fingerprint_identical_for_identical_text(spark):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "text": ["alpha beta " * 20, "alpha beta " * 20, "gamma delta " * 20],
+        }
+    )
+    rows = fingerprint_documents(spark.createDataFrame(pdf)).collect()
+    fp = {r["id"]: r["fingerprint"] for r in rows}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_pages_generator_deterministic_invariant(spark):
+    a = generate_pages_pdf(500, seed=42)
+    b = generate_pages_pdf(500, seed=42)
+    pd.testing.assert_frame_equal(a, b)
+    # per-row invariant: text is a function of url only
+    joined = a.merge(b[["url", "text"]].drop_duplicates(), on="url")
+    assert (joined["text_x"] == joined["text_y"]).all()
+    # duplicates exist and langs are skewed toward en
+    assert a["url"].nunique() < len(a)
+    assert (a["lang"] == "en").mean() > 0.25
+
+
+def test_pages_distributed_generator(spark):
+    df = generate_pages(spark, 2000, n_partitions=4)
+    assert df.count() == 2000
+    assert df.schema.fieldNames() == ["url", "warc_ts", "html", "text", "lang"]
+    # same url -> same text across the whole distributed table
+    dup_check = (
+        df.groupBy("url").agg(F.countDistinct("text").alias("nt")).where("nt > 1")
+    )
+    assert dup_check.count() == 0
