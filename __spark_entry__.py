@@ -1,38 +1,456 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship HLL distinct-per-lang query at
+sf0.001. ``queries()`` exposes one callable per implemented operator
+family from SURVEY.md §2 (sketches, dedup, similarity, text, multimodal
+plumbing, plus relational coverage via built-ins); ``oracle_sql()``
+carries a DuckDB-equivalent for every exactly-reproducible query.
+Approximate estimators (FULL-tier HLL, quantile sketches, MinHash/
+SimHash estimates, lang-ID) are registered without oracle SQL and are
+bound-asserted in pytest instead (FIXTURES.md §3 oracle rule).
+
+Exactness note: the oracle-matched sketch queries run with
+``expthresh=18`` (EXPLICIT threshold 131072, the storage-spec maximum,
+/root/reference/hll.go:40) so every group stays in the exact EXPLICIT
+tier at oracle scale — the same exactness/memory dial postgresql-hll
+exposes. The flagship and bound tests exercise the probabilistic FULL
+tier.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hll_spark.operators.agg import (  # noqa: E402
+    hll_distinct,
+    hll_estimate_udf,
+    hll_intersect_udf,
+    hll_sketch_agg,
+    hll_union_udf,
+)
+from hll_spark.operators.dedup import (  # noqa: E402
+    duplicate_groups,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from hll_spark.operators.multimodal import extract_media_features  # noqa: E402
+from hll_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    ivf_ann_topk,
+)
+from hll_spark.operators.sketches import (  # noqa: E402
+    bloom_filter_join,
+    cms_frequencies,
+    kll_quantiles,
+    tdigest_quantiles,
+)
+from hll_spark.operators.text import (  # noqa: E402
+    char_count,
+    detect_language,
+    fingerprint_documents,
+    punct_ratio,
+    token_count,
+)
+from hll_spark.sketchlib.hll import HllConfig  # noqa: E402
+
+# exact-tier config for oracle-matched queries (see module docstring)
+EXACT_CFG = HllConfig(log2m=14, regwidth=5, expthresh=18)
+# probabilistic flagship config (reference example parameters,
+# /root/reference/example/main.go:44)
+FLAGSHIP_CFG = HllConfig(log2m=14, regwidth=5)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-lang distinct-text HLL over documents at sf0.001."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return hll_distinct(docs, "text", by=["lang"], cfg=FLAGSHIP_CFG,
+                        alias="distinct_text")
+
+
+# ---------------------------------------------------------------------------
+# queries — sketch family
+
+
+def q_hll_users_by_event_type(spark, sf):
+    return hll_distinct(
+        _t(spark, sf, "events"), "user_id", by=["event_type"],
+        cfg=EXACT_CFG, alias="distinct_user_id",
+    )
+
+
+def q_hll_custkey_by_month(spark, sf):
+    orders = _t(spark, sf, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    return hll_distinct(
+        orders, "o_custkey", by=["order_month"], cfg=EXACT_CFG,
+        alias="distinct_o_custkey",
+    )
+
+
+def q_hll_union_en_de(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sk = hll_sketch_agg(docs.where(F.col("lang").isin("en", "de")), "text",
+                        by=["lang"], cfg=EXACT_CFG)
+    en = sk.where("lang = 'en'").select(F.col("sketch").alias("sa"))
+    de = sk.where("lang = 'de'").select(F.col("sketch").alias("sb"))
+    est = hll_estimate_udf()
+    return en.crossJoin(de).select(
+        est(hll_union_udf()(F.col("sa"), F.col("sb"))).alias("distinct_en_de")
+    )
+
+
+def q_hll_intersect_partkeys(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    early = hll_sketch_agg(li.where(F.col("l_shipdate") < cut), "l_partkey",
+                           cfg=EXACT_CFG).select(F.col("sketch").alias("sa"))
+    late = hll_sketch_agg(li.where(F.col("l_shipdate") >= cut), "l_partkey",
+                          cfg=EXACT_CFG).select(F.col("sketch").alias("sb"))
+    return early.crossJoin(late).select(
+        hll_intersect_udf()(F.col("sa"), F.col("sb")).alias("intersect_partkeys")
+    )
+
+
+def q_hll_flagship_distinct_text(spark, sf):
+    # FULL-tier probabilistic estimate — no oracle; bound-checked in pytest
+    return hll_distinct(
+        _t(spark, sf, "documents"), "text", cfg=FLAGSHIP_CFG,
+        alias="distinct_text_est",
+    )
+
+
+def q_cms_event_type_counts(spark, sf):
+    events = _t(spark, sf, "events")
+    items = events.select("event_type").distinct()
+    return cms_frequencies(events, "event_type", items, depth=5, width=4096,
+                           alias="est_count")
+
+
+def q_bloom_fk_prefilter(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    kept = bloom_filter_join(li, "l_partkey", part, "p_partkey")
+    return kept.agg(F.count("*").alias("n_rows"))
+
+
+def q_kll_quantiles_price(spark, sf):
+    return kll_quantiles(_t(spark, sf, "lineitem"), "l_extendedprice",
+                         [0.1, 0.5, 0.9])
+
+
+def q_tdigest_quantiles_value(spark, sf):
+    return tdigest_quantiles(_t(spark, sf, "events"), "value",
+                             [0.01, 0.5, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup / similarity
+
+
+def q_exact_dedup_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+
+
+def q_duplicate_groups_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return duplicate_groups(docs, ["text"], "doc_id").select("keeper_id", "n_dupes")
+
+
+def q_embedding_dup_pairs(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.46).select(
+        "id_a", "id_b"
+    )
+
+
+def q_ann_top3(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_ivf_ann_top3(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_ann_topk(emb, queries, k=3, n_centroids=8, nprobe=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_minhash_pairs_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7)
+
+
+def q_simhash_pairs_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# queries — text analysis / multimodal plumbing
+
+
+def q_token_counts_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def q_text_quality_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        char_count("text").alias("n_chars_text"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+def q_lang_id_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return detect_language(docs).select("doc_id", "lang_pred")
+
+
+def q_fingerprint_documents(spark, sf):
+    return fingerprint_documents(_t(spark, sf, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_media_metadata_documents(spark, sf):
+    # documents' text bytes standing in as an opaque media payload column
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("content_sha256"),
+    )
+
+
+def q_media_features_documents(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_media_features(docs).select("media_id", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# queries — relational coverage (Spark built-ins; Catalyst does the work)
+
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_mktsegment_orders(spark, sf):
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+        )
+    )
+
+
+def q_window_top_order_per_cust(spark, sf):
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+def q_customers_without_orders(spark, sf):
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # sketch family
+        "hll_users_by_event_type": q_hll_users_by_event_type,
+        "hll_custkey_by_month": q_hll_custkey_by_month,
+        "hll_union_en_de": q_hll_union_en_de,
+        "hll_intersect_partkeys": q_hll_intersect_partkeys,
+        "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
+        "cms_event_type_counts": q_cms_event_type_counts,
+        "bloom_fk_prefilter": q_bloom_fk_prefilter,
+        "kll_quantiles_price": q_kll_quantiles_price,
+        "tdigest_quantiles_value": q_tdigest_quantiles_value,
+        # dedup / similarity
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "duplicate_groups_documents": q_duplicate_groups_documents,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "ann_top3": q_ann_top3,
+        "ivf_ann_top3": q_ivf_ann_top3,
+        "minhash_pairs_documents": q_minhash_pairs_documents,
+        "simhash_pairs_documents": q_simhash_pairs_documents,
+        # text / multimodal
+        "token_counts_documents": q_token_counts_documents,
+        "text_quality_documents": q_text_quality_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "media_metadata_documents": q_media_metadata_documents,
+        "media_features_documents": q_media_features_documents,
+        # relational coverage
+        "pricing_summary": q_pricing_summary,
+        "join_mktsegment_orders": q_join_mktsegment_orders,
+        "window_top_order_per_cust": q_window_top_order_per_cust,
+        "customers_without_orders": q_customers_without_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_users_by_event_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS distinct_user_id
+            FROM events GROUP BY event_type
+        """,
+        "hll_custkey_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                   COUNT(DISTINCT o_custkey) AS distinct_o_custkey
+            FROM orders GROUP BY 1
+        """,
+        "hll_union_en_de": """
+            SELECT COUNT(DISTINCT text) AS distinct_en_de
+            FROM documents WHERE lang IN ('en', 'de')
+        """,
+        "hll_intersect_partkeys": """
+            SELECT CAST(COUNT(*) AS DOUBLE) AS intersect_partkeys FROM (
+                SELECT DISTINCT l_partkey FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1998-06-01'
+                INTERSECT
+                SELECT DISTINCT l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+            )
+        """,
+        "cms_event_type_counts": """
+            SELECT event_type, COUNT(*) AS est_count
+            FROM events GROUP BY event_type
+        """,
+        "bloom_fk_prefilter": """
+            SELECT COUNT(*) AS n_rows FROM lineitem
+        """,
+        "exact_dedup_documents": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "duplicate_groups_documents": """
+            SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_dupes
+            FROM documents GROUP BY text HAVING COUNT(*) > 1
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46
+        """,
+        "ann_top3": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                    b.vec_id ASC
+                       ) AS rank
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id < 5
+            ) WHERE rank <= 3
+        """,
+        "token_counts_documents": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens
+            FROM documents
+        """,
+        "text_quality_documents": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_text,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE ROUND(
+                          CAST(length(text) -
+                               length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                               AS DOUBLE) / length(text), 6) END
+                   AS punct_ratio
+            FROM documents
+        """,
+        "media_metadata_documents": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_sha256
+            FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_mktsegment_orders": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "window_top_order_per_cust": """
+            SELECT o_custkey, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+        """,
+    }

@@ -1,0 +1,86 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry at sf0.01 and compare against oracle_sql() via DuckDB
+(row count + sorted-column value comparison, order-insensitive)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "distinct_text" in df.columns
+
+
+def test_all_queries_have_unique_names():
+    qs = entry_mod.queries()
+    assert len(qs) >= 20
+    missing = set(entry_mod.oracle_sql()) - set(qs)
+    assert not missing, f"oracle without query: {missing}"
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, oracle_con, name):
+    q = entry_mod.queries()[name]
+    got = q(spark, SF).toPandas()
+    expected = oracle_con.sql(entry_mod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(expected.columns), (
+        f"{name}: columns {sorted(got.columns)} vs {sorted(expected.columns)}"
+    )
+    assert len(got) == len(expected), f"{name}: {len(got)} vs {len(expected)} rows"
+    g, e = normalize(got), normalize(expected)
+    for col in g.columns:
+        for i, (a, b) in enumerate(zip(g[col], e[col])):
+            assert values_equal(a, b), f"{name}.{col} row {i}: {a!r} != {b!r}"
+
+
+NO_ORACLE = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema.fields) >= 1
