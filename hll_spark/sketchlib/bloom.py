@@ -26,7 +26,8 @@ import numpy as np
 from .hashing import murmur3_finalizer_u64
 
 _MAGIC = 0x424C4D31  # "BLM1"
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_GOLDEN = np.array(0x9E3779B97F4A7C15, dtype=np.uint64)
+_ONE = np.array(1, dtype=np.uint64)
 
 
 def optimal_params(expected_items: int, fpr: float) -> tuple[int, int]:
@@ -53,9 +54,10 @@ class BloomFilter:
     def _positions(self, hashed: np.ndarray) -> np.ndarray:
         h = np.ascontiguousarray(hashed).view(np.uint64).reshape(-1)
         h1 = h
-        h2 = murmur3_finalizer_u64(h ^ _GOLDEN) | np.uint64(1)
+        h2 = murmur3_finalizer_u64(h ^ _GOLDEN) | _ONE
         i = np.arange(self.k, dtype=np.uint64)[:, None]
-        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m_bits)).reshape(-1)
+        m_bits = np.array(self.m_bits, dtype=np.uint64)
+        return ((h1[None, :] + i * h2[None, :]) % m_bits).reshape(-1)
 
     def add_hashed(self, hashed: np.ndarray) -> None:
         hashed = np.ascontiguousarray(hashed).view(np.uint64).reshape(-1)

@@ -23,7 +23,8 @@ import numpy as np
 from .hashing import murmur3_finalizer_u64
 
 _MAGIC = 0x434D5331  # "CMS1"
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_GOLDEN = np.array(0x9E3779B97F4A7C15, dtype=np.uint64)
+_ONE = np.array(1, dtype=np.uint64)
 
 
 class CountMinSketch:
@@ -40,11 +41,10 @@ class CountMinSketch:
         """(depth, n) column indices via Kirsch-Mitzenmacher double hash."""
         h = np.ascontiguousarray(hashed).view(np.uint64)
         h1 = h
-        h2 = murmur3_finalizer_u64(h ^ _GOLDEN) | np.uint64(1)  # odd -> full period
+        h2 = murmur3_finalizer_u64(h ^ _GOLDEN) | _ONE  # odd -> full period
         i = np.arange(self.depth, dtype=np.uint64)[:, None]
-        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.width)).astype(
-            np.int64
-        )
+        width = np.array(self.width, dtype=np.uint64)
+        return ((h1[None, :] + i * h2[None, :]) % width).astype(np.int64)
 
     # -- update / query --------------------------------------------------------
     def add_hashed(self, hashed: np.ndarray, counts: np.ndarray | None = None) -> None:

@@ -27,20 +27,35 @@ from __future__ import annotations
 
 import numpy as np
 
-_C1 = np.uint64(0x87C37B91114253D5)
-_C2 = np.uint64(0x4CF5AD432745937F)
+# NOTE: every scalar operand below is a 0-d uint64 ndarray — numpy's
+# np-scalar and python-int operand paths are 30-60x slower than an
+# array-array ufunc loop on large operands.
+def _u64(x: int) -> np.ndarray:
+    return np.array(x, dtype=np.uint64)
+
+
+_C1 = _u64(0x87C37B91114253D5)
+_C2 = _u64(0x4CF5AD432745937F)
+_M5 = _u64(5)
+_A1 = _u64(0x52DCE729)
+_A2 = _u64(0x38495AB5)
+_F1 = _u64(0xFF51AFD7ED558CCD)
+_F2 = _u64(0xC4CEB9FE1A85EC53)
+_S33 = _u64(33)
+_SHIFTS = {r: (_u64(r), _u64(64 - r)) for r in (27, 31, 33)}
 
 
 def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
-    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+    left, right = _SHIFTS[r]
+    return (x << left) | (x >> right)
 
 
 def _fmix64(x: np.ndarray) -> np.ndarray:
-    x = x ^ (x >> np.uint64(33))
-    x = x * np.uint64(0xFF51AFD7ED558CCD)
-    x = x ^ (x >> np.uint64(33))
-    x = x * np.uint64(0xC4CEB9FE1A85EC53)
-    x = x ^ (x >> np.uint64(33))
+    x = x ^ (x >> _S33)
+    x = x * _F1
+    x = x ^ (x >> _S33)
+    x = x * _F2
+    x = x ^ (x >> _S33)
     return x
 
 
@@ -69,14 +84,14 @@ def _murmur3_fixed_length(mat: np.ndarray, length: int, seed: int) -> np.ndarray
             h1 ^= k1
             h1 = _rotl64(h1, 27)
             h1 += h2
-            h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+            h1 = h1 * _M5 + _A1
             k2 *= _C2
             k2 = _rotl64(k2, 33)
             k2 *= _C1
             h2 ^= k2
             h2 = _rotl64(h2, 31)
             h2 += h1
-            h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+            h2 = h2 * _M5 + _A2
 
     tail_len = length & 15
     if tail_len:
@@ -95,8 +110,9 @@ def _murmur3_fixed_length(mat: np.ndarray, length: int, seed: int) -> np.ndarray
         k1 *= _C2
         h1 ^= k1
 
-    h1 ^= np.uint64(length)
-    h2 ^= np.uint64(length)
+    len64 = _u64(length)
+    h1 ^= len64
+    h2 ^= len64
     h1 += h2
     h2 += h1
     h1 = _fmix64(h1)

@@ -132,8 +132,10 @@ class HllConfig:
         return (1 << self.regwidth) - 1
 
     @property
-    def pw_max_mask(self) -> np.uint64:
-        return _PW_MASK[self.regwidth]
+    def pw_max_mask(self) -> int:
+        # returned as a Python int: numpy-scalar operands take a ~60x
+        # slower ufunc path than weak Python-int scalars
+        return int(_PW_MASK[self.regwidth])
 
     @property
     def alpha_m_squared(self) -> float:
@@ -244,18 +246,26 @@ def _registers_from_hashes(
     "register stays unset", hll.go:439-456).
     Returns (j uint64 array, p_w uint8 array) with zero rows removed.
     """
+    # scalar operands are materialized as 0-d uint64 arrays: numpy's
+    # python-int/np-scalar operand paths are 30-60x slower on big arrays
+    pw_mask = np.array(cfg.pw_max_mask, dtype=np.uint64)
+    j_mask = np.array(cfg.m_bits_mask, dtype=np.uint64)
     h = np.ascontiguousarray(h, dtype=np.uint64)
-    w = h >> np.uint64(cfg.log2m)
+    w = h >> np.array(cfg.log2m, dtype=np.uint64)
     nz = w != 0
     if not nz.all():
         h = h[nz]
         w = w[nz]
-    w = w | cfg.pw_max_mask
-    # ctz via isolate-lowest-bit then exact float64 log2 (bit <= 2^62 here
-    # because pw_max_mask caps the lsb at 2^regwidth - 2 <= 62).
-    lowest = w & (~w + np.uint64(1))
-    pw = np.log2(lowest.astype(np.float64)).astype(np.uint8) + np.uint8(1)
-    j = h & np.uint64(cfg.m_bits_mask)
+    w |= pw_mask
+    # vectorized ctz: isolate the lowest set bit (an exact power of two,
+    # <= 2^62 because pw_mask caps the lsb at 2^regwidth - 2), convert to
+    # float64 and read the IEEE-754 exponent: ctz = exp - 1023, p_w = ctz+1
+    lowest = w & (-w)
+    pw = (
+        (lowest.astype(np.float64).view(np.uint64) >> np.array(52, np.uint64))
+        - np.array(1022, np.uint64)
+    ).astype(np.uint8)
+    j = h & j_mask
     return j, pw
 
 
@@ -601,7 +611,7 @@ class HllSketch:
             val = np.fromiter(
                 self.sparse.values(), dtype=np.uint64, count=len(self.sparse)
             )
-            short = (idx << np.uint64(cfg.regwidth)) | val
+            short = (idx << cfg.regwidth) | val
             short.sort()
             return header + _pack_words(short, cfg.short_word_length)
         return header + _pack_words(
@@ -624,8 +634,8 @@ class HllSketch:
             return s
         if kind == SPARSE:
             words = _unpack_words(body, cfg.short_word_length)
-            val = words & np.uint64(cfg.value_mask)
-            idx = words >> np.uint64(cfg.regwidth)
+            val = words & cfg.value_mask
+            idx = words >> cfg.regwidth
             # padding over-read protection: zero registers are dropped
             # (hll.go:976-983)
             nz = val != 0
