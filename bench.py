@@ -1,0 +1,190 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Default mode: runs the headline queries against $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The headline number additionally measures the flagship sketch-build
+pipeline (synthetic web-pages table -> mapInPandas partial HLLs ->
+two-level tree merge -> estimate) as docs/sec.
+
+Scaling mode (``python bench.py --scaling``): reruns the flagship
+pipeline in two fresh subprocesses at local[8]/8 shuffle partitions and
+local[32]/32, on the same input, and reports throughput at both plus
+efficiency = (thr_32/thr_8)/4 — the sandbox protocol for the north
+rule's two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "16000000"))
+PAGES_PATH = os.path.join(REPO, "_bench_cache", f"pages_{PAGES_ROWS}")
+
+
+def make_spark(cpus: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("hll_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .getOrCreate()
+    )
+
+
+def ensure_pages(spark, n_rows: int = PAGES_ROWS, path: str = PAGES_PATH) -> str:
+    """Materialize the deterministic synthetic pages table once."""
+    import glob
+
+    if not glob.glob(f"{path}/_SUCCESS"):
+        from hll_spark.sources.tables import generate_pages
+
+        generate_pages(spark, n_rows, n_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def flagship_docs_per_sec(spark, pages_path: str) -> tuple[float, int, int]:
+    """Flagship pipeline: distinct-url HLL at p=14 over the pages table.
+
+    Returns (docs/sec, n_rows, estimate). Timing covers scan -> mapInPandas
+    partial build -> tree merge -> estimate (the BASELINE.md protocol
+    region); the parquet is pre-materialized so generation is excluded.
+    """
+    from pyspark.sql import functions as F
+
+    from hll_spark.operators.agg import hll_sketch_agg, hll_estimate_udf
+    from hll_spark.sketchlib.hll import HllConfig
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    row = (
+        hll_sketch_agg(pages, "url", cfg=HllConfig(log2m=14, regwidth=5))
+        .withColumn("est", hll_estimate_udf()(F.col("sketch")))
+        .select("est", "rows_seen")
+        .collect()[0]
+    )
+    wall = time.perf_counter() - t0
+    return row["rows_seen"] / wall, row["rows_seen"], row["est"]
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    bench_queries = [
+        "hll_users_by_event_type",
+        "hll_custkey_by_month",
+        "hll_flagship_distinct_text",
+        "cms_event_type_counts",
+        "bloom_fk_prefilter",
+        "kll_quantiles_price",
+        "tdigest_quantiles_value",
+        "exact_dedup_documents",
+        "minhash_pairs_documents",
+        "simhash_pairs_documents",
+        "ann_top3",
+        "ivf_ann_top3",
+        "token_counts_documents",
+        "pricing_summary",
+        "join_mktsegment_orders",
+        "window_top_order_per_cust",
+    ]
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        qs[name](spark, sf_dir).collect()  # warm: parquet footers, JIT, plan
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def scaling_child(cpus: int, shuffle: int) -> None:
+    spark = make_spark(cpus, shuffle)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = ensure_pages(spark)
+    # one warm-up pass (JIT/arrow init), then the measured passes
+    flagship_docs_per_sec(spark, path)
+    runs = [flagship_docs_per_sec(spark, path) for _ in range(3)]
+    thr = sorted(r[0] for r in runs)[1]  # median of 3
+    print(json.dumps({"cpus": cpus, "docs_per_sec": thr, "rows": runs[0][1]}))
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=1800,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    return {
+        "thr_8": round(thr8),
+        "thr_32": round(thr32),
+        "scaling_efficiency": round((thr32 / thr8) / 4.0, 3),
+        "rows": results[32]["rows"],
+    }
+
+
+def main() -> None:
+    if "--scaling-child" in sys.argv:
+        scaling_child(int(sys.argv[-1]), int(sys.argv[-1]))
+        return
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = ensure_pages(spark)
+    # warm-up: python worker pool + arrow codepaths + page cache
+    flagship_docs_per_sec(spark, pages_path)
+    runs = [flagship_docs_per_sec(spark, pages_path) for _ in range(3)]
+    docs_per_sec, n_rows, est = sorted(runs)[1]  # median of 3
+    timings = run_queries(spark, SF_DIR)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time (sf bench tables) "
+                "+ flagship distinct-url HLL sketch-build throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "docs_per_sec": round(docs_per_sec),
+                "flagship_rows": n_rows,
+                "flagship_estimate": est,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,23 @@
+"""hll_spark — a PySpark-native distributed sketch / approximate-
+aggregation library.
+
+Kernels (:mod:`hll_spark.sketchlib`): HyperLogLog (AK storage-spec
+v1.0.0 compatible, the semantics of l0vest0rm/hll re-implemented on
+numpy), count-min, Bloom, KLL, t-digest, and vectorized MurmurHash3.
+
+Spark layer (:mod:`hll_spark.operators`): a generic mergeable-aggregator
+scaffold (mapInPandas partial build -> two-level tree merge), plus
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
+similarity search (brute-force, LSH, IVF), text analysis, and
+multimodal binary-column plumbing.
+
+Checkpoint/resume (:mod:`hll_spark.plans`), Structured Streaming
+stateful sketches (:mod:`hll_spark.streaming`), sources and the
+deterministic synthetic web-pages generator (:mod:`hll_spark.sources`).
+"""
+
+from .sketchlib.hll import HllConfig, HllSketch
+from .operators.agg import hll_distinct, hll_sketch_agg
+
+__all__ = ["HllConfig", "HllSketch", "hll_distinct", "hll_sketch_agg"]
+__version__ = "0.1.0"

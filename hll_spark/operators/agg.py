@@ -221,16 +221,27 @@ def merge_sketch_partials(
     partials: DataFrame,
     spec: SketchSpec,
     by: list[str] | None = None,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Merge partials down to one sketch per group (or one total).
 
-    Global: two-level tree — groupBy(bucket) level-1 merge (K-way fan-in),
-    then a single K-row final merge; no single reducer ever sees more than
-    max(#partitions/K, K) blobs. Grouped: one shuffle on the group keys —
-    the level-0 pre-combine already collapsed each group to at most one
-    blob per input partition.
+    Global: by default a single final merge stage — with the level-0
+    pre-combine there is exactly ONE blob per input partition, so even a
+    100k-partition scan yields only ~1 GB of sketch bytes at one reducer's
+    input, and each extra merge level costs a full exchange+Python stage
+    of latency. ``two_level=True`` (or auto, above 4096 partials) inserts
+    the bucketed level-1 merge so no single reducer ever sees more than
+    max(#partials/K, K) blobs — the shape to use when partials are huge
+    (EXPLICIT-tier sketches) or the scan has >10^4 partitions.
+    Grouped: one shuffle on the group keys — level 0 already collapsed
+    each group to at most one blob per input partition.
     """
     by = list(by or [])
+    if two_level is None and not by:
+        try:
+            two_level = partials.rdd.getNumPartitions() > 4096
+        except Exception:
+            two_level = True
     out_schema = StructType(
         ([partials.schema[k] for k in by] if by else [])
         + [StructField("sketch", BinaryType()), StructField("rows_seen", LongType())]
@@ -246,19 +257,24 @@ def merge_sketch_partials(
     if by:
         return partials.groupBy(*by).applyInPandas(merge_group, out_schema)
 
-    level1 = partials.groupBy("bucket").applyInPandas(
-        lambda pdf: pd.DataFrame(
-            {
-                "sketch": [_merge_blobs(spec, pdf["sketch"])],
-                "rows_seen": [int(pdf["rows_seen"].sum())],
-            }
-        ),
-        StructType(
-            [StructField("sketch", BinaryType()), StructField("rows_seen", LongType())]
-        ),
-    )
+    stage = partials
+    if two_level:
+        stage = partials.groupBy("bucket").applyInPandas(
+            lambda pdf: pd.DataFrame(
+                {
+                    "sketch": [_merge_blobs(spec, pdf["sketch"])],
+                    "rows_seen": [int(pdf["rows_seen"].sum())],
+                }
+            ),
+            StructType(
+                [
+                    StructField("sketch", BinaryType()),
+                    StructField("rows_seen", LongType()),
+                ]
+            ),
+        )
     return (
-        level1.withColumn("__g", F.lit(0))
+        stage.withColumn("__g", F.lit(0))
         .groupBy("__g")
         .applyInPandas(merge_group, out_schema)
     )

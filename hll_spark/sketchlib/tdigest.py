@@ -57,34 +57,34 @@ class TDigest:
         self._merge_in(vals, np.ones(vals.size, dtype=np.float64))
 
     def _merge_in(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Re-cluster sorted centroids, fully vectorized.
+
+        Clusters are cut wherever floor(k(q_left)) advances — every
+        resulting cluster spans < 1 unit of k-space, satisfying the
+        t-digest size invariant (clusters near q=0/1 stay tiny). This is
+        the vectorized formulation of Dunning's merging algorithm; the
+        sequential greedy variant packs slightly differently but both
+        respect the same bound. Deterministic: no RNG, stable sort.
+        """
         all_means = np.concatenate([self.means, means])
         all_weights = np.concatenate([self.weights, weights])
         order = np.argsort(all_means, kind="stable")
         all_means, all_weights = all_means[order], all_weights[order]
         total = all_weights.sum()
 
-        out_means: list[float] = []
-        out_weights: list[float] = []
-        cur_mean = float(all_means[0])
-        cur_weight = float(all_weights[0])
-        q_left = 0.0
-        k_left = float(self._k(np.array([0.0]))[0])
-        for m, w in zip(all_means[1:].tolist(), all_weights[1:].tolist()):
-            q_right = q_left + (cur_weight + w) / total
-            if float(self._k(np.array([q_right]))[0]) - k_left <= 1.0:
-                # absorb into current centroid
-                cur_mean += (m - cur_mean) * w / (cur_weight + w)
-                cur_weight += w
-            else:
-                out_means.append(cur_mean)
-                out_weights.append(cur_weight)
-                q_left += cur_weight / total
-                k_left = float(self._k(np.array([q_left]))[0])
-                cur_mean, cur_weight = m, w
-        out_means.append(cur_mean)
-        out_weights.append(cur_weight)
-        self.means = np.array(out_means, dtype=np.float64)
-        self.weights = np.array(out_weights, dtype=np.float64)
+        q_left = (np.cumsum(all_weights) - all_weights) / total
+        cluster = np.floor(self._k(q_left)).astype(np.int64)
+        # group consecutive equal cluster ids (ids are non-decreasing)
+        new_group = np.r_[True, cluster[1:] != cluster[:-1]]
+        gid = np.cumsum(new_group) - 1
+        n_groups = int(gid[-1]) + 1
+        w_out = np.zeros(n_groups, dtype=np.float64)
+        np.add.at(w_out, gid, all_weights)
+        m_out = np.zeros(n_groups, dtype=np.float64)
+        np.add.at(m_out, gid, all_means * all_weights)
+        m_out /= w_out
+        self.means = m_out
+        self.weights = w_out
 
     # -- merge ----------------------------------------------------------------------
     def merge(self, other: "TDigest") -> "TDigest":

@@ -87,16 +87,24 @@ def _text_for_url(url: str) -> str:
 
 
 def generate_pages_pdf(
-    n_rows: int, n_hosts: int = 1000, dup_rate: float = 0.2, seed: int = 42
+    n_rows: int,
+    n_hosts: int = 1000,
+    dup_rate: float = 0.2,
+    seed: int = 42,
+    total_rows: int | None = None,
 ) -> pd.DataFrame:
     """Deterministic Common-Crawl-style pages batch (FIXTURES.md §1).
 
     Hosts are Zipf(1.2)-skewed (exercises salted repartitioning);
-    duplicate urls injected at ``dup_rate`` so distinct(url) < count(*).
+    duplicate urls arise at roughly ``dup_rate`` because the url universe
+    is sized from ``total_rows`` (the whole table, not this slice — so
+    distributed generation keeps the same universe in every slice).
     """
+    total_rows = total_rows or n_rows
     rng = np.random.default_rng(seed)
     hosts = (rng.zipf(1.2, size=n_rows) - 1) % n_hosts
-    path_no = rng.integers(0, max(4, int(n_rows * (1 - dup_rate)) // n_hosts + 1), size=n_rows)
+    path_space = max(4, int(total_rows * (1 - dup_rate)) // n_hosts + 1)
+    path_no = rng.integers(0, path_space, size=n_rows)
     urls = [f"https://host{h:05d}.example.com/page/{p}" for h, p in zip(hosts, path_no)]
     texts = [_text_for_url(u) for u in urls]
     lang_bucket = [
@@ -150,7 +158,9 @@ def generate_pages(
             for _, row in pdf.iterrows():
                 n = int(row["end"] - row["start"])
                 if n > 0:
-                    out = generate_pages_pdf(n, n_hosts, dup_rate, int(row["pseed"]))
+                    out = generate_pages_pdf(
+                        n, n_hosts, dup_rate, int(row["pseed"]), total_rows=n_rows
+                    )
                     out["warc_ts"] = out["warc_ts"] + pd.to_timedelta(
                         int(row["start"]), unit="s"
                     )
