@@ -309,6 +309,23 @@ def q_customers_without_orders(spark, sf):
     ).select("c_custkey")
 
 
+def q_rollup_user_counts(spark, sf):
+    # grouping-sets coverage: per-type + grand-total distinct users
+    events = _t(spark, sf, "events")
+    return events.rollup("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users")
+    )
+
+
+def q_setop_partkeys_except(spark, sf):
+    # set-operation coverage: early-shipped parts never shipped late
+    li = _t(spark, sf, "lineitem")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    early = li.where(F.col("l_shipdate") < cut).select("l_partkey").distinct()
+    late = li.where(F.col("l_shipdate") >= cut).select("l_partkey").distinct()
+    return early.exceptAll(late)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # sketch family
@@ -341,6 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_mktsegment_orders": q_join_mktsegment_orders,
         "window_top_order_per_cust": q_window_top_order_per_cust,
         "customers_without_orders": q_customers_without_orders,
+        "rollup_user_counts": q_rollup_user_counts,
+        "setop_partkeys_except": q_setop_partkeys_except,
     }
 
 
@@ -452,5 +471,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders WHERE o_custkey = c_custkey
             )
+        """,
+        "rollup_user_counts": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "setop_partkeys_except": """
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-06-01'
+            EXCEPT
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-06-01'
         """,
     }

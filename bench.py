@@ -45,6 +45,7 @@ def make_spark(cpus: int, shuffle_partitions: int | None = None):
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .getOrCreate()
     )
 

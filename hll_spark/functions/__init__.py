@@ -1,0 +1,90 @@
+"""Scalar function surface (SURVEY.md §2.2 scalar-functions row).
+
+Pandas-UDF factories for the sketch family plus the spec-parity hash,
+re-exported here as the one-stop function registry. Everything generic
+(string/date/math) is deliberately *not* wrapped — use
+``pyspark.sql.functions`` built-ins; they stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from ..operators.agg import (
+    hll_estimate_udf,
+    hll_intersect_udf,
+    hll_union_udf,
+)
+from ..operators.text import fingerprint_udf, lang_id_udf
+from ..sketchlib.bloom import BloomFilter
+from ..sketchlib.cms import CountMinSketch
+from ..sketchlib.hashing import murmur3_x64_128_low64
+from ..sketchlib.kll import KllSketch
+from ..sketchlib.tdigest import TDigest
+
+
+def murmur3_64_udf(seed: int = 0):
+    """Vectorized MurmurHash3-x64-128 low64 of a string column — the
+    postgresql-hll spec-parity input hash (seed 0). Prefer the built-in
+    ``xxhash64`` when cross-system sketch parity is not required."""
+
+    def h(s: pd.Series) -> pd.Series:
+        return pd.Series(murmur3_x64_128_low64(s, seed).view(np.int64))
+
+    return pandas_udf(h, LongType())
+
+
+def kll_quantile_udf(q: float):
+    """sketch bytes -> quantile value."""
+
+    def f(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: float(KllSketch.from_bytes(bytes(b)).quantile(q)))
+
+    return pandas_udf(f, DoubleType())
+
+
+def tdigest_quantile_udf(q: float):
+    def f(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: float(TDigest.from_bytes(bytes(b)).quantile(q)))
+
+    return pandas_udf(f, DoubleType())
+
+
+def cms_query_udf(cms_bytes: bytes):
+    """hashed item column -> estimated count, probing a broadcast CMS."""
+
+    def f(hashed: pd.Series) -> pd.Series:
+        cms = CountMinSketch.from_bytes(cms_bytes)
+        return pd.Series(
+            cms.query_hashed(hashed.to_numpy(np.int64)).astype(np.int64)
+        )
+
+    return pandas_udf(f, LongType())
+
+
+def bloom_might_contain_udf(bloom_bytes: bytes):
+    """hashed item column -> membership boolean against a broadcast Bloom."""
+    from pyspark.sql.types import BooleanType
+
+    def f(hashed: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(bloom_bytes)
+        return pd.Series(bf.might_contain_hashed(hashed.to_numpy(np.int64)))
+
+    return pandas_udf(f, BooleanType())
+
+
+__all__ = [
+    "murmur3_64_udf",
+    "hll_estimate_udf",
+    "hll_union_udf",
+    "hll_intersect_udf",
+    "kll_quantile_udf",
+    "tdigest_quantile_udf",
+    "cms_query_udf",
+    "bloom_might_contain_udf",
+    "lang_id_udf",
+    "fingerprint_udf",
+]
