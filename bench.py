@@ -10,10 +10,11 @@ pipeline (synthetic web-pages table -> mapInPandas partial HLLs ->
 two-level tree merge -> estimate) as docs/sec.
 
 Scaling mode (``python bench.py --scaling``): reruns the flagship
-pipeline in two fresh subprocesses at local[8]/8 shuffle partitions and
-local[32]/32, on the same input, and reports throughput at both plus
-efficiency = (thr_32/thr_8)/4 — the sandbox protocol for the north
-rule's two-cluster-size criterion (BASELINE.md).
+pipeline in fresh subprocesses at local[N] and local[4N] (matching
+shuffle partitions), interleaved, on the same input, and reports
+throughput at both plus efficiency = (thr_4N/thr_N)/4 — the sandbox
+protocol for the north rule's two-cluster-size criterion (see
+BENCH/BASELINE.md for the level choice and steal-time measurement).
 """
 
 from __future__ import annotations
@@ -124,31 +125,59 @@ def scaling_child(cpus: int, shuffle: int) -> None:
     path = ensure_pages(spark)
     # one warm-up pass (JIT/arrow init), then the measured passes
     flagship_docs_per_sec(spark, path)
-    runs = [flagship_docs_per_sec(spark, path) for _ in range(3)]
-    thr = sorted(r[0] for r in runs)[1]  # median of 3
-    print(json.dumps({"cpus": cpus, "docs_per_sec": thr, "rows": runs[0][1]}))
+    runs = [flagship_docs_per_sec(spark, path) for _ in range(2)]
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "docs_per_sec": [r[0] for r in runs],
+                "rows": runs[0][1],
+            }
+        )
+    )
     spark.stop()
 
 
-def run_scaling() -> dict:
-    results = {}
-    for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cpus)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            timeout=1800,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    thr8 = results[8]["docs_per_sec"]
-    thr32 = results[32]["docs_per_sec"]
+SCALING_LEVELS = (2, 8)  # N and 4N cores — see BENCH/BASELINE.md for why
+# not 8/32: this sandbox shows ~45% hypervisor steal time above ~8 busy
+# cores, so higher levels measure the hypervisor, not the engine.
+
+
+def run_scaling(rounds: int = 2) -> dict:
+    """Interleave local[N]/local[4N] measurement rounds (fresh JVM each)
+    so slow machine-load drift hits both levels equally; report the
+    median of all samples per level."""
+    lo, hi = SCALING_LEVELS
+    samples: dict[int, list[float]] = {lo: [], hi: []}
+    rows = 0
+    for _ in range(rounds):
+        for cpus in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(cpus)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=1800,
+            )
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            rec = json.loads(line)
+            samples[cpus].extend(rec["docs_per_sec"])
+            rows = rec["rows"]
+
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    thr_lo, thr_hi = median(samples[lo]), median(samples[hi])
     return {
-        "thr_8": round(thr8),
-        "thr_32": round(thr32),
-        "scaling_efficiency": round((thr32 / thr8) / 4.0, 3),
-        "rows": results[32]["rows"],
+        f"thr_{lo}": round(thr_lo),
+        f"thr_{hi}": round(thr_hi),
+        "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+        "rows": rows,
+        f"samples_{lo}": [round(x) for x in samples[lo]],
+        f"samples_{hi}": [round(x) for x in samples[hi]],
     }
 
 

@@ -75,15 +75,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
-def _text_for_url(url: str) -> str:
-    """Deterministic text from url ONLY (per-row invariant, input_hint)."""
-    digest = hashlib.sha256(url.encode()).digest()
+_WORD_IDX_BASE = np.arange(256, dtype=np.int64) * 2654435761 % len(_LOREM)
+
+
+def _text_from_digest(digest: bytes) -> str:
     head = digest[:8].hex()
     n_words = 5 + digest[8] % 200
-    # counter-based PRNG keyed on url, independent of row order
+    # counter-based word selection keyed on url, independent of row order
     seed = int.from_bytes(digest[9:13], "big")
-    words = [_LOREM[(seed + 2654435761 * i) % len(_LOREM)] for i in range(n_words)]
-    return f"page {head} " + " ".join(words)
+    idx = (seed + _WORD_IDX_BASE[:n_words]) % len(_LOREM)
+    return f"page {head} " + " ".join([_LOREM[i] for i in idx.tolist()])
+
+
+def _text_for_url(url: str) -> str:
+    """Deterministic text from url ONLY (per-row invariant, input_hint)."""
+    return _text_from_digest(hashlib.sha256(url.encode()).digest())
 
 
 def generate_pages_pdf(
@@ -106,12 +112,14 @@ def generate_pages_pdf(
     path_space = max(4, int(total_rows * (1 - dup_rate)) // n_hosts + 1)
     path_no = rng.integers(0, path_space, size=n_rows)
     urls = [f"https://host{h:05d}.example.com/page/{p}" for h, p in zip(hosts, path_no)]
-    texts = [_text_for_url(u) for u in urls]
-    lang_bucket = [
-        int.from_bytes(hashlib.sha256(u.encode()).digest()[13:15], "big") % 1000
-        for u in urls
+    digests = [hashlib.sha256(u.encode()).digest() for u in urls]
+    texts = [_text_from_digest(d) for d in digests]
+    lang_bucket = np.array(
+        [int.from_bytes(d[13:15], "big") % 1000 for d in digests]
+    )
+    langs = [
+        _LANGS[i] for i in np.searchsorted(_LANG_CUTS, lang_bucket, side="right")
     ]
-    langs = [_LANGS[np.searchsorted(_LANG_CUTS, b, side="right")] for b in lang_bucket]
     ts = pd.Timestamp("2024-01-01T00:00:00") + pd.to_timedelta(
         np.arange(n_rows), unit="s"
     )
