@@ -161,17 +161,23 @@ def generate_pages(
         )
     ).repartition(n_partitions, "pseed")
 
+    chunk = 50_000  # bounded per-yield memory: Arrow streams small batches
+
     def gen(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                n = int(row["end"] - row["start"])
-                if n > 0:
+                start, end = int(row["start"]), int(row["end"])
+                pseed = int(row["pseed"])
+                for piece, lo in enumerate(range(start, end, chunk)):
+                    n = min(chunk, end - lo)
                     out = generate_pages_pdf(
-                        n, n_hosts, dup_rate, int(row["pseed"]), total_rows=n_rows
+                        n,
+                        n_hosts,
+                        dup_rate,
+                        pseed + 104729 * piece,
+                        total_rows=n_rows,
                     )
-                    out["warc_ts"] = out["warc_ts"] + pd.to_timedelta(
-                        int(row["start"]), unit="s"
-                    )
+                    out["warc_ts"] = out["warc_ts"] + pd.to_timedelta(lo, unit="s")
                     yield out
 
     return slices.mapInPandas(gen, PAGES_SCHEMA)
