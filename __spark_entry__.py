@@ -43,6 +43,7 @@ from hll_spark.operators.dedup import (  # noqa: E402
     simhash_pairs,
 )
 from hll_spark.operators.multimodal import extract_media_features  # noqa: E402
+from hll_spark.operators.relational import asof_join, session_counts  # noqa: E402
 from hll_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     ivf_ann_topk,
@@ -309,6 +310,22 @@ def q_customers_without_orders(spark, sf):
     ).select("c_custkey")
 
 
+def q_asof_last_order(spark, sf):
+    # as-of join: latest order date at or before each event, per user
+    events = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf, "orders").withColumnRenamed("o_custkey", "user_id")
+    joined = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=[],
+    )
+    return joined.select("event_id", "asof_o_orderdate")
+
+
+def q_session_counts(spark, sf):
+    return session_counts(_t(spark, sf, "events"), "user_id", "ts",
+                          gap_seconds=86400)
+
+
 def q_rollup_user_counts(spark, sf):
     # grouping-sets coverage: per-type + grand-total distinct users
     events = _t(spark, sf, "events")
@@ -360,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "rollup_user_counts": q_rollup_user_counts,
         "setop_partkeys_except": q_setop_partkeys_except,
+        "asof_last_order": q_asof_last_order,
+        "session_counts": q_session_counts,
     }
 
 
@@ -482,5 +501,19 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT l_partkey FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+        """,
+        "asof_last_order": """
+            SELECT e.event_id, o.o_orderdate AS asof_o_orderdate
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "session_counts": """
+            SELECT user_id, SUM(is_new) AS n_sessions FROM (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 86400
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            ) GROUP BY user_id
         """,
     }

@@ -1,0 +1,107 @@
+"""Relational operators Spark lacks as single built-ins.
+
+- as-of join: for each left row, the latest right row with
+  right_ts <= left_ts per key. Implemented as the scalable union+window
+  pattern (one shuffle on the key, no range explosion): tag sides, union,
+  sort within key by (ts, side), carry the last right value forward with
+  ``last(..., ignorenulls=True)``. This is the standard formulation that
+  survives arbitrarily large sides — no per-key cross product, and the
+  single window shuffle is on the join key.
+- sessionization: assign gap-based session ids per key with a window
+  lag + cumulative sum — the batch analogue of F.session_window, but
+  yielding explicit session ids usable by downstream joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row: columns of the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key (inclusive).
+
+    Rows with no prior right row get nulls. Output: all left columns +
+    ``prefix<right_ts>`` + ``prefix<c>`` for each requested right col.
+    """
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    r_proj = [F.col(right_ts).alias(f"__r_{right_ts}")] + [
+        F.col(c).alias(f"__r_{c}") for c in right_cols
+    ]
+    r_tagged = (
+        right.select(F.col(on), F.col(right_ts).alias("__ts"), *r_proj)
+        .withColumn("__side", F.lit(0))
+    )
+    # align schemas for the union
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in r_tagged.columns:
+        if c not in l_tagged.columns:
+            l_tagged = l_tagged.withColumn(
+                c, F.lit(None).cast(r_tagged.schema[c].dataType)
+            )
+    u = l_tagged.select(*r_tagged.columns).unionByName(
+        r_tagged.select(*r_tagged.columns)
+    )
+    # right rows sort before left rows at equal ts -> inclusive asof
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"__r_{right_ts}", ignorenulls=True).over(w).alias(f"{prefix}{right_ts}")
+    ] + [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in right_cols
+    ]
+    out = u.select(*u.columns, *carried).where(F.col("__side") == 1)
+    drop = ["__side", "__ts", f"__r_{right_ts}"] + [f"__r_{c}" for c in right_cols]
+    return out.drop(*drop)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int = 3600,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based sessions: a new session starts when the time
+    since the previous event of the same key exceeds ``gap_seconds``.
+    Adds ``session_col`` (0-based per key)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    # NTZ timestamps cannot cast straight to long; the LTZ hop shifts both
+    # operands identically so the gap is timezone-invariant
+    epoch = F.col(ts).cast("timestamp_ltz").cast("long")
+    prev = F.lag(epoch).over(w)
+    is_new = (prev.isNull() | (epoch - prev > gap_seconds)).cast("long")
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+
+
+def session_counts(
+    df: DataFrame, key: str, ts: str, gap_seconds: int = 3600
+) -> DataFrame:
+    """Sessions per key: (key, n_sessions)."""
+    s = sessionize(df, key, ts, gap_seconds)
+    return s.groupBy(key).agg(
+        (F.max("session_id") + 1).alias("n_sessions")
+    )
