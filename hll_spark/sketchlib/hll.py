@@ -279,6 +279,12 @@ def _estimate_from_indicator(
         return cfg.m * math.log(cfg.m / number_of_zeroes)
     if estimator <= cfg.large_estimator_cutoff:
         return estimator
+    if estimator >= cfg.two_to_l:
+        # sketch saturated (all registers at max): the correction formula
+        # has no real value. The Go reference silently produces NaN here
+        # (math.Log of a negative, util.go:230-233); we clamp to the
+        # largest representable cardinality instead — documented deviation.
+        return cfg.two_to_l
     # 64-bit adapted large-range correction (util.go:230-233)
     return -1.0 * cfg.two_to_l * math.log(1.0 - estimator / cfg.two_to_l)
 
