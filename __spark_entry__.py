@@ -145,6 +145,17 @@ def q_cms_event_type_counts(spark, sf):
                            alias="est_count")
 
 
+def q_cms_heavy_hitters(spark, sf):
+    # top-3 heaviest event types by CMS estimate (deterministic tie-break);
+    # exact here because width >> domain, so the oracle is plain COUNT(*)
+    counts = q_cms_event_type_counts(spark, sf)
+    return (
+        counts.orderBy(F.desc("est_count"), F.asc("event_type"))
+        .limit(3)
+        .select("event_type", "est_count")
+    )
+
+
 def q_bloom_fk_prefilter(spark, sf):
     li = _t(spark, sf, "lineitem")
     part = _t(spark, sf, "part")
@@ -352,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersect_partkeys": q_hll_intersect_partkeys,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "cms_event_type_counts": q_cms_event_type_counts,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_fk_prefilter": q_bloom_fk_prefilter,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
@@ -412,6 +424,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_fk_prefilter": """
             SELECT COUNT(*) AS n_rows FROM lineitem
+        """,
+        "cms_heavy_hitters": """
+            SELECT event_type, COUNT(*) AS est_count FROM events
+            GROUP BY event_type
+            ORDER BY est_count DESC, event_type ASC LIMIT 3
         """,
         "exact_dedup_documents": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
