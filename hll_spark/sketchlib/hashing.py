@@ -132,10 +132,11 @@ def murmur3_x64_128_low64(values, seed: int = 0) -> np.ndarray:
     import pandas as pd
 
     s = pd.Series(values)
-    if s.dtype == object or pd.api.types.is_string_dtype(s):
-        encoded = s.map(
-            lambda v: v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-        )
+    first = s.iloc[0] if len(s) else ""
+    if isinstance(first, (bytes, bytearray)):
+        encoded = s
+    elif pd.api.types.is_string_dtype(s) or isinstance(first, str):
+        encoded = s.str.encode("utf-8")  # C-level, no per-row Python
     else:
         encoded = s.astype(str).str.encode("utf-8")
     lengths = encoded.str.len().to_numpy()

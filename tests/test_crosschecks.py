@@ -1,0 +1,69 @@
+"""Cross-checks vs Spark's own approximate machinery (SURVEY.md §4.2):
+our HLL vs approx_count_distinct (HLL++) and the DataSketches built-ins —
+different algorithms, so agreement is asserted at bound level only.
+Also: partitioned sink + partition pruning evidence.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hll_spark.operators.agg import hll_distinct
+from hll_spark.sketchlib.hll import HllConfig
+
+
+@pytest.fixture(scope="module")
+def big_ids(spark):
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"id": rng.integers(0, 40_000, size=120_000)})
+    return spark.createDataFrame(pdf), pdf["id"].nunique()
+
+
+def test_vs_approx_count_distinct(spark, big_ids):
+    df, true_n = big_ids
+    ours = hll_distinct(df, "id", cfg=HllConfig(log2m=14, regwidth=5)).collect()[0][
+        "distinct_id"
+    ]
+    spark_est = df.agg(F.approx_count_distinct("id", rsd=0.01).alias("e")).collect()[
+        0
+    ]["e"]
+    bound = 3 * 1.04 / np.sqrt(2**14)
+    assert abs(ours / true_n - 1) <= bound
+    assert abs(spark_est / true_n - 1) <= 0.05
+    assert abs(ours - spark_est) / true_n <= 0.06  # independent algs agree
+
+
+def test_vs_datasketches_hll(spark, big_ids):
+    df, true_n = big_ids
+    try:
+        ds = df.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(14))).alias("e")
+        ).collect()[0]["e"]
+    except Exception:
+        pytest.skip("DataSketches HLL functions unavailable")
+    ours = hll_distinct(df, "id", cfg=HllConfig(log2m=14, regwidth=5)).collect()[0][
+        "distinct_id"
+    ]
+    assert abs(ours - ds) / true_n <= 0.06
+
+
+def test_partitioned_sink_and_pruning(spark, tmp_path):
+    from hll_spark.sources.tables import generate_pages, write_table
+
+    pages = generate_pages(spark, 5000, n_partitions=4)
+    out = str(tmp_path / "pages_by_lang")
+    write_table(pages, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    filtered = back.where(F.col("lang") == "en")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the lang=en predicate becomes a partition filter,
+    # not a data filter — and only the en directory is listed
+    assert "PartitionFilters" in plan and "lang" in plan
+    n_en = filtered.count()
+    assert 0 < n_en < 5000
+    # round-trip preserves the per-row invariant
+    dup = (
+        back.groupBy("url").agg(F.countDistinct("text").alias("n")).where("n > 1")
+    )
+    assert dup.count() == 0
