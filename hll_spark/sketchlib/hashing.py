@@ -122,36 +122,116 @@ def _murmur3_fixed_length(mat: np.ndarray, length: int, seed: int) -> np.ndarray
     return h1
 
 
+def _murmur3_padded_sorted(
+    padded: np.ndarray, lens: np.ndarray, seed: int
+) -> np.ndarray:
+    """Kernel over a zero-padded (n, 16*k) row matrix sorted by length
+    descending. Block b processes the contiguous prefix slice of rows
+    whose length covers block b — no gathers anywhere; the python-level
+    loop count is max(len)//16 regardless of length diversity. The zero
+    padding doubles as the murmur tail padding, so tails need no masks.
+    """
+    n = len(lens)
+    h1 = np.full(n, seed, dtype=np.uint64)
+    h2 = np.full(n, seed, dtype=np.uint64)
+    nblocks = lens // 16
+    max_blocks = int(nblocks[0]) if n else 0
+    lanes_all = padded.view("<u8")  # (n, 2*k) little-endian lanes
+    for b in range(max_blocks):
+        na = int(np.searchsorted(-nblocks, -(b + 1), side="right"))
+        k1 = lanes_all[:na, 2 * b].astype(np.uint64)
+        k2 = lanes_all[:na, 2 * b + 1].astype(np.uint64)
+        k1 *= _C1
+        k1 = _rotl64(k1, 31)
+        k1 *= _C2
+        a1 = h1[:na]
+        a2 = h2[:na]
+        a1 ^= k1
+        a1 = _rotl64(a1, 27)
+        a1 += a2
+        a1 = a1 * _M5 + _A1
+        k2 *= _C2
+        k2 = _rotl64(k2, 33)
+        k2 *= _C1
+        a2 ^= k2
+        a2 = _rotl64(a2, 31)
+        a2 += a1
+        a2 = a2 * _M5 + _A2
+        h1[:na] = a1
+        h2[:na] = a2
+
+    tail_len = lens & 15
+    has_tail = tail_len > 0
+    if has_tail.any():
+        idx = np.nonzero(has_tail)[0]
+        tb = (nblocks[idx] * 2).astype(np.int64)
+        k1 = lanes_all[idx, tb].astype(np.uint64)
+        k2 = lanes_all[idx, tb + 1].astype(np.uint64)
+        long_tail = tail_len[idx] > 8
+        if long_tail.any():
+            k2m = k2.copy()
+            k2m *= _C2
+            k2m = _rotl64(k2m, 33)
+            k2m *= _C1
+            h2[idx] = np.where(long_tail, h2[idx] ^ k2m, h2[idx])
+        k1 *= _C1
+        k1 = _rotl64(k1, 31)
+        k1 *= _C2
+        h1[idx] ^= k1
+
+    lens64 = lens.astype(np.uint64)
+    h1 ^= lens64
+    h2 ^= lens64
+    h1 += h2
+    h2 += h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 += h2
+    return h1
+
+
 def murmur3_x64_128_low64(values, seed: int = 0) -> np.ndarray:
     """Low 64 bits of MurmurHash3 x64-128 over str/bytes values.
 
     ``values``: a pandas Series or sequence of str/bytes. Returns uint64.
-    Vectorization: rows are bucketed by encoded byte length; each bucket
-    is hashed as a contiguous (n, L) uint8 matrix.
+    Vectorization: rows sorted by byte length, packed into one zero-padded
+    matrix with per-length C-level copies, then hashed block-column by
+    block-column over shrinking contiguous prefixes — no per-row Python
+    and no fancy gathers in the hot loop.
     """
     import pandas as pd
 
     s = pd.Series(values)
-    first = s.iloc[0] if len(s) else ""
+    n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    first = s.iloc[0]
     if isinstance(first, (bytes, bytearray)):
         encoded = s
     elif pd.api.types.is_string_dtype(s) or isinstance(first, str):
         encoded = s.str.encode("utf-8")  # C-level, no per-row Python
     else:
         encoded = s.astype(str).str.encode("utf-8")
-    lengths = encoded.str.len().to_numpy()
-    out = np.zeros(len(s), dtype=np.uint64)
-    for length in np.unique(lengths):
-        idx = np.nonzero(lengths == length)[0]
-        if length == 0:
-            chunk_hash = _murmur3_fixed_length(
-                np.zeros((len(idx), 0), dtype=np.uint8), 0, seed
+    lengths = encoded.str.len().to_numpy(dtype=np.int64)
+    order = np.argsort(-lengths, kind="stable")
+    lens = lengths[order]
+    max16 = max(16, int(-(-int(lens[0]) // 16) * 16)) if int(lens[0]) else 16
+    padded = np.zeros((n, max16), dtype=np.uint8)
+    enc_np = encoded.to_numpy()
+    # equal lengths are adjacent after the sort: one contiguous reshape
+    # assignment per distinct length (C memcpy, no per-row work)
+    pos = 0
+    while pos < n:
+        length = int(lens[pos])
+        end = int(np.searchsorted(-lens, -length, side="right"))
+        if length > 0:
+            blob = b"".join(enc_np[order[pos:end]])
+            padded[pos:end, :length] = np.frombuffer(blob, dtype=np.uint8).reshape(
+                end - pos, length
             )
-        else:
-            blob = b"".join(encoded.iloc[idx])
-            mat = np.frombuffer(blob, dtype=np.uint8).reshape(len(idx), length)
-            chunk_hash = _murmur3_fixed_length(mat, int(length), seed)
-        out[idx] = chunk_hash
+        pos = end
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = _murmur3_padded_sorted(padded, lens, seed)
     return out
 
 
