@@ -205,6 +205,16 @@ def murmur3_x64_128_low64(values, seed: int = 0) -> np.ndarray:
     n = len(s)
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
+    # bound the padded-matrix working set: large fresh allocations fault
+    # pages in the kernel, which serializes under multi-worker load
+    _CHUNK = 16384
+    if n > _CHUNK:
+        return np.concatenate(
+            [
+                murmur3_x64_128_low64(s.iloc[i : i + _CHUNK], seed)
+                for i in range(0, n, _CHUNK)
+            ]
+        )
     first = s.iloc[0]
     if isinstance(first, (bytes, bytearray)):
         encoded = s
