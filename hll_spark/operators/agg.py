@@ -179,9 +179,25 @@ def sketch_partials(
         + [StructField("sketch", BinaryType()), StructField("rows_seen", LongType())]
     )
 
+    # bound the per-partition combine map: beyond this many concurrent
+    # groups, flush partials early (the merge stage unions duplicates, so
+    # multiple blobs per (partition, group) stay correct) — keeps worker
+    # memory O(max_groups * sketch_size) at any group cardinality
+    max_groups = 65536
+
     def build_grouped(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict[tuple, Any] = {}
         counts: dict[tuple, int] = {}
+
+        def flush() -> pd.DataFrame:
+            keys = list(states)
+            data = {k: [key[i] for key in keys] for i, k in enumerate(by)}
+            data["sketch"] = [spec.to_bytes_fn(states[k]) for k in keys]
+            data["rows_seen"] = [counts[k] for k in keys]
+            states.clear()
+            counts.clear()
+            return pd.DataFrame(data)
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -194,13 +210,10 @@ def sketch_partials(
                 else:
                     states[key] = spec.update_fn(spec.zero_fn(), vals)
                     counts[key] = len(idx)
-        if not states:
-            return  # empty partition: emit nothing
-        keys = list(states)
-        data = {k: [key[i] for key in keys] for i, k in enumerate(by)}
-        data["sketch"] = [spec.to_bytes_fn(states[k]) for k in keys]
-        data["rows_seen"] = [counts[k] for k in keys]
-        yield pd.DataFrame(data)
+            if len(states) > max_groups:
+                yield flush()
+        if states:
+            yield flush()
 
     return proj.mapInPandas(build_grouped, out_schema)
 
