@@ -163,6 +163,14 @@ def q_bloom_fk_prefilter(spark, sf):
     return kept.agg(F.count("*").alias("n_rows"))
 
 
+def q_hll_distinct_order_part_pairs(spark, sf):
+    # composite-key distinct: COUNT(DISTINCT (l_orderkey, l_partkey))
+    return hll_distinct(
+        _t(spark, sf, "lineitem"), ["l_orderkey", "l_partkey"],
+        cfg=EXACT_CFG, alias="distinct_pairs",
+    )
+
+
 def q_kll_quantiles_price(spark, sf):
     return kll_quantiles(_t(spark, sf, "lineitem"), "l_extendedprice",
                          [0.1, 0.5, 0.9])
@@ -365,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_type_counts": q_cms_event_type_counts,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_fk_prefilter": q_bloom_fk_prefilter,
+        "hll_distinct_order_part_pairs": q_hll_distinct_order_part_pairs,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         # dedup / similarity
@@ -424,6 +433,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_fk_prefilter": """
             SELECT COUNT(*) AS n_rows FROM lineitem
+        """,
+        "hll_distinct_order_part_pairs": """
+            SELECT COUNT(DISTINCT (l_orderkey, l_partkey)) AS distinct_pairs
+            FROM lineitem
         """,
         "cms_heavy_hitters": """
             SELECT event_type, COUNT(*) AS est_count FROM events

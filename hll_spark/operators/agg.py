@@ -92,16 +92,37 @@ def hll_spec(cfg: HllConfig | None = None) -> SketchSpec:
 # projection helpers
 
 
-def _value_expr(df: DataFrame, col: str, hash_mode: str | None):
+def _value_expr(df: DataFrame, col, hash_mode: str | None):
     """Column projected into the Python worker.
 
     'xxhash64' hashes JVM-side (whole-stage codegen) so Python only ever
     sees int64; 'murmur3' ships the raw column and hashes vectorized in
     numpy; None ships the raw column unhashed (quantile sketches).
+    ``col`` may be a list of columns for composite-key distinct
+    (COUNT(DISTINCT a, b, ...)) — xxhash64 hashes the tuple JVM-side;
+    murmur3 hashes a NUL-separated concatenation.
     """
+    if isinstance(col, (list, tuple)):
+        if hash_mode == "xxhash64":
+            return F.xxhash64(*[F.col(c) for c in col]).alias("__v")
+        sep = F.lit("\x00")
+        parts: list = []
+        for c in col:
+            parts.append(F.col(c).cast("string"))
+            parts.append(sep)
+        return F.concat(*parts[:-1]).alias("__v")
     if hash_mode == "xxhash64":
         return F.xxhash64(F.col(col)).alias("__v")
     return F.col(col).alias("__v")
+
+
+def _not_null_cond(col):
+    if isinstance(col, (list, tuple)):
+        cond = F.col(col[0]).isNotNull()
+        for c in col[1:]:
+            cond = cond & F.col(c).isNotNull()
+        return cond
+    return F.col(col).isNotNull()
 
 
 def _batch_values(pdf: pd.DataFrame, hash_mode: str | None) -> np.ndarray:
@@ -134,14 +155,15 @@ def sketch_partials(
     Grouped output: ``*by, sketch binary, rows_seen long``.
     """
     by = list(by or [])
+    salt_cols = list(col) if isinstance(col, (list, tuple)) else [col]
     if salt_partitions:
         # explicit salted repartition for skewed keys: spreads one hot key
         # across salt_partitions partitions; partials re-merge in level 1
         df = df.repartition(
             salt_partitions,
-            F.xxhash64(F.col(col), F.lit(DEFAULT_SALT_SEED)),
+            F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(DEFAULT_SALT_SEED)),
         )
-    proj = df.where(F.col(col).isNotNull()).select(
+    proj = df.where(_not_null_cond(col)).select(
         *by, _value_expr(df, col, hash_mode)
     )
 
@@ -345,7 +367,10 @@ def hll_distinct(
     tier (cfg.explicit_threshold); within 1.04/sqrt(2^log2m) relative
     error otherwise. Result column: ``alias`` or ``distinct_<col>``.
     """
-    alias = alias or f"distinct_{col}"
+    alias = alias or (
+        "distinct_" + "_".join(col) if isinstance(col, (list, tuple))
+        else f"distinct_{col}"
+    )
     sketches = hll_sketch_agg(
         df, col, by, cfg, hash_mode, merge_buckets, salt_partitions
     )

@@ -36,10 +36,16 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("hll-flagship").getOrCreate()
-    if args.input.endswith(".parquet") or "/" in args.input:
-        df = spark.read.parquet(args.input)
-    else:
-        df = spark.read.table(args.input)
+    try:
+        # catalog table unless it looks like a filesystem path
+        if "/" in args.input or args.input.endswith(".parquet"):
+            df = spark.read.parquet(args.input)
+        else:
+            df = spark.read.table(args.input)
+    except Exception as exc:  # one-line operator-facing error
+        print(f"error: cannot read input '{args.input}': {exc}", flush=True)
+        spark.stop()
+        raise SystemExit(2)
 
     cfg = HllConfig(log2m=args.log2m, regwidth=args.regwidth)
     store = CheckpointStore(spark, args.checkpoint)
