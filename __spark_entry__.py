@@ -40,6 +40,7 @@ from hll_spark.operators.dedup import (  # noqa: E402
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     simhash_pairs,
 )
 from hll_spark.operators.multimodal import extract_media_features  # noqa: E402
@@ -47,6 +48,7 @@ from hll_spark.operators.relational import asof_join, session_counts  # noqa: E4
 from hll_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     ivf_ann_topk,
+    lsh_ann_topk,
 )
 from hll_spark.operators.sketches import (  # noqa: E402
     bloom_filter_join,
@@ -164,10 +166,15 @@ def q_bloom_fk_prefilter(spark, sf):
 
 
 def q_hll_distinct_order_part_pairs(spark, sf):
-    # composite-key distinct: COUNT(DISTINCT (l_orderkey, l_partkey))
+    # composite-key distinct: COUNT(DISTINCT (l_orderkey, l_partkey)).
+    # The mod-16 orderkey slice keeps the distinct count below the
+    # EXPLICIT exactness cap (131072, hll.go:40) at every driver scale
+    # factor (sf0.1 unfiltered has ~600k pairs and would silently leave
+    # the exact tier) — the probabilistic tier is exercised by the
+    # flagship + pytest bound tests instead.
+    li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") % 16 == 0)
     return hll_distinct(
-        _t(spark, sf, "lineitem"), ["l_orderkey", "l_partkey"],
-        cfg=EXACT_CFG, alias="distinct_pairs",
+        li, ["l_orderkey", "l_partkey"], cfg=EXACT_CFG, alias="distinct_pairs",
     )
 
 
@@ -226,6 +233,23 @@ def q_minhash_pairs_documents(spark, sf):
 def q_simhash_pairs_documents(spark, sf):
     docs = _t(spark, sf, "documents")
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    # EXACT word-3-gram Jaccard near-dup pairs — oracle-checkable
+    # (dedup.py ngram_jaccard_pairs; the MinHash query is the scale path)
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def q_lsh_ann_top3(spark, sf):
+    # multi-probe random-hyperplane LSH ANN — rows-only (recall < 1 by
+    # construction; recall-vs-brute-force asserted in pytest)
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_ann_topk(emb, queries, k=3, n_planes=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_top3": q_ivf_ann_top3,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "lsh_ann_top3": q_lsh_ann_top3,
         # text / multimodal
         "token_counts_documents": q_token_counts_documents,
         "text_quality_documents": q_text_quality_documents,
@@ -436,7 +462,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct_order_part_pairs": """
             SELECT COUNT(DISTINCT (l_orderkey, l_partkey)) AS distinct_pairs
-            FROM lineitem
+            FROM lineitem WHERE l_orderkey % 16 = 0
         """,
         "cms_heavy_hitters": """
             SELECT event_type, COUNT(*) AS est_count FROM events
@@ -466,6 +492,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a CROSS JOIN embeddings b
                 WHERE a.vec_id < 5
             ) WHERE rank <= 3
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                FROM toks, LATERAL UNNEST(range(1, len(t) - 1)) AS u(i)
+                WHERE len(t) >= 3
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(t, ' ') AS g
+                FROM toks WHERE len(t) < 3
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
         """,
         "token_counts_documents": r"""
             SELECT doc_id,
@@ -538,7 +590,7 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "session_counts": """
-            SELECT user_id, SUM(is_new) AS n_sessions FROM (
+            SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions FROM (
                 SELECT user_id,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 86400

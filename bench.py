@@ -34,7 +34,7 @@ PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "16000000"))
 PAGES_PATH = os.path.join(REPO, "_bench_cache", f"pages_{PAGES_ROWS}")
 
 
-def make_spark(cpus: int, shuffle_partitions: int | None = None):
+def make_spark(cpus: int, shuffle_partitions: int | None = None, ui: bool = False):
     from pyspark.sql import SparkSession
 
     return (
@@ -44,11 +44,33 @@ def make_spark(cpus: int, shuffle_partitions: int | None = None):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
-        .config("spark.ui.enabled", "false")
+        # the UI is enabled only in scaling children, where its REST API
+        # provides the measured scan/shuffle byte volumes
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .getOrCreate()
     )
+
+
+def _io_snapshot(spark) -> dict[str, int]:
+    """Cumulative completed-stage I/O volumes from the UI REST API:
+    parquet scan bytes + shuffle read/write bytes. Subtracting two
+    snapshots isolates one measured region — the evidence behind the
+    'scan-bound, not engine-bound' scaling claim."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        stages = _json.load(r)
+    return {
+        "scan_bytes": sum(s.get("inputBytes", 0) for s in stages),
+        "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    }
 
 
 def ensure_pages(spark, n_rows: int = PAGES_ROWS, path: str = PAGES_PATH) -> str:
@@ -125,15 +147,20 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def scaling_child(cpus: int, shuffle: int) -> None:
-    spark = make_spark(cpus, shuffle)
+    spark = make_spark(cpus, shuffle, ui=True)
     spark.sparkContext.setLogLevel("ERROR")
     path = ensure_pages(spark)
     out = {"cpus": cpus}
     for mode in ("xxhash64", "murmur3"):
         # one warm-up pass (JIT/arrow init), then the measured passes
         flagship_docs_per_sec(spark, path, mode)
+        before = _io_snapshot(spark)
         runs = [flagship_docs_per_sec(spark, path, mode) for _ in range(2)]
+        after = _io_snapshot(spark)
         out[mode] = [r[0] for r in runs]
+        out[f"{mode}_io"] = {
+            k: (after[k] - before[k]) // len(runs) for k in after
+        }
         out["rows"] = runs[0][1]
     print(json.dumps(out))
     spark.stop()
@@ -182,6 +209,12 @@ def run_scaling(rounds: int = 2) -> dict:
             "scaling_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
             f"samples_{lo}": [round(x) for x in mode_lo],
             f"samples_{hi}": [round(x) for x in mode_hi],
+            # measured per-run I/O at each level (UI REST stage metrics):
+            # identical scan bytes + ~zero shuffle at both levels is the
+            # evidence that the flagship is scan/memory-bound, not
+            # shuffle-bound (BENCH/BASELINE.md §2)
+            f"io_{lo}": samples[lo][-1].get(f"{mode}_io"),
+            f"io_{hi}": samples[hi][-1].get(f"{mode}_io"),
         }
     result["scaling_efficiency"] = max(
         result["xxhash64"]["scaling_efficiency"],

@@ -100,17 +100,23 @@ def _value_expr(df: DataFrame, col, hash_mode: str | None):
     numpy; None ships the raw column unhashed (quantile sketches).
     ``col`` may be a list of columns for composite-key distinct
     (COUNT(DISTINCT a, b, ...)) — xxhash64 hashes the tuple JVM-side;
-    murmur3 hashes a NUL-separated concatenation.
+    murmur3 hashes a length-prefixed per-field encoding (``len:value``
+    per field, ``N`` for null), so field boundaries are unambiguous even
+    when values contain the old NUL separator or render identically
+    when adjacent fields are re-split differently.
     """
     if isinstance(col, (list, tuple)):
         if hash_mode == "xxhash64":
             return F.xxhash64(*[F.col(c) for c in col]).alias("__v")
-        sep = F.lit("\x00")
         parts: list = []
         for c in col:
-            parts.append(F.col(c).cast("string"))
-            parts.append(sep)
-        return F.concat(*parts[:-1]).alias("__v")
+            s = F.col(c).cast("string")
+            parts.append(
+                F.when(s.isNull(), F.lit("N")).otherwise(
+                    F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                )
+            )
+        return F.concat(*parts).alias("__v")
     if hash_mode == "xxhash64":
         return F.xxhash64(F.col(col)).alias("__v")
     return F.col(col).alias("__v")

@@ -25,16 +25,40 @@ only — never the n^2 cross join.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, LongType
 
-from ..sketchlib.hashing import murmur3_finalizer_u64, murmur3_x64_128_low64
+from .textkernels import (
+    band_keys_matrix,
+    flat_shingle_hashes,
+    minhash_matrix,
+    simhash_values,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup (JVM-only)
+
+
+def _row_digest(cols: list[str]):
+    """Unambiguous content digest over ``cols``.
+
+    JSON-encoding a named struct length-delimits every field and keeps
+    nulls distinct from empty strings, so ('ab','c') vs ('a','bc') and
+    (x, NULL) vs (x, '') never collide — a bare separator-less concat
+    (and concat_ws, which skips nulls) would merge those groups.
+    """
+    return F.sha2(
+        F.to_json(
+            F.struct(*[F.col(c) for c in cols]),
+            {"ignoreNullFields": "false"},
+        ),
+        256,
+    )
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -43,7 +67,7 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     Pure built-ins: digest + groupBy + semi-join; Catalyst plans a
     partial/final hash aggregate (map-side combine) on the digest.
     """
-    digest = F.sha2(F.concat_ws("", *[F.col(c) for c in cols]), 256)
+    digest = _row_digest(cols)
     keep = (
         df.withColumn("__d", digest)
         .groupBy("__d")
@@ -55,7 +79,7 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
 def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Groups with >1 identical rows: (digest, n_dupes, keeper_id)."""
-    digest = F.sha2(F.concat_ws("", *[F.col(c) for c in cols]), 256)
+    digest = _row_digest(cols)
     return (
         df.withColumn("digest", digest)
         .groupBy("digest")
@@ -71,33 +95,6 @@ def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 # shingling + MinHash signatures (vectorized)
 
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """uint64 hashes of word n-gram shingles."""
-    toks = text.split()
-    if not toks:
-        return np.zeros(0, dtype=np.uint64)
-    if len(toks) < n:
-        grams = [" ".join(toks)]
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return murmur3_x64_128_low64(pd.Series(grams))
-
-
-_SEED_MIX = np.uint64(0x9E3779B97F4A7C15)
-
-
-def _minhash_signature(shingles: np.ndarray, k: int) -> np.ndarray:
-    """k minhash values via k xor-finalizer permutations (vectorized:
-    one (k, n_shingles) matrix min-reduce, no Python loop over shingles)."""
-    if shingles.size == 0:
-        return np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
-    seeds = (np.arange(1, k + 1, dtype=np.uint64) * _SEED_MIX)[:, None]
-    perms = murmur3_finalizer_u64(
-        (shingles[None, :] ^ seeds).reshape(-1)
-    ).reshape(k, -1)
-    return perms.min(axis=1)
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -105,18 +102,12 @@ def minhash_signatures(
     k: int = 128,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, signature array<long>) — one mapInPandas pass."""
+    """(id, signature array<long>) — one batch-flattened pass: tokens
+    hashed once per Arrow batch, segmented min per doc (textkernels)."""
 
     def sig_batch(texts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                _minhash_signature(_shingle_hashes(t or "", shingle_n), k)
-                .view(np.int64)
-                .tolist()
-                for t in texts
-            ],
-            index=texts.index,
-        )
+        sigs = minhash_matrix(texts, k, shingle_n).view(np.int64)
+        return pd.Series(list(sigs), index=texts.index)
 
     sig_udf = pandas_udf(sig_batch, ArrayType(LongType()))
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature"))
@@ -146,15 +137,11 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).cache()
 
     def band_hash_batch(sig: pd.Series) -> pd.Series:
-        out = []
-        for s in sig:
-            arr = np.asarray(s, dtype=np.int64).view(np.uint64).reshape(bands, r)
-            # hash each band's r values into one 64-bit bucket key
-            acc = np.zeros(bands, dtype=np.uint64)
-            for i in range(r):
-                acc = murmur3_finalizer_u64(acc ^ arr[:, i])
-            out.append(acc.view(np.int64).tolist())
-        return pd.Series(out, index=sig.index)
+        mat = np.vstack(
+            [np.asarray(s, dtype=np.int64) for s in sig]
+        ).view(np.uint64)
+        keys = band_keys_matrix(mat, bands, r)  # (ndocs, bands) int64
+        return pd.Series(list(keys), index=sig.index)
 
     bands_udf = pandas_udf(band_hash_batch, ArrayType(LongType()))
     banded = sigs.select(
@@ -184,14 +171,11 @@ def minhash_lsh_pairs(
 
     @pandas_udf(DoubleType())
     def jaccard_est(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                float(
-                    (np.asarray(x, dtype=np.int64) == np.asarray(y, dtype=np.int64)).mean()
-                )
-                for x, y in zip(sa, sb)
-            ]
-        )
+        if not len(sa):
+            return pd.Series(np.zeros(0))
+        ma = np.vstack([np.asarray(x, dtype=np.int64) for x in sa])
+        mb = np.vstack([np.asarray(y, dtype=np.int64) for y in sb])
+        return pd.Series((ma == mb).mean(axis=1), index=sa.index)
 
     return (
         candidates.join(sig_a, "id_a")
@@ -218,13 +202,10 @@ def ngram_jaccard_pairs(
     """
 
     def shingles_batch(texts: pd.Series) -> pd.Series:
+        sh, n_sh = flat_shingle_hashes(texts, shingle_n)
+        cuts = np.cumsum(n_sh)[:-1]
         return pd.Series(
-            [
-                np.unique(_shingle_hashes(t or "", shingle_n))
-                .view(np.int64)
-                .tolist()
-                for t in texts
-            ],
+            [np.unique(seg).view(np.int64) for seg in np.split(sh, cuts)],
             index=texts.index,
         )
 
@@ -270,21 +251,9 @@ def ngram_jaccard_pairs(
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split()
-        if not toks:
-            continue
-        h = murmur3_x64_128_low64(pd.Series(toks))
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        acc = (2 * bits - 1).sum(axis=0)  # +1/-1 votes per bit position
-        val = 0
-        for bpos in np.nonzero(acc > 0)[0].tolist():
-            val |= 1 << bpos
-        out[i] = val - (1 << 64) if val >= (1 << 63) else val
-    return pd.Series(out, index=texts.index)
+    """Per-bit majority vote over token hashes — batch-flattened
+    (one murmur call + segmented bit-count sums; textkernels)."""
+    return pd.Series(simhash_values(texts), index=texts.index)
 
 
 def simhash_udf():
@@ -353,18 +322,119 @@ def simhash_pairs(
 # embedding cosine near-dup
 
 
+def _band_bucket_udf(dim: int, n_bands: int, n_planes: int, seed: int):
+    """array<long> of ``n_bands`` bucket keys per vector: each band packs
+    the sign bits of ``n_planes`` random-hyperplane projections. One
+    matmul per Arrow batch — no per-row Python."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * n_planes, dim))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes.T) > 0  # (n, n_bands*n_planes)
+        packed = (
+            signs.reshape(len(mat), n_bands, n_planes).astype(np.int64) * weights
+        ).sum(axis=2)
+        return pd.Series(packed.tolist(), index=vecs.index)
+
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    return _pudf(bucket, ArrayType(LongType()))
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
+    n_bands: int | None = None,
+    n_planes: int | None = None,
+    seed: int = 1234,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine(vec_a, vec_b) >= threshold.
+    """Pairs with cosine(vec_a, vec_b) >= threshold, via banded
+    random-hyperplane LSH + exact in-bucket cosine.
 
-    Exact variant (JVM-side arithmetic via F.aggregate/zip_with over the
-    normalized vectors after a range self-join). At scale, pre-bucket
-    with the LSH projections in similarity.py; here correctness-first.
+    Plan: one vectorized pass computes ``n_bands`` sign-bit bucket keys
+    per vector; candidates come from an equality self-join on
+    (band_id, bucket) — never a cross join — then the exact JVM-side
+    cosine (zip_with/aggregate) runs on candidate pairs only.
+
+    Two vectors at cosine s collide in one band of r planes with prob
+    p^r, p = 1 - acos(s)/pi. When n_bands/n_planes are omitted they are
+    tuned from ``threshold`` for a per-pair miss probability <= 1e-6 at
+    the threshold itself: r is the largest plane count keeping p^r >=
+    0.17 (so bands stay selective), then b = ceil(ln 1e-6 / ln(1-p^r)).
+    High thresholds (the real near-dup regime, s >= 0.9) get fine
+    buckets (r >= 12) and stay sub-quadratic at scale; loose thresholds
+    get coarser buckets — inherent to hyperplane LSH, not a plan flaw.
+    The all-pairs exact form lives in ``embedding_dup_pairs_allpairs``
+    as the small-scale oracle.
     """
+    if n_planes is None or n_bands is None:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        r = n_planes if n_planes is not None else max(
+            1, min(32, int(math.floor(math.log(0.17) / math.log(p))))
+        )
+        per_band = p**r
+        n_bands = n_bands if n_bands is not None else max(
+            1, min(96, int(math.ceil(math.log(1e-6) / math.log(1.0 - per_band))))
+        )
+        n_planes = r
+    if dim is None:
+        # Spark array types don't carry a fixed length; one 1-row lookup
+        # at plan-build time. Pass dim explicitly to avoid it.
+        dim = len(df.select(vec_col).head()[0])
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x / norm).alias("unit"),
+    )
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            _band_bucket_udf(dim, n_bands, n_planes, seed)(F.col(vec_col))
+        ).alias("band_id", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ua = unit.select(F.col(id_col).alias("id_a"), F.col("unit").alias("unit_a"))
+    ub = unit.select(F.col(id_col).alias("id_b"), F.col("unit").alias("unit_b"))
+    dot = F.aggregate(
+        F.zip_with("unit_a", "unit_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        candidates.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cosine", F.round(dot, 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_dup_pairs_allpairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All-pairs exact variant — O(n^2); small-scale oracle cross-check
+    for :func:`embedding_dup_pairs` only, never the at-scale path."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = df.select(
         F.col(id_col),

@@ -32,26 +32,33 @@ def asof_join(
 
     Rows with no prior right row get nulls. Output: all left columns +
     ``prefix<right_ts>`` + ``prefix<c>`` for each requested right col.
+
+    All requested right columns are carried as ONE struct through a
+    single ``last(ignorenulls)`` — carrying each column independently
+    would back-fill a NULL field of the latest right row from an older
+    right row, mixing values of different rows into one output row.
+    Right rows with a NULL ``right_ts`` are not matchable and are
+    dropped up front.
     """
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
-    r_proj = [F.col(right_ts).alias(f"__r_{right_ts}")] + [
-        F.col(c).alias(f"__r_{c}") for c in right_cols
-    ]
+    carry_fields = [right_ts] + list(right_cols)
     r_tagged = (
-        right.select(F.col(on), F.col(right_ts).alias("__ts"), *r_proj)
+        right.where(F.col(right_ts).isNotNull())
+        .select(
+            F.col(on),
+            F.col(right_ts).alias("__ts"),
+            F.struct(*[F.col(c) for c in carry_fields]).alias("__r"),
+        )
         .withColumn("__side", F.lit(0))
     )
     # align schemas for the union
+    r_struct_type = r_tagged.schema["__r"].dataType
+    l_tagged = l_tagged.withColumn("__r", F.lit(None).cast(r_struct_type))
     for c in left.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    for c in r_tagged.columns:
-        if c not in l_tagged.columns:
-            l_tagged = l_tagged.withColumn(
-                c, F.lit(None).cast(r_tagged.schema[c].dataType)
-            )
     u = l_tagged.select(*r_tagged.columns).unionByName(
         r_tagged.select(*r_tagged.columns)
     )
@@ -61,15 +68,15 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"__r_{right_ts}", ignorenulls=True).over(w).alias(f"{prefix}{right_ts}")
-    ] + [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-        for c in right_cols
-    ]
-    out = u.select(*u.columns, *carried).where(F.col("__side") == 1)
-    drop = ["__side", "__ts", f"__r_{right_ts}"] + [f"__r_{c}" for c in right_cols]
-    return out.drop(*drop)
+    carried = F.last("__r", ignorenulls=True).over(w)
+    out = u.select(
+        *u.columns,
+        *[
+            carried.getField(c).alias(f"{prefix}{c}")
+            for c in carry_fields
+        ],
+    ).where(F.col("__side") == 1)
+    return out.drop("__side", "__ts", "__r")
 
 
 def sessionize(

@@ -158,14 +158,17 @@ def lsh_ann_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 1234,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the query's LSH bucket plus all 1-bit
     neighbor buckets (multi-probe).
 
     The bucket join replaces the full scan; recall < 1 by construction
-    (tested vs brute force). dim is read from the first corpus row.
+    (tested vs brute force). Pass ``dim`` to skip the one-row schema
+    lookup at plan-build time.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).head()[0])
     bucketer = lsh_bucket_udf(dim, n_planes, seed)
     prober = lsh_multiprobe_udf(dim, n_planes, seed)
     c = corpus.withColumn("bucket", bucketer(F.col(vec_col))).select(

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, LongType, StringType
 
-from ..sketchlib.hashing import murmur3_x64_128_low64
+from .textkernels import fingerprint_values
 
 # ---------------------------------------------------------------------------
 # JVM-side column expressions (zero Python in the hot path)
@@ -150,23 +150,14 @@ def detect_language(df: DataFrame, text_col: str = "text", alias: str = "lang_pr
 
 
 def _fingerprint_batch(texts: pd.Series) -> pd.Series:
-    """64-bit document fingerprint: min-of-murmur over 8-gram shingles.
+    """64-bit document fingerprint: min shingle hash over 8-gram windows.
 
     A deterministic content fingerprint robust to chunk boundaries
-    (rolling window), usable as a cheap near-dup pre-key.
+    (rolling window), usable as a cheap near-dup pre-key. Batch-
+    flattened: one murmur call per Arrow batch + segmented min
+    (textkernels) — no per-doc Python loop.
     """
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.split()
-        if len(toks) < 8:
-            shingles = [" ".join(toks)] if toks else [""]
-        else:
-            shingles = [" ".join(toks[j : j + 8]) for j in range(len(toks) - 7)]
-        h = murmur3_x64_128_low64(pd.Series(shingles))
-        out[i] = int(h.min().astype(np.int64))
-    return pd.Series(out, index=texts.index)
+    return pd.Series(fingerprint_values(texts, 8), index=texts.index)
 
 
 def fingerprint_udf():

@@ -12,7 +12,7 @@ Primary use in this engine: distributed join pre-filter — build a Bloom
 over a dimension key column, broadcast the (m/8)-byte bitmap, and filter
 the fact table before the shuffle (SURVEY.md §2.2 joins row).
 
-Serialization: 20-byte header (magic u32, k u32, m_bits u64, n_added u32)
+Serialization: 24-byte header (magic u32, k u32, m_bits u64, n_added u64)
 + packed little-endian bitmap bytes.
 """
 

@@ -10,7 +10,7 @@ Guarantees (tested): estimates never underestimate; overestimate bounded
 by eps*N with probability 1-delta, eps = e/width, delta = e^-depth.
 Merge is elementwise addition — exactly associative and byte-stable.
 
-Serialization: 16-byte header (magic u32, depth u32, width u64) +
+Serialization: 24-byte header (magic u32, depth u32, width u64, n_items u64) +
 row-major little-endian uint64 counters.
 """
 

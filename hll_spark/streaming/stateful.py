@@ -35,6 +35,15 @@ STATE_SCHEMA = StructType(
     [StructField("sketch", BinaryType()), StructField("rows_seen", LongType())]
 )
 
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("sketch", BinaryType()),
+        StructField("rows_seen", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
 
 def streaming_hll_distinct(
     stream_df: DataFrame,
@@ -108,15 +117,177 @@ def windowed_hll_distinct(
     """Tumbling-window distinct counts with a late-data watermark.
 
     Window assignment and watermarking are Spark built-ins; the sketch
-    union inside each (window) group reuses the batch stateful kernel via
-    the same applyInPandasWithState path keyed by window start.
+    union inside each window group reuses the batch kernel. The stateful
+    operator is keyed by the window's (start, end) *timestamps* — not a
+    string cast — and uses ``EventTimeTimeout``: each update arms a
+    timeout at the window end, so once the watermark passes the window
+    (no further rows can be admitted) the state is removed. Per-window
+    state is therefore evicted, not grown without bound, on a
+    long-running stream.
     """
     cfg = cfg or HllConfig()
-    bucketed = (
-        stream_df.withWatermark(ts_col, watermark)
-        .select(
-            F.window(F.col(ts_col), window).start.cast("string").alias("win_start"),
-            F.col(col).alias("v"),
-        )
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("distinct_estimate", LongType()),
+            StructField("rows_seen", LongType()),
+            StructField("sketch", BinaryType()),
+        ]
     )
-    return streaming_hll_distinct(bucketed, "v", "win_start", cfg)
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        win_start, win_end = key
+        if state.hasTimedOut:
+            # watermark passed the window end: no more rows can be
+            # admitted for this window, so the sketch is final — drop it.
+            state.remove()
+            return
+        if state.exists:
+            blob, rows = state.get
+            sketch = HllSketch.from_bytes(bytes(blob))
+        else:
+            sketch, rows = HllSketch.empty(cfg), 0
+        for pdf in batches:
+            sketch.add_hashed(pdf["__h"].to_numpy(np.int64))
+            rows += len(pdf)
+        blob = sketch.to_bytes()
+        state.update((blob, rows))
+        end_ms = int(pd.Timestamp(win_end).value // 1_000_000)
+        # the timeout must sit above the current watermark; windows whose
+        # end already trails the watermark time out on the next trigger
+        state.setTimeoutTimestamp(max(end_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {
+                "key": [str(win_start)],
+                "distinct_estimate": [sketch.estimate()],
+                "rows_seen": [rows],
+                "sketch": [blob],
+            }
+        )
+
+    # The watermark is declared on win_start (the grouping key), the
+    # event-time column that actually reaches the stateful operator.
+    # Since win_start <= ts, the effective late-data allowance is
+    # `watermark` plus at most one window length — never shorter than
+    # requested — and the state timeout below still fires once no row
+    # for the window can be admitted.
+    bucketed = (
+        stream_df.select(
+            F.window(F.col(ts_col), window).alias("__w"),
+            F.xxhash64(F.col(col)).alias("__h"),
+        )
+        .select(
+            F.col("__w.start").alias("win_start"),
+            F.col("__w.end").alias("win_end"),
+            "__h",
+        )
+        .withWatermark("win_start", watermark)
+    )
+    return bucketed.groupBy("win_start", "win_end").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def session_hll_distinct(
+    stream_df: DataFrame,
+    col: str,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+    cfg: HllConfig | None = None,
+) -> DataFrame:
+    """Gap-based session windows with per-session distinct counts.
+
+    A session is a maximal run of a key's events with inter-event gaps
+    <= ``gap_seconds`` (the batch ``sessionize`` semantics, streamed).
+    State per key is ONE open session: (sketch, rows, start, last) —
+    bounded regardless of stream length. A session row is emitted when
+    the session CLOSES: either a later in-gap-violating event arrives,
+    or the event-time watermark passes ``last + gap`` (EventTimeTimeout,
+    which also removes state for idle keys — no unbounded growth).
+    """
+    cfg = cfg or HllConfig()
+    gap_ms = int(gap_seconds) * 1000
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
+            StructField("distinct_estimate", LongType()),
+            StructField("rows_seen", LongType()),
+        ]
+    )
+
+    def _row(key, start_ms, last_ms, sketch, rows):
+        return {
+            "key": str(key[0]),
+            "session_start_ms": int(start_ms),
+            "session_end_ms": int(last_ms),
+            "distinct_estimate": int(sketch.estimate()),
+            "rows_seen": int(rows),
+        }
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            blob, rows, start_ms, last_ms = state.get
+            sketch = HllSketch.from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame([_row(key, start_ms, last_ms, sketch, rows)])
+            return
+        pdf = pd.concat(list(batches)).sort_values("__ts_ms")
+        ts = pdf["__ts_ms"].to_numpy(np.int64)
+        h = pdf["__h"].to_numpy(np.int64)
+        if state.exists:
+            blob, rows, start_ms, last_ms = state.get
+            sketch = HllSketch.from_bytes(bytes(blob))
+        else:
+            sketch, rows, start_ms, last_ms = None, 0, 0, 0
+        closed: list[dict] = []
+        bounds = np.nonzero(np.diff(ts) > gap_ms)[0] + 1
+        for seg in np.split(np.arange(len(ts)), bounds):
+            seg_start, seg_end = int(ts[seg[0]]), int(ts[seg[-1]])
+            if sketch is not None and seg_start - last_ms <= gap_ms:
+                sketch.add_hashed(h[seg])
+                rows += len(seg)
+                last_ms = max(last_ms, seg_end)
+            else:
+                if sketch is not None:
+                    closed.append(_row(key, start_ms, last_ms, sketch, rows))
+                sketch = HllSketch.empty(cfg)
+                sketch.add_hashed(h[seg])
+                rows, start_ms, last_ms = len(seg), seg_start, seg_end
+        state.update((sketch.to_bytes(), rows, start_ms, last_ms))
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(closed)
+
+    prepared = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(ts_col),  # watermarked event-time column must survive
+        (F.col(ts_col).cast("timestamp_ltz").cast("double") * 1000)
+        .cast("long")
+        .alias("__ts_ms"),
+        F.xxhash64(F.col(col)).alias("__h"),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -98,3 +98,68 @@ def test_exact_dedup_on_documents_table(spark, sf_dir):
     kept = exact_dedup(docs, ["text"], "doc_id")
     n_distinct_text = docs.select("text").distinct().count()
     assert kept.count() == n_distinct_text
+
+
+def test_exact_dedup_digest_is_unambiguous(spark):
+    """('ab','c') vs ('a','bc') and (x,NULL) vs (x,'') are DISTINCT rows;
+    a separator-less / null-skipping concat digest would merge them
+    (ADVICE round 1)."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "a": ["ab", "a", "x", "x"],
+            "b": ["c", "bc", None, ""],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = exact_dedup(df, ["a", "b"], "doc_id").toPandas()
+    assert sorted(kept.doc_id) == [1, 2, 3, 4]
+    assert duplicate_groups(df, ["a", "b"], "doc_id").count() == 0
+
+
+def test_embedding_lsh_matches_allpairs_on_table(spark):
+    """The LSH-bucketed pair finder must return exactly the all-pairs
+    result on the embeddings table at sf0.01 — the scale factor the
+    driver's oracle compare runs at (7 pairs in round 1)."""
+    from hll_spark.operators.dedup import embedding_dup_pairs_allpairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # 0.46 is the driver query's threshold (7 pairs at sf0.01)
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_pairs(emb, "embedding", "vec_id", 0.46).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_dup_pairs_allpairs(
+            emb, "embedding", "vec_id", 0.46
+        ).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_embedding_lsh_plan_has_no_cartesian(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = embedding_dup_pairs(emb, "embedding", "vec_id", 0.95)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_50k_scale_smoke(spark):
+    """50k x 64-dim vectors with 25 planted near-dup pairs: the bucketed
+    join must find all of them without an n^2 plan blowing up."""
+    rng = np.random.default_rng(7)
+    n, dim, n_dup = 50_000, 64, 25
+    mat = rng.standard_normal((n, dim)).astype(np.float64)
+    # plant: vec[i+n] (ids n..n+24) = tiny perturbation of vec[i]
+    dup_src = mat[:n_dup]
+    dups = dup_src + rng.standard_normal((n_dup, dim)) * 0.02
+    allm = np.vstack([mat, dups])
+    pdf = pd.DataFrame(
+        {"vec_id": range(n + n_dup), "embedding": list(allm.tolist())}
+    )
+    df = spark.createDataFrame(pdf).repartition(16)
+    pairs = embedding_dup_pairs(df, "embedding", "vec_id", 0.95).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(i, n + i) for i in range(n_dup)}
+    assert planted <= got

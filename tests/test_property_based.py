@@ -30,7 +30,7 @@ def test_serialize_roundtrip_any_params(p, seed, n):
     assert back.estimate() == s.estimate()
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=500, deadline=None)
 @given(
     st.integers(4, 16),
     st.integers(1, 8),
@@ -63,3 +63,33 @@ def test_header_roundtrip_everything(log2m, regwidth, expthresh, sparse_on):
     for kind in (1, 2, 3, 4):
         parsed, k = HllConfig.from_header(cfg.header_bytes(kind))
         assert k == kind and parsed == cfg
+
+
+def test_union_commutes_regression_near_threshold():
+    """Round-1 Hypothesis falsifier: log2m=4, regwidth=4, seed=0, na=1, nb=8.
+
+    The batch EXPLICIT-overflow fast-path used to promote straight to FULL
+    (header 0x14) while the sequential path stayed SPARSE (header 0x13); the
+    promotion decision must use non-zero-register count (hll.go:381-390).
+    """
+    cfg = HllConfig(4, 4)
+    rng = np.random.default_rng(0)
+    va = rng.integers(0, 2**64, size=1, dtype=np.uint64)
+    vb = rng.integers(0, 2**64, size=8, dtype=np.uint64)
+
+    def sk(vals):
+        s = HllSketch.empty(cfg)
+        if len(vals):
+            s.add_hashed(vals)
+        return s
+
+    ab = sk(va).union(sk(vb)).to_bytes()
+    ba = sk(vb).union(sk(va)).to_bytes()
+    both = sk(np.concatenate([va, vb])).to_bytes()
+    assert ab == ba == both
+
+    # batch insert == sequential one-at-a-time insert, byte-for-byte
+    seq = HllSketch.empty(cfg)
+    for v in np.concatenate([va, vb]):
+        seq.add_hashed(np.array([v], dtype=np.uint64))
+    assert seq.to_bytes() == both

@@ -72,3 +72,54 @@ def test_sessionize(spark):
         for r in session_counts(df, "u", "ts", 3600).collect()
     }
     assert counts == {"x": 2, "y": 2}
+
+
+def test_asof_join_carries_whole_row_not_per_column(spark):
+    """A NULL field in the latest matching right row must stay NULL —
+    per-column last(ignorenulls) would back-fill it from an older right
+    row, mixing two right rows into one output (ADVICE round 1)."""
+    quotes = pd.DataFrame(
+        {
+            "sym": ["A", "A"],
+            "qts": pd.to_datetime(["2024-01-01 09:00", "2024-01-01 10:00"]),
+            "bid": [10.0, None],   # latest quote has NULL bid
+            "ask": [11.0, 12.5],
+        }
+    )
+    trades = pd.DataFrame(
+        {
+            "sym": ["A"],
+            "tts": pd.to_datetime(["2024-01-01 10:30"]),
+            "qty": [1],
+        }
+    )
+    out = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["bid", "ask"],
+    ).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert str(row.asof_qts) == "2024-01-01 10:00:00"
+    assert pd.isna(row.asof_bid)      # NOT back-filled to 10.0
+    assert row.asof_ask == 12.5
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    quotes = pd.DataFrame(
+        {
+            "sym": ["A", "A"],
+            "qts": pd.to_datetime(["2024-01-01 09:00", pd.NaT]),
+            "bid": [10.0, 99.0],
+        }
+    )
+    trades = pd.DataFrame(
+        {"sym": ["A"], "tts": pd.to_datetime(["2024-01-01 10:00"]), "qty": [1]}
+    )
+    out = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        on="sym", left_ts="tts", right_ts="qts", right_cols=["bid"],
+    ).toPandas()
+    assert out.iloc[0].asof_bid == 10.0  # the NULL-ts quote never matches

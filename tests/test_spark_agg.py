@@ -149,3 +149,22 @@ def test_union_and_intersect_udfs(spark):
         hll_intersect_udf()(F.col("sa"), F.col("sb")).alias("i")
     ).collect()[0]["i"]
     assert inter == pytest.approx(50, abs=1)
+
+
+def test_composite_murmur3_no_separator_aliasing(spark):
+    """Tuples whose fields re-split identically around the old NUL
+    separator must count as DISTINCT composites (ADVICE round 1):
+    ('a\\x00b','c') vs ('a','b\\x00c') — 2, not 1; plus a field that
+    CONTAINS the separator. Length-prefixed encoding disambiguates."""
+    pdf = pd.DataFrame(
+        {
+            "a": ["a\x00b", "a", "1", "11"],
+            "b": ["c", "b\x00c", "1:", ":1"],
+        }
+    )
+    spark_df = spark.createDataFrame(pdf)
+    cfg = HllConfig(log2m=14, regwidth=5)
+    est = spark_df.transform(
+        lambda d: hll_distinct(d, ["a", "b"], cfg=cfg, hash_mode="murmur3")
+    ).collect()[0][0]
+    assert est == 4

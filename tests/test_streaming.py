@@ -111,3 +111,114 @@ def test_windowed_distinct_with_watermark(spark, tmp_path):
     assert len(got) == len(exact)
     for win, n in exact.items():
         assert got[win] == n, win
+
+
+def test_windowed_state_evicted_after_watermark(spark, tmp_path):
+    """EventTimeTimeout must REMOVE state for windows the watermark has
+    passed: after a 10-day jump in event time, the three old hourly
+    windows' state rows are dropped and only the live window remains."""
+    src = str(tmp_path / "esrc")
+    ck = str(tmp_path / "eck")
+
+    def run_once(pdf):
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, ts timestamp")
+            .parquet(src)
+        )
+        out = windowed_hll_distinct(stream, "user_id", "ts", "1 hour", "2 hours", CFG)
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = [p for p in q.recentProgress if p["stateOperators"]]
+        return progress[-1]["stateOperators"][0]["numRowsTotal"]
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf1 = pd.DataFrame(
+        {
+            "user_id": np.arange(30),
+            "event_type": ["x"] * 30,
+            "ts": base + pd.to_timedelta(np.repeat([0, 1, 2], 10), unit="h"),
+        }
+    )
+    n_state_1 = run_once(pdf1)
+    assert n_state_1 == 3  # three open hourly windows
+
+    pdf2 = pd.DataFrame(
+        {
+            "user_id": [999],
+            "event_type": ["x"],
+            "ts": [base + pd.Timedelta(days=10)],
+        }
+    )
+    n_state_2 = run_once(pdf2)
+    assert n_state_2 < 3, "old window state must be evicted by the watermark"
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    """Gap-based streaming sessions: sessions close when a gap-violating
+    event arrives OR the watermark passes last+gap; distinct counts per
+    session match the batch sessionize ground truth."""
+    from hll_spark.streaming.stateful import session_hll_distinct
+
+    src = str(tmp_path / "ssrc")
+    ck = str(tmp_path / "sck")
+    outd = str(tmp_path / "sout")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # user 7: two sessions (10 events each, gap 3h between), 5 distinct
+    # users... user 8: one session
+    rows = []
+    for u, offsets in [
+        (7, list(range(10)) + [180 + i for i in range(10)]),
+        (8, list(range(5))),
+    ]:
+        for i, m in enumerate(offsets):
+            rows.append((u, i % 5, base + pd.Timedelta(minutes=m)))
+    pdf1 = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    pdf1["event_type"] = pdf1["event_type"].astype(str)
+    spark.createDataFrame(pdf1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, ts timestamp")
+            .parquet(src)
+        )
+        out = session_hll_distinct(
+            stream, "event_type", "user_id", "ts",
+            gap_seconds=3600, watermark="1 hour", cfg=CFG,
+        )
+
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(outd)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: an event far in the future closes everything via watermark
+    pdf2 = pd.DataFrame(
+        {"user_id": [99], "event_type": ["z"], "ts": [base + pd.Timedelta(days=5)]}
+    )
+    spark.createDataFrame(pdf2).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(outd).toPandas()
+    sess = got[got.key.isin(["7", "8"])].sort_values(
+        ["key", "session_start_ms"]
+    )
+    # user 7: 2 sessions of 10 rows / 5 distinct; user 8: 1 session of 5
+    assert [(r.key, r.rows_seen, r.distinct_estimate) for r in sess.itertuples()] == [
+        ("7", 10, 5), ("7", 10, 5), ("8", 5, 5),
+    ]
