@@ -178,6 +178,39 @@ def q_hll_distinct_order_part_pairs(spark, sf):
     )
 
 
+def q_hll_users_salted(spark, sf):
+    # the skew path: pre-combine across 16 salted partitions, then
+    # re-merge — must be value-identical to the unsalted aggregate
+    # (order-insensitive max-merge), so it shares the exact oracle
+    return hll_distinct(
+        _t(spark, sf, "events"), "user_id", cfg=EXACT_CFG,
+        salt_partitions=16, alias="distinct_user_id",
+    )
+
+
+def q_checkpoint_resume_estimate(spark, sf):
+    # durable level-0 checkpoint: first call builds + writes partials,
+    # second call replays from the checkpoint (scan skipped); the
+    # resumed estimate is what this query returns — exact-tier, so the
+    # plain COUNT(DISTINCT) oracle applies to the RESUMED path
+    import tempfile
+
+    from hll_spark.operators.agg import hll_spec
+    from hll_spark.plans.checkpoint import (
+        CheckpointStore,
+        checkpointed_sketch_aggregate,
+    )
+
+    root = tempfile.mkdtemp(prefix="hll_ckpt_query_")
+    store = CheckpointStore(spark, root)
+    spec = hll_spec(EXACT_CFG)
+    events = _t(spark, sf, "events")
+    checkpointed_sketch_aggregate(events, "user_id", spec, store, "drv")
+    resumed = checkpointed_sketch_aggregate(events, "user_id", spec, store, "drv")
+    est = hll_estimate_udf()
+    return resumed.select(est(F.col("sketch")).alias("distinct_user_id"))
+
+
 def q_kll_quantiles_price(spark, sf):
     return kll_quantiles(_t(spark, sf, "lineitem"), "l_extendedprice",
                          [0.1, 0.5, 0.9])
@@ -398,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "bloom_fk_prefilter": q_bloom_fk_prefilter,
         "hll_distinct_order_part_pairs": q_hll_distinct_order_part_pairs,
+        "hll_users_salted": q_hll_users_salted,
+        "checkpoint_resume_estimate": q_checkpoint_resume_estimate,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         # dedup / similarity
@@ -463,6 +498,12 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_order_part_pairs": """
             SELECT COUNT(DISTINCT (l_orderkey, l_partkey)) AS distinct_pairs
             FROM lineitem WHERE l_orderkey % 16 = 0
+        """,
+        "hll_users_salted": """
+            SELECT COUNT(DISTINCT user_id) AS distinct_user_id FROM events
+        """,
+        "checkpoint_resume_estimate": """
+            SELECT COUNT(DISTINCT user_id) AS distinct_user_id FROM events
         """,
         "cms_heavy_hitters": """
             SELECT event_type, COUNT(*) AS est_count FROM events

@@ -134,19 +134,33 @@ def minhash_lsh_pairs(
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).cache()
+    from pyspark.sql.types import StructField, StructType
 
-    def band_hash_batch(sig: pd.Series) -> pd.Series:
-        mat = np.vstack(
-            [np.asarray(s, dtype=np.int64) for s in sig]
-        ).view(np.uint64)
-        keys = band_keys_matrix(mat, bands, r)  # (ndocs, bands) int64
-        return pd.Series(list(keys), index=sig.index)
+    enriched_schema = StructType(
+        [
+            StructField("sig", ArrayType(LongType())),
+            StructField("bk", ArrayType(LongType())),
+        ]
+    )
 
-    bands_udf = pandas_udf(band_hash_batch, ArrayType(LongType()))
-    banded = sigs.select(
+    @pandas_udf(enriched_schema)
+    def sig_and_bands(texts: pd.Series) -> pd.DataFrame:
+        sigs = minhash_matrix(texts, k, shingle_n)
+        keys = band_keys_matrix(sigs, bands, r)
+        return pd.DataFrame(
+            {"sig": list(sigs.view(np.int64)), "bk": list(keys)},
+            index=texts.index,
+        )
+
+    # ONE Python pass computes signatures AND band keys (cached once);
+    # bucket join ships only (band_id, key, id) — signatures rejoin on
+    # the candidate pairs, never through the explode
+    enriched = df.select(
+        F.col(id_col), sig_and_bands(F.col(text_col)).alias("__s")
+    ).cache()
+    banded = enriched.select(
         F.col(id_col),
-        F.posexplode(bands_udf(F.col("signature"))).alias("band_id", "band_hash"),
+        F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -162,25 +176,25 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sig_a = sigs.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    sig_a = enriched.select(
+        F.col(id_col).alias("id_a"), F.col("__s.sig").alias("sig_a")
     )
-    sig_b = sigs.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    sig_b = enriched.select(
+        F.col(id_col).alias("id_b"), F.col("__s.sig").alias("sig_b")
     )
 
-    @pandas_udf(DoubleType())
-    def jaccard_est(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        if not len(sa):
-            return pd.Series(np.zeros(0))
-        ma = np.vstack([np.asarray(x, dtype=np.int64) for x in sa])
-        mb = np.vstack([np.asarray(y, dtype=np.int64) for y in sb])
-        return pd.Series((ma == mb).mean(axis=1), index=sa.index)
-
+    # matching-minhash fraction, fully JVM-side (zip_with/filter/size):
+    # no Python roundtrip on the candidate verify path, and k=128 makes
+    # every fraction exactly representable
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
     return (
         candidates.join(sig_a, "id_a")
         .join(sig_b, "id_b")
-        .withColumn("jaccard_est", jaccard_est(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("jaccard_est", n_match.cast("double") / F.lit(float(k)))
         .where(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )

@@ -190,6 +190,26 @@ def _murmur3_padded_sorted(
     return h1
 
 
+# Reused zero-padded workspace for the string kernel. Fresh 10 MB
+# np.zeros per 16k-row chunk page-faults in this sandbox's kernel and
+# serializes under multi-worker load; one cached buffer per worker
+# process (re-zeroed with a memset, which touches already-mapped pages)
+# avoids that. Width is rounded up to reduce reallocation churn across
+# batches with varying max string length.
+_WORKSPACE: dict[str, np.ndarray] = {}
+
+
+def _padded_workspace(n: int, max16: int) -> np.ndarray:
+    w = ((max16 + 255) // 256) * 256
+    buf = _WORKSPACE.get("buf")
+    if buf is None or buf.shape[0] < n or buf.shape[1] < w:
+        buf = np.zeros((max(n, 16384), w), dtype=np.uint8)
+        _WORKSPACE["buf"] = buf
+    else:
+        buf[:n, :max16] = 0
+    return buf[:n, :max16]
+
+
 def murmur3_x64_128_low64(values, seed: int = 0) -> np.ndarray:
     """Low 64 bits of MurmurHash3 x64-128 over str/bytes values.
 
@@ -226,7 +246,7 @@ def murmur3_x64_128_low64(values, seed: int = 0) -> np.ndarray:
     order = np.argsort(-lengths, kind="stable")
     lens = lengths[order]
     max16 = max(16, int(-(-int(lens[0]) // 16) * 16)) if int(lens[0]) else 16
-    padded = np.zeros((n, max16), dtype=np.uint8)
+    padded = _padded_workspace(n, max16)
     enc_np = encoded.to_numpy()
     # equal lengths are adjacent after the sort: one contiguous reshape
     # assignment per distinct length (C memcpy, no per-row work)

@@ -1,0 +1,94 @@
+"""Plan-quality gates over every driver query (BENCH/BASELINE.md §5).
+
+At 100 TB the plan shape IS the performance model, so these are hard
+assertions, not docs: no query may plan a cartesian/nested-loop join,
+filtered parquet scans must show pushed filters, and single-column
+reads must prune the schema.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plans we gate (skip the ones that pre-collect internally:
+# cms/bloom/ann broadcast a driver-built blob by design, and the sketch
+# union/intersect queries join two ONE-ROW frames where a cross join is
+# the correct plan)
+GATED = [
+    "hll_users_by_event_type",
+    "hll_custkey_by_month",
+    "hll_flagship_distinct_text",
+    "hll_distinct_order_part_pairs",
+    "hll_users_salted",
+    "exact_dedup_documents",
+    "duplicate_groups_documents",
+    "embedding_dup_pairs",
+    "minhash_pairs_documents",
+    "simhash_pairs_documents",
+    "ngram_jaccard_pairs",
+    "token_counts_documents",
+    "text_quality_documents",
+    "lang_id_documents",
+    "fingerprint_documents",
+    "media_metadata_documents",
+    "media_features_documents",
+    "pricing_summary",
+    "join_mktsegment_orders",
+    "window_top_order_per_cust",
+    "customers_without_orders",
+    "rollup_user_counts",
+    "setop_partkeys_except",
+    "asof_last_order",
+    "session_counts",
+]
+
+
+def _plan(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", GATED)
+def test_no_cartesian_or_nested_loop(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = entry_mod._t(spark, SF, "documents")
+    plan = (
+        docs.where(F.col("lang") == "en")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # a 1-column projection must not read the whole documents schema
+    plan = _plan(spark, "token_counts_documents")
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "media" not in read_schema and "lang" not in read_schema
+
+
+def test_whole_stage_codegen_in_relational_queries(spark):
+    # AQE reveals codegen only in the FINAL plan (shown as the "*(n)"
+    # stage-id prefix in the compact string), so execute first
+    for name in ("pricing_summary", "join_mktsegment_orders"):
+        df = entry_mod.queries()[name](spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan and "*(" in plan, name
+
+
+def test_broadcast_join_for_small_dimension(spark):
+    plan = _plan(spark, "join_mktsegment_orders")
+    assert "BroadcastHashJoin" in plan
