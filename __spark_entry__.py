@@ -402,6 +402,33 @@ def q_session_counts(spark, sf):
                           gap_seconds=86400)
 
 
+def q_json_props_stats(spark, sf):
+    # semi-structured extraction: per-type stats over a JSON props
+    # column — get_json_object stays JVM-side (codegen'd path)
+    events = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+    )
+
+
+def q_exact_quantiles_price(spark, sf):
+    # exact group-wise continuous percentiles (the baseline the KLL /
+    # t-digest sketch paths approximate; Spark and DuckDB share the
+    # linear-interpolation definition)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
 def q_rollup_user_counts(spark, sf):
     # grouping-sets coverage: per-type + grand-total distinct users
     events = _t(spark, sf, "events")
@@ -458,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_order_per_cust": q_window_top_order_per_cust,
         "customers_without_orders": q_customers_without_orders,
         "rollup_user_counts": q_rollup_user_counts,
+        "json_props_stats": q_json_props_stats,
+        "exact_quantiles_price": q_exact_quantiles_price,
         "setop_partkeys_except": q_setop_partkeys_except,
         "asof_last_order": q_asof_last_order,
         "session_counts": q_session_counts,
@@ -617,6 +646,22 @@ def oracle_sql() -> dict[str, str]:
         "rollup_user_counts": """
             SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(COUNT(*) FILTER (
+                        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                   ) AS BIGINT) AS n_high
+            FROM events GROUP BY event_type
+        """,
+        "exact_quantiles_price": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem GROUP BY l_returnflag
         """,
         "setop_partkeys_except": """
             SELECT DISTINCT l_partkey FROM lineitem

@@ -76,6 +76,27 @@ def bloom_might_contain_udf(bloom_bytes: bytes):
     return pandas_udf(f, BooleanType())
 
 
+def register_sql_functions(spark) -> None:
+    """Register the scalar sketch surface for ``spark.sql`` use, under
+    the names postgresql-hll users know (README.md Usage section of
+    citusdata/postgresql-hll): ``hll_cardinality``, ``hll_union``,
+    ``hll_hash_text`` — plus this library's text helpers.
+
+    Aggregation (building sketches from rows) intentionally stays on
+    the DataFrame API (``hll_sketch_agg`` / ``hll_distinct``): PySpark
+    cannot register a pandas UDAF for SQL, and the DataFrame scaffold
+    is where the level-0 pre-combine lives. The scalar functions below
+    cover the postgresql-hll-style *query* side: estimating, unioning
+    and intersecting already-built sketch columns from SQL.
+    """
+    spark.udf.register("hll_cardinality", hll_estimate_udf())
+    spark.udf.register("hll_union", hll_union_udf())
+    spark.udf.register("hll_intersect", hll_intersect_udf())
+    spark.udf.register("hll_hash_text", murmur3_64_udf())
+    spark.udf.register("doc_fingerprint", fingerprint_udf())
+    spark.udf.register("lang_id", lang_id_udf())
+
+
 __all__ = [
     "murmur3_64_udf",
     "hll_estimate_udf",
@@ -87,4 +108,5 @@ __all__ = [
     "bloom_might_contain_udf",
     "lang_id_udf",
     "fingerprint_udf",
+    "register_sql_functions",
 ]
