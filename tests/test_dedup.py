@@ -163,3 +163,23 @@ def test_embedding_lsh_50k_scale_smoke(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     planted = {(i, n + i) for i in range(n_dup)}
     assert planted <= got
+
+
+def test_minhash_duplicate_heavy_corpus(spark):
+    """Boilerplate-heavy corpora put all copies of a doc into the SAME
+    band buckets (signatures identical): the operator must still return
+    the full C(n,2) duplicate pair set, and the documented production
+    recipe is exact_dedup FIRST so near-dup LSH runs on representatives
+    (bucket sizes then stay bounded by true near-dup cluster size)."""
+    n_dup = 120
+    texts = ["the same boilerplate page text " * 10] * n_dup + [
+        f"unique doc {i} with its own words {i * 7}" for i in range(200)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf).repartition(8)
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.99).collect()
+    dup_pairs = {(r.id_a, r.id_b) for r in pairs if r.id_a < n_dup and r.id_b < n_dup}
+    assert len(dup_pairs) == n_dup * (n_dup - 1) // 2
+    # and the production recipe: dedup exact first -> representatives only
+    reps = exact_dedup(df, ["text"], "doc_id")
+    assert reps.count() == 1 + 200

@@ -75,3 +75,63 @@ def test_frame_sample_plan(spark, media_df):
     )
     for mid in pdf["media_id"]:
         assert counts[mid] == expected[mid]
+
+
+def _mini_png(w, h):
+    import struct, zlib
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def _mini_gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 6
+
+
+def _mini_bmp(w, h):
+    hdr = bytearray(54)
+    hdr[0:2] = b"BM"
+    hdr[18:22] = w.to_bytes(4, "little")
+    hdr[22:26] = h.to_bytes(4, "little", signed=False)
+    return bytes(hdr)
+
+
+def _mini_jpeg(w, h):
+    import struct
+    sof = struct.pack(">BBHBHHB", 0xFF, 0xC0, 11, 8, h, w, 3)
+    return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+
+
+def _mini_wav(rate, channels, n_samples, bits=16):
+    import struct
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+           + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_parse_media_headers_real_formats(spark):
+    from hll_spark.operators.multimodal import parse_media_headers
+
+    payloads = [
+        _mini_png(640, 480),
+        _mini_gif(320, 200),
+        _mini_bmp(100, 50),
+        _mini_jpeg(1920, 1080),
+        _mini_wav(16000, 2, 16000),  # 1s stereo
+        b"not a media file at all",
+    ]
+    pdf = pd.DataFrame({"media_id": range(6), "payload": payloads})
+    df = spark.createDataFrame(pdf)
+    got = {r.media_id: r for r in parse_media_headers(df).collect()}
+    assert (got[0].format, got[0].width, got[0].height) == ("png", 640, 480)
+    assert (got[1].format, got[1].width, got[1].height) == ("gif", 320, 200)
+    assert (got[2].format, got[2].width, got[2].height) == ("bmp", 100, 50)
+    assert (got[3].format, got[3].width, got[3].height) == ("jpeg", 1920, 1080)
+    assert (got[4].format, got[4].sample_rate, got[4].n_channels,
+            got[4].duration_ms) == ("wav", 16000, 2, 1000)
+    assert got[5].format == "unknown" and got[5].width is None
+    assert all(got[i].n_bytes == len(payloads[i]) for i in range(6))

@@ -93,3 +93,35 @@ def test_union_commutes_regression_near_threshold():
     for v in np.concatenate([va, vb]):
         seq.add_hashed(np.array([v], dtype=np.uint64))
     assert seq.to_bytes() == both
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(4, 16),
+    st.integers(1, 8),
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 400),
+    st.integers(0, 400),
+    st.integers(0, 400),
+)
+def test_union_associates_any_params(log2m, regwidth, seed, na, nb, nc):
+    """union(union(a,b),c) == union(a,union(b,c)) == build(a+b+c),
+    byte-for-byte — the invariant the distributed tree merge and
+    checkpoint resume are built on (north_rule: merge associativity)."""
+    cfg = HllConfig(log2m, regwidth)
+    rng = np.random.default_rng(seed)
+    va, vb, vc = (
+        rng.integers(0, 2**64, size=n, dtype=np.uint64) for n in (na, nb, nc)
+    )
+
+    def sk(vals):
+        s = HllSketch.empty(cfg)
+        if len(vals):
+            s.add_hashed(vals)
+        return s
+
+    left = sk(va).union(sk(vb)).union(sk(vc)).to_bytes()
+    right = sk(va).union(sk(vb).union(sk(vc))).to_bytes()
+    allv = np.concatenate([va, vb, vc])
+    direct = sk(allv).to_bytes()
+    assert left == right == direct
