@@ -178,6 +178,42 @@ def q_hll_distinct_order_part_pairs(spark, sf):
     )
 
 
+def _theta_early_late(spark, sf, k=65536):
+    from hll_spark.operators.sketches import theta_sketch_agg
+
+    li = _t(spark, sf, "lineitem")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    early = theta_sketch_agg(
+        li.where(F.col("l_shipdate") < cut), "l_partkey", k=k
+    ).select(F.col("sketch").alias("sa"))
+    late = theta_sketch_agg(
+        li.where(F.col("l_shipdate") >= cut), "l_partkey", k=k
+    ).select(F.col("sketch").alias("sb"))
+    return early.crossJoin(late)
+
+
+def q_theta_intersect_partkeys(spark, sf):
+    # theta (KMV) DIRECT set intersection — no inclusion-exclusion;
+    # k=65536 keeps both sides exact at every driver scale factor
+    from hll_spark.operators.sketches import theta_intersect_udf
+
+    return _theta_early_late(spark, sf).select(
+        theta_intersect_udf()(F.col("sa"), F.col("sb"))
+        .cast("long")
+        .alias("n_common_partkeys")
+    )
+
+
+def q_theta_except_partkeys(spark, sf):
+    from hll_spark.operators.sketches import theta_difference_udf
+
+    return _theta_early_late(spark, sf).select(
+        theta_difference_udf()(F.col("sa"), F.col("sb"))
+        .cast("long")
+        .alias("n_early_only_partkeys")
+    )
+
+
 def q_hll_users_salted(spark, sf):
     # the skew path: pre-combine across 16 salted partitions, then
     # re-merge — must be value-identical to the unsalted aggregate
@@ -460,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_order_part_pairs": q_hll_distinct_order_part_pairs,
         "hll_users_salted": q_hll_users_salted,
         "checkpoint_resume_estimate": q_checkpoint_resume_estimate,
+        "theta_intersect_partkeys": q_theta_intersect_partkeys,
+        "theta_except_partkeys": q_theta_except_partkeys,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         # dedup / similarity
@@ -530,6 +568,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_users_salted": """
             SELECT COUNT(DISTINCT user_id) AS distinct_user_id FROM events
+        """,
+        "theta_intersect_partkeys": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_common_partkeys FROM (
+                SELECT DISTINCT l_partkey FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1998-06-01'
+                INTERSECT
+                SELECT DISTINCT l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+            )
+        """,
+        "theta_except_partkeys": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_early_only_partkeys FROM (
+                SELECT DISTINCT l_partkey FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1998-06-01'
+                EXCEPT
+                SELECT DISTINCT l_partkey FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+            )
         """,
         "checkpoint_resume_estimate": """
             SELECT COUNT(DISTINCT user_id) AS distinct_user_id FROM events

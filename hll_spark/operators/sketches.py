@@ -222,3 +222,92 @@ def tdigest_quantiles(
     """Approximate quantiles of ``col`` via t-digest (tail-accurate)."""
     sketches = sketch_aggregate(df, col, tdigest_spec(delta), by, hash_mode=None)
     return _quantiles_from_sketch_df(sketches, by, qs, TDigest.from_bytes, "q")
+
+
+# ---------------------------------------------------------------------------
+# theta (KMV) sketch: distinct + DIRECT set-operation estimates
+
+
+def theta_spec(k: int = 4096) -> SketchSpec:
+    from ..sketchlib.theta import ThetaSketch
+
+    def update(state: ThetaSketch, values: np.ndarray) -> ThetaSketch:
+        return state.add_hashed(values)
+
+    return SketchSpec(
+        name="theta",
+        zero_fn=lambda: ThetaSketch(k=k),
+        update_fn=update,
+        merge_fn=lambda a, b: a.union(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=ThetaSketch.from_bytes,
+    )
+
+
+def theta_sketch_agg(
+    df: DataFrame,
+    col: str,
+    k: int = 4096,
+    by: list[str] | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(by..., sketch, rows_seen) theta sketches via the shared
+    two-level scaffold (same partial/merge topology as HLL)."""
+    return sketch_aggregate(df, col, theta_spec(k), by, hash_mode)
+
+
+def theta_estimate_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sketchlib.theta import ThetaSketch
+
+    @pandas_udf(DoubleType())
+    def est(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: ThetaSketch.from_bytes(bytes(b)).estimate_float()
+        )
+
+    return est
+
+
+def theta_intersect_udf():
+    """DIRECT |A∩B| estimate — no inclusion-exclusion: error scales with
+    the intersection, not the union (the analytical gap HLL cannot close)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sketchlib.theta import ThetaSketch
+
+    @pandas_udf(DoubleType())
+    def inter(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                ThetaSketch.from_bytes(bytes(x)).intersect_estimate(
+                    ThetaSketch.from_bytes(bytes(y))
+                )
+                for x, y in zip(a, b)
+            ],
+            index=a.index,
+        )
+
+    return inter
+
+
+def theta_difference_udf():
+    """DIRECT |A \\ B| estimate."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sketchlib.theta import ThetaSketch
+
+    @pandas_udf(DoubleType())
+    def diff(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                ThetaSketch.from_bytes(bytes(x)).difference_estimate(
+                    ThetaSketch.from_bytes(bytes(y))
+                )
+                for x, y in zip(a, b)
+            ],
+            index=a.index,
+        )
+
+    return diff
