@@ -247,6 +247,28 @@ def q_checkpoint_resume_estimate(spark, sf):
     return resumed.select(est(F.col("sketch")).alias("distinct_user_id"))
 
 
+def q_sketch_cube_slice(spark, sf):
+    # sketch cube: one scan materializes per-event_type sketches
+    # partitioned by the dimension; the slice below is answered from
+    # the pruned cube cells alone (raw rows never rescanned) — exact
+    # tier, so the COUNT(DISTINCT) oracle applies to the cube path
+    import tempfile
+
+    from hll_spark.operators.agg import hll_spec
+    from hll_spark.plans.cube import build_sketch_cube, query_sketch_cube
+
+    path = tempfile.mkdtemp(prefix="hll_cube_query_") + "/users_by_type"
+    build_sketch_cube(
+        _t(spark, sf, "events"), "user_id", ["event_type"], path,
+        spec=hll_spec(EXACT_CFG),
+    )
+    est = hll_estimate_udf()
+    return query_sketch_cube(
+        spark, path, spec=hll_spec(EXACT_CFG),
+        where="event_type IN ('click', 'view')",
+    ).select(est(F.col("sketch")).alias("distinct_click_view_users"))
+
+
 def q_kll_quantiles_price(spark, sf):
     return kll_quantiles(_t(spark, sf, "lineitem"), "l_extendedprice",
                          [0.1, 0.5, 0.9])
@@ -498,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_estimate": q_checkpoint_resume_estimate,
         "theta_intersect_partkeys": q_theta_intersect_partkeys,
         "theta_except_partkeys": q_theta_except_partkeys,
+        "sketch_cube_slice": q_sketch_cube_slice,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         # dedup / similarity
@@ -589,6 +612,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "checkpoint_resume_estimate": """
             SELECT COUNT(DISTINCT user_id) AS distinct_user_id FROM events
+        """,
+        "sketch_cube_slice": """
+            SELECT COUNT(DISTINCT user_id) AS distinct_click_view_users
+            FROM events WHERE event_type IN ('click', 'view')
         """,
         "cms_heavy_hitters": """
             SELECT event_type, COUNT(*) AS est_count FROM events

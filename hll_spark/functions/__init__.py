@@ -76,6 +76,26 @@ def bloom_might_contain_udf(bloom_bytes: bytes):
     return pandas_udf(f, BooleanType())
 
 
+def theta_jaccard_udf():
+    """Set Jaccard |A∩B| / |A∪B| straight from two theta sketches —
+    the sketch-level analogue of the document-level MinHash estimate."""
+    from pyspark.sql.types import DoubleType as _D
+
+    from ..sketchlib.theta import ThetaSketch
+
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sa = ThetaSketch.from_bytes(bytes(x))
+            sb = ThetaSketch.from_bytes(bytes(y))
+            inter = sa.intersect_estimate(sb)
+            union = sa.estimate_float() + sb.estimate_float() - inter
+            out.append(inter / union if union > 0 else 0.0)
+        return pd.Series(out, index=a.index)
+
+    return pandas_udf(f, _D())
+
+
 def register_sql_functions(spark) -> None:
     """Register the scalar sketch surface for ``spark.sql`` use, under
     the names postgresql-hll users know (README.md Usage section of
@@ -95,6 +115,16 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("hll_hash_text", murmur3_64_udf())
     spark.udf.register("doc_fingerprint", fingerprint_udf())
     spark.udf.register("lang_id", lang_id_udf())
+    from ..operators.sketches import (
+        theta_difference_udf,
+        theta_estimate_udf,
+        theta_intersect_udf,
+    )
+
+    spark.udf.register("theta_cardinality", theta_estimate_udf())
+    spark.udf.register("theta_intersect", theta_intersect_udf())
+    spark.udf.register("theta_difference", theta_difference_udf())
+    spark.udf.register("theta_jaccard", theta_jaccard_udf())
 
 
 __all__ = [
@@ -109,4 +139,5 @@ __all__ = [
     "lang_id_udf",
     "fingerprint_udf",
     "register_sql_functions",
+    "theta_jaccard_udf",
 ]

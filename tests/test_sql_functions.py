@@ -56,3 +56,27 @@ def test_sql_hash_matches_public_vector(spark, lang_sketches):
     got = spark.sql("SELECT hll_hash_text('hello') AS h").collect()[0].h
     # public murmur3 x64-128 low64 vector (see test_external_golden.py)
     assert got == int(np.uint64(0xCBD8A7B341BD9B02).astype(np.int64))
+
+
+def test_sql_theta_functions(spark, lang_sketches):
+    from hll_spark.operators.sketches import theta_sketch_agg
+
+    pdf = pd.DataFrame(
+        {
+            "grp": ["a"] * 500 + ["b"] * 500,
+            "v": [f"x{i}" for i in range(500)] + [f"x{i}" for i in range(300, 800)],
+        }
+    )  # |a|=500, |b|=500, common=200
+    df = spark.createDataFrame(pdf)
+    theta_sketch_agg(df, "v", k=4096, by=["grp"]).createOrReplaceTempView("tsk")
+    row = spark.sql(
+        """
+        SELECT theta_cardinality(a.sketch) AS ca,
+               theta_intersect(a.sketch, b.sketch) AS i,
+               theta_difference(a.sketch, b.sketch) AS d,
+               theta_jaccard(a.sketch, b.sketch) AS j
+        FROM tsk a JOIN tsk b ON a.grp = 'a' AND b.grp = 'b'
+        """
+    ).collect()[0]
+    assert (row.ca, row.i, row.d) == (500.0, 200.0, 300.0)  # exact tier
+    assert abs(row.j - 200.0 / 800.0) < 1e-9
