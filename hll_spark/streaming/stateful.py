@@ -291,3 +291,32 @@ def session_hll_distinct(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def sink_sketch_table(stream_df: DataFrame, path: str, key_col: str = "key"):
+    """Continuously maintain a durable sketch table from a streaming
+    sketch query (e.g. :func:`streaming_hll_distinct` output).
+
+    The stateful operator emits each key's FULL cumulative sketch every
+    micro-batch, so upsert semantics reduce to "replace the key's row
+    with the newest": foreachBatch writes the batch partitioned by
+    ``key_col`` with DYNAMIC partition overwrite — only the keys
+    touched in this batch are rewritten, every other key's cell is
+    untouched. The resulting table is a queryable sketch cube cell set
+    (estimate with hll_estimate_udf, union slices with
+    plans.cube.query_sketch_cube semantics), always current to the
+    last completed micro-batch.
+
+    Returns a DataStreamWriter; caller adds checkpointLocation/trigger
+    and .start().
+    """
+
+    def upsert(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key_col)
+            .parquet(path)
+        )
+
+    return stream_df.writeStream.foreachBatch(upsert).outputMode("update")

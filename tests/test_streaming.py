@@ -222,3 +222,56 @@ def test_session_windows_streaming(spark, tmp_path):
     assert [(r.key, r.rows_seen, r.distinct_estimate) for r in sess.itertuples()] == [
         ("7", 10, 5), ("7", 10, 5), ("8", 5, 5),
     ]
+
+
+def test_sink_sketch_table_upserts_latest(spark, tmp_path):
+    """Two micro-batch rounds through sink_sketch_table: the durable
+    table must hold exactly ONE row per key, with the cumulative
+    (cross-batch) distinct estimate — dynamic partition overwrite
+    replaces only touched keys."""
+    from hll_spark.operators.agg import hll_estimate_udf
+    from hll_spark.streaming.stateful import sink_sketch_table
+
+    src = str(tmp_path / "tsrc")
+    ck = str(tmp_path / "tck")
+    table = str(tmp_path / "sketch_table")
+
+    def run_once(pdf):
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, ts timestamp")
+            .parquet(src)
+        )
+        out = streaming_hll_distinct(stream, "user_id", "event_type", CFG)
+        q = (
+            sink_sketch_table(out, table)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    base = pd.Timestamp("2024-01-01")
+    pdf1 = pd.DataFrame(
+        {"user_id": np.arange(100), "event_type": ["a"] * 60 + ["b"] * 40,
+         "ts": [base] * 100}
+    )
+    run_once(pdf1)
+    # batch 2: 50 NEW users for 'a' only — 'b' cell must stay intact
+    pdf2 = pd.DataFrame(
+        {"user_id": np.arange(1000, 1050), "event_type": ["a"] * 50,
+         "ts": [base] * 50}
+    )
+    run_once(pdf2)
+
+    est = hll_estimate_udf()
+    rows = (
+        spark.read.parquet(table)
+        .withColumn("n", est("sketch"))
+        .select("key", "n", "rows_seen")
+        .collect()
+    )
+    got = {r.key: (r.n, r.rows_seen) for r in rows}
+    assert len(rows) == 2  # one row per key, not per batch
+    assert got["a"] == (110, 110)  # 60 + 50 cumulative
+    assert got["b"] == (40, 40)
