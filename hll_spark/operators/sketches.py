@@ -104,6 +104,42 @@ def cms_sketch_agg(
     return sketch_aggregate(df, col, cms_spec(depth, width), by, "xxhash64")
 
 
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 2048,
+    max_driver_groups: int = 200_000,
+) -> bytes:
+    """CMS build; returns serialized bytes.
+
+    Scale-aware: the per-value counts are first reduced JVM-side
+    (``groupBy(xxhash64(col)).count()`` — whole-stage codegen, one
+    shuffle of (hash, count) pairs). If the distinct-value count fits
+    under ``max_driver_groups`` (probed via LIMIT), the weighted
+    insert runs once on the driver — bit-identical to n individual
+    adds since CMS updates are pure counter additions. Heavy-domain
+    inputs fall back to the distributed partial/merge build.
+    """
+    grouped = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.xxhash64(F.col(col)).alias("__h"))
+        .count()
+        .limit(max_driver_groups + 1)
+        .toPandas()
+    )
+    if len(grouped) <= max_driver_groups:
+        cms = CountMinSketch(depth, width)
+        cms.add_hashed(
+            grouped["__h"].to_numpy(np.int64),
+            grouped["count"].to_numpy(np.uint64),
+        )
+        return cms.to_bytes()
+    return bytes(
+        cms_sketch_agg(df, col, depth=depth, width=width).collect()[0]["sketch"]
+    )
+
+
 def cms_frequencies(
     df: DataFrame,
     col: str,
@@ -114,11 +150,11 @@ def cms_frequencies(
 ) -> DataFrame:
     """Estimate the frequency of each row of ``items_df[col]``.
 
-    The CMS is built distributed over ``df`` then broadcast (it is a few
-    hundred KB) and probed with a vectorized pandas UDF — the scale-path
+    The CMS is built over ``df`` then broadcast (it is a few hundred
+    KB) and probed with a vectorized pandas UDF — the scale-path
     pattern for "how often does each of these K items occur in 100 TB".
     """
-    blob = bytes(cms_sketch_agg(df, col, depth=depth, width=width).collect()[0]["sketch"])
+    blob = cms_build(df, col, depth, width)
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(blob)
 
@@ -138,9 +174,32 @@ def cms_frequencies(
 
 
 def bloom_build(
-    df: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 7
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    max_driver_keys: int = 1_000_000,
 ) -> bytes:
-    """Distributed Bloom build; returns serialized filter bytes."""
+    """Bloom build; returns serialized filter bytes.
+
+    Scale-aware: when the distinct key count fits under
+    ``max_driver_keys`` (probed with a LIMIT — at most ~8 MB of int64
+    hashes), the keys are collected once and inserted driver-side in
+    one numpy pass, skipping the two-Python-stage distributed scaffold
+    whose fixed latency dwarfs a small dim build. Above the threshold
+    it falls back to the distributed partial/merge build (bitmap OR is
+    exactly associative), which is the right shape for a 10^8-row dim.
+    """
+    probe = (
+        df.select(F.xxhash64(F.col(col)).alias("__h"))
+        .distinct()
+        .limit(max_driver_keys + 1)
+        .toPandas()
+    )
+    if len(probe) <= max_driver_keys:
+        bf = BloomFilter(m_bits, k)
+        bf.add_hashed(probe["__h"].to_numpy(np.int64))
+        return bf.to_bytes()
     row = sketch_aggregate(df, col, bloom_spec(m_bits, k), None, "xxhash64").collect()[0]
     return bytes(row["sketch"])
 

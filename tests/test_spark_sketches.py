@@ -76,3 +76,19 @@ def test_grouped_quantiles(spark, events):
         lo = np.searchsorted(grp_sorted, est, "left") / len(grp)
         hi = np.searchsorted(grp_sorted, est, "right") / len(grp)
         assert max(lo - 0.5, 0.5 - hi, 0.0) <= 0.05
+
+
+def test_small_domain_fast_builds_byte_equal_distributed(spark, sf_dir):
+    """The driver-side small-domain fast paths must produce the SAME
+    bytes as the distributed partial/merge builds (bloom: idempotent
+    bit OR over distinct keys; cms: weighted add == n single adds)."""
+    from hll_spark.operators.sketches import bloom_build, cms_build
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    assert bloom_build(part, "p_partkey") == bloom_build(
+        part, "p_partkey", max_driver_keys=1
+    )
+    assert cms_build(events, "event_type") == cms_build(
+        events, "event_type", max_driver_groups=1
+    )
