@@ -17,7 +17,14 @@ deterministic synthetic web-pages generator (:mod:`hll_spark.sources`).
 """
 
 from .sketchlib.hll import HllConfig, HllSketch
+from .sketchlib.theta import ThetaSketch
 from .operators.agg import hll_distinct, hll_sketch_agg
 
-__all__ = ["HllConfig", "HllSketch", "hll_distinct", "hll_sketch_agg"]
-__version__ = "0.1.0"
+__all__ = [
+    "HllConfig",
+    "HllSketch",
+    "ThetaSketch",
+    "hll_distinct",
+    "hll_sketch_agg",
+]
+__version__ = "0.2.0"

@@ -200,3 +200,25 @@ def write_table(df: DataFrame, path_or_table: str, partition_by: list[str] | Non
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path_or_table)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    n_buckets: int = 64,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Save as a BUCKETED managed table (hash-bucketed on the join key).
+
+    At 100 TB this is how the big fact-fact joins stop shuffling: two
+    tables bucketed (and optionally sorted) on the same key with the
+    same bucket count sort-merge-join with NO Exchange on either side —
+    the co-location is established once at write time and reused by
+    every subsequent join/aggregation on that key (asserted by
+    tests/test_bucketed_join.py on the physical plan).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
