@@ -487,6 +487,19 @@ def q_exact_quantiles_price(spark, sf):
     )
 
 
+def q_consistent_sample_events(spark, sf):
+    # deterministic hash-based sampling (join-stable across tables);
+    # xxhash64 is not reproducible in DuckDB, so registered rows-only —
+    # determinism/consistency/nesting are pytest-asserted
+    from hll_spark.operators.relational import consistent_sample
+
+    ev = consistent_sample(_t(spark, sf, "events"), "user_id", 0.1)
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_rollup_user_counts(spark, sf):
     # grouping-sets coverage: per-type + grand-total distinct users
     events = _t(spark, sf, "events")
@@ -547,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "rollup_user_counts": q_rollup_user_counts,
         "json_props_stats": q_json_props_stats,
+        "consistent_sample_events": q_consistent_sample_events,
         "exact_quantiles_price": q_exact_quantiles_price,
         "setop_partkeys_except": q_setop_partkeys_except,
         "asof_last_order": q_asof_last_order,

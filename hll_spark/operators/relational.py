@@ -112,3 +112,25 @@ def session_counts(
     return s.groupBy(key).agg(
         (F.max("session_id") + 1).alias("n_sessions")
     )
+
+
+def consistent_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic hash-based sample: keep a row iff
+    ``hash(key) mod 2^20 < fraction * 2^20``.
+
+    Unlike ``df.sample`` this is a pure function of the KEY, so it is
+    (a) reproducible across runs/partitionings, and (b) CONSISTENT
+    across tables: sampling users at 1% here and events by the same
+    user key there yields the complete event history for exactly the
+    sampled users — the property training-data subsampling needs.
+    Fully JVM-side (xxhash64 + comparison, whole-stage codegen).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(1 << 20))
+    return df.where(bucket < int(fraction * (1 << 20)))

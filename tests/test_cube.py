@@ -81,3 +81,32 @@ def test_cube_answers_without_raw_data(spark, cube):
     }
     exact = pdf.groupby("day")["user_id"].nunique().to_dict()
     assert per_day == exact
+
+
+def test_cube_is_sketch_generic_theta(spark, tmp_path):
+    """The cube works with ANY SketchSpec: theta cells support slice
+    estimates AND direct cross-slice set operations."""
+    from hll_spark.operators.sketches import theta_intersect_udf, theta_spec
+    from hll_spark.sketchlib.theta import ThetaSketch
+
+    pdf = pd.DataFrame(
+        {
+            "day": ["d1"] * 1000 + ["d2"] * 1000,
+            "user_id": list(range(1000)) + list(range(500, 1500)),
+        }
+    )
+    path = str(tmp_path / "theta_cube")
+    build_sketch_cube(
+        spark.createDataFrame(pdf), "user_id", ["day"], path,
+        spec=theta_spec(k=4096),
+    )
+    cells = query_sketch_cube(spark, path, spec=theta_spec(k=4096), group_by=["day"])
+    cells.createOrReplaceTempView("tc")
+    inter = theta_intersect_udf()
+    row = (
+        spark.sql("SELECT a.sketch AS sa, b.sketch AS sb FROM tc a JOIN tc b "
+                  "ON a.day = 'd1' AND b.day = 'd2'")
+        .select(inter(F.col("sa"), F.col("sb")).alias("retained"))
+        .collect()[0]
+    )
+    assert row.retained == 500.0  # users active BOTH days, exact tier

@@ -123,3 +123,30 @@ def test_asof_join_ignores_null_right_ts(spark):
         on="sym", left_ts="tts", right_ts="qts", right_cols=["bid"],
     ).toPandas()
     assert out.iloc[0].asof_bid == 10.0  # the NULL-ts quote never matches
+
+
+def test_consistent_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from hll_spark.operators.relational import consistent_sample
+
+    users = spark.range(0, 50_000).withColumnRenamed("id", "user_id")
+    events = (
+        spark.range(0, 200_000)
+        .withColumn("user_id", (F.col("id") % 50_000))
+        .withColumnRenamed("id", "event_id")
+    )
+    su = consistent_sample(users, "user_id", 0.1)
+    n = su.count()
+    assert abs(n / 50_000 - 0.1) < 0.01  # fraction accuracy
+    # determinism across partitionings
+    n2 = consistent_sample(users.repartition(17), "user_id", 0.1).count()
+    assert n2 == n
+    # cross-table consistency: sampled events' users == sampled users
+    se = consistent_sample(events, "user_id", 0.1)
+    assert se.count() == 4 * n  # each user has exactly 4 events
+    diff = se.select("user_id").distinct().exceptAll(su.select("user_id"))
+    assert diff.count() == 0
+    # nesting: a 5% sample is a subset of the 10% sample (same seed)
+    s5 = consistent_sample(users, "user_id", 0.05)
+    assert s5.exceptAll(su).count() == 0
