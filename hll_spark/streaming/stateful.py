@@ -307,6 +307,13 @@ def sink_sketch_table(stream_df: DataFrame, path: str, key_col: str = "key"):
     plans.cube.query_sketch_cube semantics), always current to the
     last completed micro-batch.
 
+    Scale note: one partition directory per key is the right shape for
+    BOUNDED key cardinality (event types, langs, windows, tenants —
+    the usual sketch-table grain). For millions of keys, plain parquet
+    cannot read-modify-overwrite a shared bucket atomically; use an
+    Iceberg/Delta MERGE sink there (the emitted frame is already in
+    upsert form), or append-log + periodic compaction.
+
     Returns a DataStreamWriter; caller adds checkpointLocation/trigger
     and .start().
     """
