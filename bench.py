@@ -115,6 +115,25 @@ def flagship_docs_per_sec(
     return row["rows_seen"] / wall, row["rows_seen"], row["est"]
 
 
+# round-2 additions, timed identically but reported under
+# "queries_extra" so the original 16-query total stays comparable
+# across rounds
+# embedding_dup_pairs is excluded: the driver query's loose threshold
+# (0.46) is below the regime where hyperplane LSH can prune (random-
+# pair band collision ~ target-pair collision), so its cost is
+# quadratic-by-construction there — see the operator docstring; it
+# stays correctness-gated in CORRECTNESS/pytest.
+EXTRA_QUERIES = [
+    "ngram_jaccard_pairs",
+    "theta_intersect_partkeys",
+    "sketch_cube_slice",
+    "lsh_ann_top3",
+    "exact_quantiles_price",
+    "json_props_stats",
+    "consistent_sample_events",
+]
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
@@ -138,7 +157,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    for name in bench_queries:
+    for name in bench_queries + EXTRA_QUERIES:
         qs[name](spark, sf_dir).collect()  # warm: parquet footers, JIT, plan
         # best of 3 warm runs: robust to background-load spikes on this
         # shared VM (per-run variance is up to ~40%)
@@ -243,7 +262,9 @@ def main() -> None:
     flagship_docs_per_sec(spark, pages_path)
     runs = [flagship_docs_per_sec(spark, pages_path) for _ in range(3)]
     docs_per_sec, n_rows, est = sorted(runs)[1]  # median of 3
-    timings = run_queries(spark, SF_DIR)
+    all_timings = run_queries(spark, SF_DIR)
+    timings = {k: v for k, v in all_timings.items() if k not in EXTRA_QUERIES}
+    extra = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -253,6 +274,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extra_r2": extra,
                 "sf": SF_DIR,
                 "docs_per_sec": round(docs_per_sec),
                 "flagship_rows": n_rows,

@@ -381,10 +381,14 @@ def embedding_dup_pairs(
     the threshold itself: r is the largest plane count keeping p^r >=
     0.17 (so bands stay selective), then b = ceil(ln 1e-6 / ln(1-p^r)).
     High thresholds (the real near-dup regime, s >= 0.9) get fine
-    buckets (r >= 12) and stay sub-quadratic at scale; loose thresholds
-    get coarser buckets — inherent to hyperplane LSH, not a plan flaw.
-    The all-pairs exact form lives in ``embedding_dup_pairs_allpairs``
-    as the small-scale oracle.
+    buckets (r >= 12) and stay sub-quadratic at scale. Loose thresholds
+    are a different regime: below s ~= 0.7 the random-pair collision
+    rate 2^-r approaches the target-pair rate p^r, so NO hyperplane
+    banding can prune — candidate volume approaches all-pairs times
+    the band count. The operator stays correct there (the recall
+    guarantee holds), but at scale use a genuine near-dup threshold or
+    the IVF path instead. The all-pairs exact form lives in
+    ``embedding_dup_pairs_allpairs`` as the small-scale oracle.
     """
     if n_planes is None or n_bands is None:
         p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
