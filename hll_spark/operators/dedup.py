@@ -345,6 +345,8 @@ def _band_bucket_udf(dim: int, n_bands: int, n_planes: int, seed: int):
     weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
 
     def bucket(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # pandas UDFs can receive empty batches
+            return pd.Series([], index=vecs.index, dtype=object)
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         signs = (mat @ planes.T) > 0  # (n, n_bands*n_planes)
         packed = (

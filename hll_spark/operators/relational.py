@@ -43,7 +43,9 @@ def asof_join(
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
         "__ts", F.col(left_ts)
     )
-    carry_fields = [right_ts] + list(right_cols)
+    # dedupe (right_ts may be requested in right_cols too): duplicate
+    # struct field names would make getField ambiguous
+    carry_fields = list(dict.fromkeys([right_ts] + list(right_cols)))
     r_tagged = (
         right.where(F.col(right_ts).isNotNull())
         .select(

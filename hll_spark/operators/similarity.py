@@ -40,6 +40,8 @@ TOPK_SCHEMA = StructType(
 
 
 def _as_matrix(series: pd.Series) -> np.ndarray:
+    if not len(series):  # pandas UDFs can receive empty batches
+        return np.zeros((0, 1), dtype=np.float64)
     return np.vstack([np.asarray(v, dtype=np.float64) for v in series])
 
 

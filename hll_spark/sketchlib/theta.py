@@ -98,12 +98,22 @@ class ThetaSketch:
 
         return int(math.ceil(self.estimate_float()))
 
+    def _theta_u64(self) -> int:
+        """Sampling threshold as an exact integer in (0, 2^64]."""
+        return 2**64 if not self.full else int(self.values[-1])
+
     def _common_theta_filter(self, other: "ThetaSketch") -> tuple:
-        theta = min(self.theta, other.theta)
-        cut = np.uint64(min(int(theta * _TWO64), 2**64 - 1))
-        a = self.values[self.values < cut] if theta < 1.0 else self.values
-        b = other.values[other.values < cut] if theta < 1.0 else other.values
-        return theta, a, b
+        # exact u64 comparisons: a float round-trip of the 64-bit
+        # threshold could shift the boundary by an ulp and include or
+        # drop a boundary sample inconsistently with the divisor
+        thr = min(self._theta_u64(), other._theta_u64())
+        theta = thr / _TWO64
+        if thr == 2**64:
+            return theta, self.values, other.values
+        cut = np.uint64(thr)
+        return theta, self.values[self.values < cut], other.values[
+            other.values < cut
+        ]
 
     def intersect_estimate(self, other: "ThetaSketch") -> float:
         """Direct |A∩B| estimate; exact when neither side is full."""

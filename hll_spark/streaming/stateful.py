@@ -247,7 +247,10 @@ def session_hll_distinct(
             state.remove()
             yield pd.DataFrame([_row(key, start_ms, last_ms, sketch, rows)])
             return
-        pdf = pd.concat(list(batches)).sort_values("__ts_ms")
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs).sort_values("__ts_ms")
         ts = pdf["__ts_ms"].to_numpy(np.int64)
         h = pdf["__h"].to_numpy(np.int64)
         if state.exists:
