@@ -372,6 +372,27 @@ def q_fingerprint_documents(spark, sf):
     )
 
 
+def q_pii_scrub_documents(spark, sf):
+    # PII redaction (emails / IPv4 / long digit runs) — JVM regexp
+    # chains, codegen'd; PII spans injected deterministically from
+    # doc_id so the oracle reproduces them exactly (patterns are
+    # RE2-compatible on purpose: identical under Java regex and DuckDB)
+    from hll_spark.operators.text import pii_match_count, scrub_pii
+
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("reach user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" num 4111 1111 1111 1111 "), F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        F.length(scrub_pii(raw)).cast("long").alias("clean_len"),
+        pii_match_count(raw, "email").cast("long").alias("n_emails"),
+    )
+
+
 def q_media_metadata_documents(spark, sf):
     # documents' text bytes standing in as an opaque media payload column
     docs = _t(spark, sf, "documents")
@@ -551,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_documents": q_text_quality_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "pii_scrub_documents": q_pii_scrub_documents,
         "media_metadata_documents": q_media_metadata_documents,
         "media_features_documents": q_media_features_documents,
         # relational coverage
@@ -703,6 +725,28 @@ def oracle_sql() -> dict[str, str]:
                                AS DOUBLE) / length(text), 6) END
                    AS punct_ratio
             FROM documents
+        """,
+        "pii_scrub_documents": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       'reach user' || doc_id || '@example.com or 10.0.0.' ||
+                       (doc_id % 256) || ' num 4111 1111 1111 1111 ' || text AS raw
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(raw,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\b[0-9][0-9 \-]{9,}[0-9]\b', '<NUM>', 'g')
+                   ) AS BIGINT) AS clean_len,
+                   CAST(len(regexp_extract_all(raw,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails
+            FROM injected
         """,
         "media_metadata_documents": """
             SELECT doc_id AS media_id,

@@ -131,6 +131,7 @@ EXTRA_QUERIES = [
     "exact_quantiles_price",
     "json_props_stats",
     "consistent_sample_events",
+    "pii_scrub_documents",
 ]
 
 

@@ -166,3 +166,35 @@ def fingerprint_udf():
 
 def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_udf()(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — JVM-side regexp chains (training-data cleaning step)
+
+# deliberately RE2-compatible patterns (no lookarounds/backrefs): they
+# run identically under Java regex (Spark) and RE2 (DuckDB oracle)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "longnum": r"\b[0-9][0-9 \-]{9,}[0-9]\b",  # phone/card-like runs
+}
+PII_TOKENS = {"email": "<EMAIL>", "ipv4": "<IP>", "longnum": "<NUM>"}
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Redact emails, IPv4s and long digit runs with typed tokens.
+
+    Order matters (emails first so their digits don't partially match
+    the number rule); each rule is a single JVM regexp_replace inside
+    whole-stage codegen — no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ipv4", "longnum"):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], PII_TOKENS[kind])
+    return c
+
+
+def pii_match_count(col: str | Column, kind: str) -> Column:
+    """How many spans of one PII kind a document contains."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))

@@ -93,3 +93,32 @@ def test_pages_distributed_generator(spark):
         df.groupBy("url").agg(F.countDistinct("text").alias("nt")).where("nt > 1")
     )
     assert dup_check.count() == 0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from hll_spark.operators.text import pii_match_count, scrub_pii
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "text": [
+                "contact alice.smith+x@corp-mail.co.uk or bob@ex.io now",
+                "server at 192.168.001.42 went down",
+                "call 415-555-0199 22 or card 4111 1111 1111 1111",
+                "clean text with number 42 and v1.2.3 left intact",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {
+        r.id: r.clean
+        for r in df.select("id", scrub_pii("text").alias("clean")).collect()
+    }
+    assert out[1] == "contact <EMAIL> or <EMAIL> now"
+    assert out[2] == "server at <IP> went down"
+    assert "<NUM>" in out[3] and "4111" not in out[3]
+    assert out[4] == pdf.text[3]  # short numbers and versions untouched
+    counts = df.select(
+        "id", pii_match_count("text", "email").alias("n")
+    ).collect()
+    assert {r.id: r.n for r in counts} == {1: 2, 2: 0, 3: 0, 4: 0}
