@@ -372,6 +372,25 @@ def q_fingerprint_documents(spark, sf):
     )
 
 
+def q_gopher_metrics_documents(spark, sf):
+    # Gopher-rule repetition/quality metrics (JVM-expressible subset —
+    # exact oracle; the top-bigram metric is pandas-UDF-backed and
+    # covered by pytest instead)
+    from hll_spark.operators.text import (
+        duplicate_line_fraction,
+        mean_word_length,
+        symbol_word_ratio,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(duplicate_line_fraction("text"), 6).alias("dup_line_frac"),
+        F.round(symbol_word_ratio("text"), 6).alias("symbol_word_ratio"),
+        F.round(mean_word_length("text"), 6).alias("mean_word_len"),
+    )
+
+
 def q_pii_scrub_documents(spark, sf):
     # PII redaction (emails / IPv4 / long digit runs) — JVM regexp
     # chains, codegen'd; PII spans injected deterministically from
@@ -572,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_documents": q_text_quality_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "gopher_metrics_documents": q_gopher_metrics_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "media_metadata_documents": q_media_metadata_documents,
         "media_features_documents": q_media_features_documents,
@@ -725,6 +745,28 @@ def oracle_sql() -> dict[str, str]:
                                AS DOUBLE) / length(text), 6) END
                    AS punct_ratio
             FROM documents
+        """,
+        "gopher_metrics_documents": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS lines,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(lines) <= 0 THEN 0.0
+                        ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                             / len(lines) END, 6) AS dup_line_frac,
+                   ROUND(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                                         ELSE len(toks) END) <= 0 THEN 0.0
+                        ELSE CAST(length(text) -
+                                  length(regexp_replace(text, '#|\.\.\.', '', 'g'))
+                                  AS DOUBLE) / len(toks) END, 6)
+                     AS symbol_word_ratio,
+                   ROUND(CASE WHEN len(toks) <= 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                                  AS DOUBLE) / len(toks) END, 6) AS mean_word_len
+            FROM t
         """,
         "pii_scrub_documents": r"""
             WITH injected AS (

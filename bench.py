@@ -132,6 +132,7 @@ EXTRA_QUERIES = [
     "json_props_stats",
     "consistent_sample_events",
     "pii_scrub_documents",
+    "gopher_metrics_documents",
 ]
 
 

@@ -198,3 +198,103 @@ def pii_match_count(col: str | Column, kind: str) -> Column:
     """How many spans of one PII kind a document contains."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality filters (web-corpus cleaning rules)
+
+
+def duplicate_line_fraction(col: str | Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line — the
+    classic boilerplate signal. Pure JVM array ops."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))).cast("double") / n
+    )
+
+
+def symbol_word_ratio(col: str | Column) -> Column:
+    """#(hash/ellipsis symbols) / #words (Gopher uses # and ...)."""
+    c = F.col(col) if isinstance(col, str) else col
+    symbols = F.length(c) - F.length(F.regexp_replace(c, r"#|\.\.\.", ""))
+    words = token_count(c)
+    return F.when(words <= 0, F.lit(0.0)).otherwise(
+        symbols.cast("double") / words
+    )
+
+
+def mean_word_length(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def top_bigram_char_fraction(col: str | Column):
+    """Fraction of characters covered by the most frequent word bigram
+    (high values = TEMPLATE/repetitive text). Needs a per-doc mode, so
+    it runs as an Arrow-batched pandas UDF over the flattened-shingle
+    kernel (one murmur call per batch, np.unique per doc)."""
+    from .textkernels import flat_shingle_hashes
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.float64)
+        if not len(texts):
+            return pd.Series(out, index=texts.index)
+        sh, n_sh = flat_shingle_hashes(texts, 2)
+        cuts = np.cumsum(n_sh)[:-1]
+        for i, (t, seg) in enumerate(zip(texts, np.split(sh, cuts))):
+            toks = (t or "").split()
+            if len(toks) < 2 or not seg.size:
+                continue
+            _, counts = np.unique(seg, return_counts=True)
+            top = int(counts.max())
+            if top < 2:
+                continue
+            # approximate char coverage: top bigram repeats * mean
+            # bigram char length (Gopher uses exact span lengths; the
+            # ranking behavior is the same)
+            mean_bigram_chars = 2 * (sum(map(len, toks)) / len(toks)) + 1
+            out[i] = min(1.0, top * mean_bigram_chars / max(len(t), 1))
+        return pd.Series(out, index=texts.index)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(batch, DoubleType())(c)
+
+
+def gopher_quality_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_fraction: float = 0.30,
+    max_symbol_word_ratio: float = 0.10,
+    word_len_bounds: tuple = (3.0, 10.0),
+    max_top_bigram_fraction: float = 0.20,
+) -> DataFrame:
+    """Add the Gopher-rule metric columns + a ``gopher_pass`` verdict.
+
+    Thresholds default to the published Gopher paper settings where the
+    metric definitions coincide; all metrics are per-document and
+    embarrassingly parallel — no shuffle is introduced.
+    """
+    lo, hi = word_len_bounds
+    out = (
+        df.withColumn("dup_line_frac", F.round(duplicate_line_fraction(text_col), 6))
+        .withColumn("symbol_word_ratio", F.round(symbol_word_ratio(text_col), 6))
+        .withColumn("mean_word_len", F.round(mean_word_length(text_col), 6))
+        .withColumn(
+            "top_bigram_frac", F.round(top_bigram_char_fraction(text_col), 6)
+        )
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("dup_line_frac") <= max_dup_line_fraction)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & F.col("mean_word_len").between(lo, hi)
+        & (F.col("top_bigram_frac") <= max_top_bigram_fraction),
+    )

@@ -122,3 +122,27 @@ def test_scrub_pii_redacts_and_counts(spark):
         "id", pii_match_count("text", "email").alias("n")
     ).collect()
     assert {r.id: r.n for r in counts} == {1: 2, 2: 0, 3: 0, 4: 0}
+
+
+def test_gopher_filters_flag_boilerplate(spark):
+    from hll_spark.operators.text import gopher_quality_filters
+
+    good = ("the quick brown fox jumps over a lazy dog and then walks "
+            "away toward the old stone bridge near town") * 1
+    dup_lines = "\n".join(["same boilerplate line here"] * 8 + ["one more"])
+    symbol_soup = "#tag " * 30 + "word"
+    repetitive = "buy now " * 60
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "text": [good, dup_lines, symbol_soup, repetitive],
+        }
+    )
+    out = {
+        r.id: r
+        for r in gopher_quality_filters(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[1].gopher_pass
+    assert not out[2].gopher_pass and out[2].dup_line_frac > 0.5
+    assert not out[3].gopher_pass and out[3].symbol_word_ratio > 0.1
+    assert not out[4].gopher_pass and out[4].top_bigram_frac > 0.2
