@@ -372,6 +372,19 @@ def q_fingerprint_documents(spark, sf):
     )
 
 
+def q_clean_corpus_stats(spark, sf):
+    # END-TO-END cleaning pipeline (exact dedup -> Gopher + quality
+    # gates -> near-dup removal), checked against a full DuckDB
+    # re-implementation — a composition-level correctness gate
+    from hll_spark.operators.pipeline import clean_corpus
+
+    final = clean_corpus(_t(spark, sf, "documents"))
+    return final.agg(
+        F.count("*").alias("n_clean"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def q_gopher_metrics_documents(spark, sf):
     # Gopher-rule repetition/quality metrics (JVM-expressible subset —
     # exact oracle; the top-bigram metric is pandas-UDF-backed and
@@ -591,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_documents": q_text_quality_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "clean_corpus_stats": q_clean_corpus_stats,
         "gopher_metrics_documents": q_gopher_metrics_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
         "media_metadata_documents": q_media_metadata_documents,
@@ -745,6 +759,58 @@ def oracle_sql() -> dict[str, str]:
                                AS DOUBLE) / length(text), 6) END
                    AS punct_ratio
             FROM documents
+        """,
+        "clean_corpus_stats": r"""
+            WITH keepers AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+            ),
+            kept0 AS (
+                SELECT d.* FROM documents d
+                JOIN keepers k ON d.doc_id = k.doc_id
+            ),
+            kept AS (
+                SELECT * FROM (
+                    SELECT doc_id, text, lang,
+                        string_split(text, chr(10)) AS lines,
+                        string_split_regex(trim(text), '\s+') AS toks,
+                        length(text) AS n,
+                        length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                        length(text) - length(regexp_replace(text, '#|\.\.\.', '', 'g')) AS n_sym
+                    FROM kept0
+                )
+                WHERE (CASE WHEN len(lines) <= 0 THEN 0.0
+                       ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END) <= 0.30
+                  AND (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) <= 0 THEN 0.0
+                       ELSE CAST(n_sym AS DOUBLE) / len(toks) END) <= 0.10
+                  AND (CASE WHEN len(toks) <= 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END)
+                      BETWEEN 3.0 AND 10.0
+                  AND ROUND(
+                        0.4 * LEAST(CAST(n AS DOUBLE) / 500.0, 1.0)
+                      + 0.3 * (1.0 - LEAST((CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n END) * 4.0, 1.0))
+                      + 0.3 * (1.0 - LEAST((CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE)/n END) * 4.0, 1.0)),
+                      6) >= 0.5
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM kept, LATERAL UNNEST(range(1, len(toks) - 1)) AS u(i)
+                WHERE len(toks) >= 3
+                UNION
+                SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS g
+                FROM kept WHERE len(toks) < 3 AND len(toks) > 0
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+            dropped AS (
+                SELECT DISTINCT b.doc_id
+                FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+                JOIN sizes sa ON sa.doc_id = a.doc_id
+                JOIN sizes sb ON sb.doc_id = b.doc_id
+                GROUP BY a.doc_id, b.doc_id, sa.ng, sb.ng
+                HAVING CAST(COUNT(*) AS DOUBLE) / (sa.ng + sb.ng - COUNT(*)) >= 0.8
+            )
+            SELECT COUNT(*) AS n_clean, COUNT(DISTINCT lang) AS n_langs
+            FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "gopher_metrics_documents": r"""
             WITH t AS (

@@ -133,6 +133,7 @@ EXTRA_QUERIES = [
     "consistent_sample_events",
     "pii_scrub_documents",
     "gopher_metrics_documents",
+    "clean_corpus_stats",
 ]
 
 

@@ -1,0 +1,67 @@
+"""Composed training-data cleaning pipeline — the product story in one
+operator: raw web documents in, deduplicated quality corpus out.
+
+Stages (each individually covered elsewhere; this wires them in the
+order a production corpus build runs them):
+
+1. exact dedup       — digest groupBy, keep min-id per identical text
+2. quality gates     — Gopher repetition rules (JVM-expressible
+                       subset) + the heuristic quality score
+3. near-dup removal  — pairwise Jaccard >= threshold, drop the higher
+                       id of each pair (keeps the earliest copy;
+                       chains collapse to their minimum)
+
+Every stage is shuffle-minimal: one digest aggregate, per-row metric
+columns (no shuffle), and the near-dup candidate join. The whole
+pipeline is deterministic, so the driver query over it is checked
+against a full DuckDB re-implementation (oracle) at sf0.01/sf0.1 —
+an end-to-end correctness gate over the composition, not just the
+parts.
+
+At 100 TB swap stage 3's exact-Jaccard pair finder for
+``minhash_lsh_pairs`` (same output contract; sub-quadratic) — the
+exact form is used here because the oracle can reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
+from .text import (
+    duplicate_line_fraction,
+    mean_word_length,
+    quality_score,
+    symbol_word_ratio,
+)
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    max_dup_line_fraction: float = 0.30,
+    max_symbol_word_ratio: float = 0.10,
+    word_len_bounds: tuple = (3.0, 10.0),
+    neardup_threshold: float = 0.8,
+    exact_neardup: bool = True,
+) -> DataFrame:
+    """Return the cleaned corpus (all original columns preserved).
+
+    ``exact_neardup=True`` uses the exact n-gram Jaccard pair finder
+    (oracle-reproducible); ``False`` uses MinHash-LSH — the at-scale
+    path with identical output contract.
+    """
+    lo, hi = word_len_bounds
+    kept = exact_dedup(df, [text_col], id_col)
+    kept = (
+        kept.where(duplicate_line_fraction(text_col) <= max_dup_line_fraction)
+        .where(symbol_word_ratio(text_col) <= max_symbol_word_ratio)
+        .where(mean_word_length(text_col).between(lo, hi))
+        .where(quality_score(text_col) >= min_quality)
+    )
+    pair_finder = ngram_jaccard_pairs if exact_neardup else minhash_lsh_pairs
+    pairs = pair_finder(kept, text_col, id_col, threshold=neardup_threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return kept.join(drop, id_col, "left_anti")
