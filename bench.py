@@ -258,13 +258,37 @@ def main() -> None:
         print(json.dumps(run_scaling()))
         return
 
-    spark = make_spark(CPUS)
+    spark = make_spark(CPUS, ui=True)
     spark.sparkContext.setLogLevel("ERROR")
     pages_path = ensure_pages(spark)
     # warm-up: python worker pool + arrow codepaths + page cache
     flagship_docs_per_sec(spark, pages_path)
+    io_before = _io_snapshot(spark)
     runs = [flagship_docs_per_sec(spark, pages_path) for _ in range(3)]
+    io_after = _io_snapshot(spark)
+    flagship_io = {k: (io_after[k] - io_before[k]) // 3 for k in io_after}
     docs_per_sec, n_rows, est = sorted(runs)[1]  # median of 3
+    # latest committed two-cluster-size measurement (BENCH/scaling_rN.json,
+    # produced by `python bench.py --scaling`): carried here so the
+    # per-round bench JSON records the north-rule evidence too
+    scaling_ref = None
+    try:
+        import glob as _glob
+
+        ref_files = sorted(_glob.glob(os.path.join(REPO, "BENCH", "scaling_r*.json")))
+        if ref_files:
+            with open(ref_files[-1]) as fh:
+                rec = json.load(fh)
+            scaling_ref = {
+                "source": os.path.basename(ref_files[-1]),
+                "scaling_efficiency": rec.get("scaling_efficiency"),
+                "murmur3": {
+                    k: rec["murmur3"].get(k)
+                    for k in ("thr_2", "thr_8", "scaling_efficiency", "io_2", "io_8")
+                },
+            }
+    except Exception:
+        pass
     all_timings = run_queries(spark, SF_DIR)
     timings = {k: v for k, v in all_timings.items() if k not in EXTRA_QUERIES}
     extra = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES}
@@ -282,6 +306,8 @@ def main() -> None:
                 "docs_per_sec": round(docs_per_sec),
                 "flagship_rows": n_rows,
                 "flagship_estimate": est,
+                "flagship_io_per_run": flagship_io,
+                "scaling": scaling_ref,
             }
         )
     )
