@@ -67,3 +67,24 @@ def query_sketch_cube(
     return merge_sketch_partials(
         cells.select(*keep), spec, by=list(group_by or []), two_level=False
     )
+
+
+def rollup_cube(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    group_by: list[str],
+    spec: SketchSpec | None = None,
+) -> str:
+    """Re-aggregate an existing cube to a coarser grain and persist it
+    (e.g. day-grain cells -> month-grain cells): cells collapsing into
+    one output cell are union-merged (exact w.r.t. sketch state), and
+    the result is written partitioned by the coarser dimensions —
+    cube lifecycle compaction without ever touching raw fact rows.
+    """
+    if not group_by:
+        raise ValueError("rollup_cube needs the coarser dimension list")
+    spec = spec or hll_spec()
+    out = query_sketch_cube(spark, src_path, spec=spec, group_by=group_by)
+    out.write.mode("overwrite").partitionBy(*group_by).parquet(dst_path)
+    return dst_path

@@ -194,6 +194,12 @@ class HllConfig:
         ratio = (self.m * self.regwidth) / self.short_word_length
         return 1 << int(math.log2(ratio))
 
+    @property
+    def error_bound(self) -> float:
+        """Published FULL-tier relative standard error: 1.04 / sqrt(m)
+        (reference README.md:52; Flajolet et al. 2007)."""
+        return 1.04 / math.sqrt(self.m)
+
     def header_bytes(self, type_ordinal: int) -> bytes:
         """3-byte storage-spec header (schema_version.go:94-244)."""
         if self.explicit_off:

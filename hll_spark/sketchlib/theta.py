@@ -82,6 +82,11 @@ class ThetaSketch:
 
     # -- estimators -----------------------------------------------------------
     @property
+    def error_bound(self) -> float:
+        """KMV relative standard error ~ 1/sqrt(k-2) (Beyer et al. 2007)."""
+        return 1.0 / (self.k - 2) ** 0.5
+
+    @property
     def theta(self) -> float:
         """Sampling threshold in (0, 1]."""
         if not self.full:

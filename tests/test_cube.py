@@ -110,3 +110,18 @@ def test_cube_is_sketch_generic_theta(spark, tmp_path):
         .collect()[0]
     )
     assert row.retained == 500.0  # users active BOTH days, exact tier
+
+
+def test_rollup_cube_to_coarser_grain(spark, cube, tmp_path):
+    path, pdf = cube
+    coarse = str(tmp_path / "by_lang")
+    from hll_spark.plans.cube import rollup_cube
+
+    rollup_cube(spark, path, coarse, ["lang"], spec=hll_spec(CFG))
+    est = hll_estimate_udf()
+    got = {
+        r.lang: r.est
+        for r in spark.read.parquet(coarse).withColumn("est", est("sketch")).collect()
+    }
+    exact = pdf.groupby("lang")["user_id"].nunique().to_dict()
+    assert got == exact  # exact tier: rollup == recompute from raw

@@ -111,3 +111,10 @@ def test_spark_theta_partition_invariance(spark):
         df = spark.createDataFrame(pdf).repartition(parts)
         blobs.append(bytes(theta_sketch_agg(df, "v", k=1024).collect()[0]["sketch"]))
     assert blobs[0] == blobs[1]  # byte-identical at any partitioning
+
+
+def test_error_bound_properties():
+    from hll_spark.sketchlib.hll import HllConfig
+
+    assert abs(HllConfig(log2m=14).error_bound - 1.04 / 128) < 1e-12
+    assert abs(ThetaSketch(k=4096).error_bound - (4094 ** -0.5)) < 1e-12
