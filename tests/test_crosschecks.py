@@ -67,3 +67,46 @@ def test_partitioned_sink_and_pruning(spark, tmp_path):
         back.groupBy("url").agg(F.countDistinct("text").alias("n")).where("n > 1")
     )
     assert dup.count() == 0
+
+
+def test_throughput_competitive_with_datasketches(spark):
+    """Sanity-scale throughput cross-check (r2). At this test size
+    (2M rows) our fixed pandas-stage overhead dominates, so the hard
+    assertions are the robust ones: we must beat approx_count_distinct
+    at matched precision (its dense per-row update path is far slower),
+    and stay within a loose 10x of the native DataSketches aggregate
+    (catastrophic-regression guard). The fair at-scale comparison is
+    the 16M-row measurement recorded in BENCH/BASELINE.md SS1: ~0.86x
+    DataSketches, ~6.9x faster than approx_count_distinct."""
+    import time
+
+    import pandas as pd
+
+    from hll_spark.operators.agg import hll_sketch_agg
+    from hll_spark.sketchlib.hll import HllConfig
+
+    pdf = pd.DataFrame({"url": [f"u{i % 400_000}" for i in range(2_000_000)]})
+    df = spark.createDataFrame(pdf).repartition(8).cache()
+    df.count()
+
+    def t(fn):
+        fn()  # warm
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    ours = t(lambda: hll_sketch_agg(df, "url", cfg=HllConfig(14, 5)).collect())
+    try:
+        ds = t(
+            lambda: df.agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("url", F.lit(14)))
+            ).collect()
+        )
+    except Exception:
+        pytest.skip("DataSketches functions unavailable")
+    acd = t(
+        lambda: df.agg(F.approx_count_distinct("url", rsd=0.0081)).collect()
+    )
+    assert ours < 10 * ds, (ours, ds)
+    assert ours < acd, (ours, acd)
+    df.unpersist()
