@@ -533,10 +533,20 @@ def q_exact_quantiles_price(spark, sf):
     # t-digest sketch paths approximate; Spark and DuckDB share the
     # linear-interpolation definition)
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    # ONE percentile aggregate over the array of quantiles (single sort
+    # per group) instead of three independent percentile aggregates
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p25"),
+            F.round(F.col("ps")[1], 4).alias("p50"),
+            F.round(F.col("ps")[2], 4).alias("p75"),
+        )
     )
 
 

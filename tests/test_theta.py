@@ -118,3 +118,17 @@ def test_error_bound_properties():
 
     assert abs(HllConfig(log2m=14).error_bound - 1.04 / 128) < 1e-12
     assert abs(ThetaSketch(k=4096).error_bound - (4094 ** -0.5)) < 1e-12
+
+
+def test_from_bytes_rejects_corrupt_input():
+    import pytest as _pytest
+
+    s = ThetaSketch(k=64).add_hashed(
+        np.arange(10, dtype=np.uint64) * np.uint64(7919)
+    )
+    blob = s.to_bytes()
+    with _pytest.raises(ValueError):
+        ThetaSketch.from_bytes(b"\x00\x01\x02\x03" + blob[4:])  # bad magic
+    # truncated payload: frombuffer must fail loudly, not mis-read
+    with _pytest.raises(ValueError):
+        ThetaSketch.from_bytes(blob[: len(blob) - 5])
