@@ -113,24 +113,16 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("signature"))
 
 
-def minhash_lsh_pairs(
+def _minhash_enriched(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    threshold: float = 0.8,
-    k: int = 128,
-    bands: int = 32,
-    shingle_n: int = 3,
+    k: int,
+    bands: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Near-duplicate pairs with estimated Jaccard >= threshold.
-
-    Plan: signatures -> explode to (band_id, band_hash, id) -> self-join
-    on the banded bucket -> distinct candidate pairs -> estimate Jaccard
-    as matching-minhash fraction. Output: (id_a, id_b, jaccard_est) with
-    id_a < id_b. The banding (b=32, r=4 by default) makes the candidate
-    probability at s=threshold ~ 1-(1-s^r)^b ≈ 1 while keeping buckets
-    sub-quadratic.
-    """
+    """(id, __s struct<sig array<long>, bk array<long>>) — ONE Python
+    pass computes signatures AND band keys; cached for reuse."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
@@ -152,12 +144,37 @@ def minhash_lsh_pairs(
             index=texts.index,
         )
 
-    # ONE Python pass computes signatures AND band keys (cached once);
-    # bucket join ships only (band_id, key, id) — signatures rejoin on
-    # the candidate pairs, never through the explode
-    enriched = df.select(
+    return df.select(
         F.col(id_col), sig_and_bands(F.col(text_col)).alias("__s")
     ).cache()
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with estimated Jaccard >= threshold.
+
+    Plan: signatures -> explode to (band_id, band_hash, id) -> self-join
+    on the banded bucket -> distinct candidate pairs -> estimate Jaccard
+    as matching-minhash fraction. Output: (id_a, id_b, jaccard_est) with
+    id_a < id_b. The banding (b=32, r=4 by default) makes the candidate
+    probability at s=threshold ~ 1-(1-s^r)^b ≈ 1 while keeping buckets
+    sub-quadratic.
+
+    NOTE the output itself is quadratic in near-dup CLUSTER size (a
+    boilerplate cluster of B docs genuinely has B^2/2 pairs) — on
+    template-heavy web corpora use :func:`minhash_dedup_keep`, whose
+    work and output stay O(n) regardless of cluster sizes.
+    """
+    # bucket join ships only (band_id, key, id) — signatures rejoin on
+    # the candidate pairs, never through the explode
+    enriched = _minhash_enriched(df, text_col, id_col, k, bands, shingle_n)
     banded = enriched.select(
         F.col(id_col),
         F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
@@ -198,6 +215,66 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup DEDUP that survives boilerplate-heavy corpora: returns
+    the rows of ``df`` to KEEP.
+
+    Pair enumeration is inherently quadratic in near-dup cluster size
+    (measured on the synthetic web corpus: one band bucket held 63% of
+    200k docs -> 1.3e11 candidate pairs). This operator never builds
+    pairs: each band bucket elects its minimum id as representative,
+    each doc adopts the smallest representative across its bands, and
+    every doc is verified against ONLY that one representative
+    (matching-minhash fraction >= threshold, JVM-side) — O(n)
+    verification rows total, any cluster shape.
+
+    Semantics: star-shaped approximation of near-dup clustering — a
+    doc is dropped iff it signature-matches the smallest-id member of
+    one of its buckets. Exactly the LSH-dedup rule the big web
+    pipelines run; full transitive closure needs iterative
+    min-propagation, deliberately out of scope.
+    """
+    enriched = _minhash_enriched(df, text_col, id_col, k, bands, shingle_n)
+    banded = enriched.select(
+        F.col(id_col),
+        F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
+    )
+    # bucket representative = min id (one row per bucket, O(buckets))
+    reps = banded.groupBy("band_id", "band_hash").agg(
+        F.min(id_col).alias("__rep")
+    )
+    cand = (
+        banded.join(reps, ["band_id", "band_hash"])
+        .groupBy(id_col)
+        .agg(F.min("__rep").alias("__rep"))
+        .where(F.col("__rep") < F.col(id_col))
+    )
+    sig_self = enriched.select(F.col(id_col), F.col("__s.sig").alias("__sig_d"))
+    sig_rep = enriched.select(
+        F.col(id_col).alias("__rep"), F.col("__s.sig").alias("__sig_r")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("__sig_d", "__sig_r", lambda x, y: x == y), lambda v: v
+        )
+    )
+    drop = (
+        cand.join(sig_self, id_col)
+        .join(sig_rep, "__rep")
+        .where(n_match.cast("double") / F.lit(float(k)) >= threshold)
+        .select(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

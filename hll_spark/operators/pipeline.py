@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs
+from .dedup import exact_dedup, minhash_dedup_keep, ngram_jaccard_pairs
 from .text import (
     duplicate_line_fraction,
     mean_word_length,
@@ -61,7 +61,15 @@ def clean_corpus(
         .where(mean_word_length(text_col).between(lo, hi))
         .where(quality_score(text_col) >= min_quality)
     )
-    pair_finder = ngram_jaccard_pairs if exact_neardup else minhash_lsh_pairs
-    pairs = pair_finder(kept, text_col, id_col, threshold=neardup_threshold)
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return kept.join(drop, id_col, "left_anti")
+    if exact_neardup:
+        pairs = ngram_jaccard_pairs(
+            kept, text_col, id_col, threshold=neardup_threshold
+        )
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return kept.join(drop, id_col, "left_anti")
+    # at-scale path: representative-based LSH dedup — never enumerates
+    # pairs, so boilerplate clusters (quadratic pair counts) cannot
+    # blow it up; see minhash_dedup_keep for the exact drop rule
+    return minhash_dedup_keep(
+        kept, text_col, id_col, threshold=neardup_threshold
+    )

@@ -183,3 +183,39 @@ def test_minhash_duplicate_heavy_corpus(spark):
     # and the production recipe: dedup exact first -> representatives only
     reps = exact_dedup(df, ["text"], "doc_id")
     assert reps.count() == 1 + 200
+
+
+def test_minhash_dedup_keep_matches_pairs_on_small_corpus(spark, near_dup_corpus):
+    """Representative-based dedup keeps the same docs pair-dropping
+    would on a small corpus (cluster {0,1,2}: keep 0, drop 1 and 2)."""
+    from hll_spark.operators.dedup import minhash_dedup_keep
+
+    df, _ = near_dup_corpus
+    kept = sorted(
+        r.doc_id
+        for r in minhash_dedup_keep(df, "text", "doc_id", threshold=0.7)
+        .select("doc_id")
+        .collect()
+    )
+    assert kept == [0] + list(range(3, 10))
+
+
+def test_minhash_dedup_keep_boilerplate_cluster(spark):
+    """A 300-doc identical-text cluster: pair enumeration would emit
+    ~45k pairs; the rep-based dedup touches 300 verification rows and
+    keeps exactly one."""
+    from hll_spark.operators.dedup import minhash_dedup_keep
+
+    texts = ["the same boilerplate page body " * 8] * 300 + [
+        f"document {i} unique words {i * 13}" for i in range(100)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    kept = sorted(
+        r.doc_id
+        for r in minhash_dedup_keep(
+            spark.createDataFrame(pdf).repartition(8), "text", "doc_id"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert kept == [0] + list(range(300, 400))
