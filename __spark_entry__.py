@@ -316,6 +316,16 @@ def q_ivf_ann_top3(spark, sf):
     )
 
 
+def q_minhash_dedup_keep_documents(spark, sf):
+    # representative-based near-dup dedup (the at-scale rule): rows-only
+    # (minhash-dependent); rep==pairs parity asserted in pytest
+    from hll_spark.operators.dedup import minhash_dedup_keep
+
+    docs = _t(spark, sf, "documents")
+    kept = minhash_dedup_keep(docs, "text", "doc_id", threshold=0.7)
+    return kept.agg(F.count("*").alias("n_kept"))
+
+
 def q_minhash_pairs_documents(spark, sf):
     docs = _t(spark, sf, "documents")
     return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.7)
@@ -606,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top3": q_ann_top3,
         "ivf_ann_top3": q_ivf_ann_top3,
         "minhash_pairs_documents": q_minhash_pairs_documents,
+        "minhash_dedup_keep_documents": q_minhash_dedup_keep_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "lsh_ann_top3": q_lsh_ann_top3,
