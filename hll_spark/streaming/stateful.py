@@ -330,3 +330,56 @@ def sink_sketch_table(stream_df: DataFrame, path: str, key_col: str = "key"):
         )
 
     return stream_df.writeStream.foreachBatch(upsert).outputMode("update")
+
+
+def streaming_sketch_distinct(
+    stream_df: DataFrame,
+    col: str,
+    key_col: str,
+    spec,
+) -> DataFrame:
+    """Sketch-generic version of :func:`streaming_hll_distinct`: keeps
+    ONE serialized sketch of any :class:`~..operators.agg.SketchSpec`
+    per key (theta for streaming set ops, CMS for streaming counts, ...)
+    and unions each micro-batch in. Emits (key, sketch, rows_seen);
+    estimate/probe with the sketch's scalar UDFs downstream. State stays
+    bounded by the sketch's own size contract.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("sketch", BinaryType()),
+            StructField("rows_seen", LongType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, rows = state.get
+            sketch = spec.from_bytes_fn(bytes(blob))
+        else:
+            sketch, rows = spec.zero_fn(), 0
+        for pdf in batches:
+            sketch = spec.update_fn(sketch, pdf["__h"].to_numpy(np.int64))
+            rows += len(pdf)
+        blob = spec.to_bytes_fn(sketch)
+        state.update((blob, rows))
+        yield pd.DataFrame(
+            {"key": [str(key[0])], "sketch": [blob], "rows_seen": [rows]}
+        )
+
+    hashed = stream_df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.xxhash64(F.col(col)).alias("__h"),
+    )
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

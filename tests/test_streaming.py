@@ -275,3 +275,49 @@ def test_sink_sketch_table_upserts_latest(spark, tmp_path):
     assert len(rows) == 2  # one row per key, not per batch
     assert got["a"] == (110, 110)  # 60 + 50 cumulative
     assert got["b"] == (40, 40)
+
+
+def test_streaming_sketch_generic_theta(spark, tmp_path):
+    """The streaming layer is sketch-generic: a theta spec streams the
+    same way HLL does, and the final per-key sketches support DIRECT
+    set ops across keys — exact below k."""
+    from hll_spark.operators.sketches import theta_spec
+    from hll_spark.sketchlib.theta import ThetaSketch
+    from hll_spark.streaming.stateful import streaming_sketch_distinct
+
+    src = str(tmp_path / "gsrc")
+    ck = str(tmp_path / "gck")
+    outd = str(tmp_path / "gout")
+    spec = theta_spec(k=4096)
+
+    def run_once(pdf):
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, ts timestamp")
+            .parquet(src)
+        )
+        out = streaming_sketch_distinct(stream, "user_id", "event_type", spec)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(outd)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    base = pd.Timestamp("2024-01-01")
+    run_once(pd.DataFrame({"user_id": np.arange(0, 300), "event_type": ["a"] * 200 + ["b"] * 100, "ts": [base] * 300}))
+    run_once(pd.DataFrame({"user_id": np.arange(150, 400), "event_type": ["a"] * 250, "ts": [base] * 250}))
+
+    rows = spark.read.parquet(outd).toPandas()
+    latest = rows.sort_values("rows_seen").groupby("key").last()
+    sa = ThetaSketch.from_bytes(bytes(latest.loc["a", "sketch"]))
+    sb = ThetaSketch.from_bytes(bytes(latest.loc["b", "sketch"]))
+    assert sa.estimate() == 400   # users 0..399 cumulative for 'a'
+    assert sb.estimate() == 100   # users 200..299 for 'b'
+    assert sa.intersect_estimate(sb) == 100.0  # exact below k
