@@ -26,6 +26,7 @@ only — never the n^2 cross join.
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -144,9 +145,48 @@ def _minhash_enriched(
             index=texts.index,
         )
 
-    return df.select(
+    enriched = df.select(
         F.col(id_col), sig_and_bands(F.col(text_col)).alias("__s")
-    ).cache()
+    )
+    return _remember_enriched(enriched)
+
+
+# The enriched (signatures + band keys) frame is cached because every
+# caller reads it twice (bucket explode + signature rejoin). Keep at most
+# one alive: repeated minhash_lsh_pairs / minhash_dedup_keep /
+# clean_corpus calls over DIFFERENT inputs would otherwise accumulate
+# cached DataFrames in executor storage until LRU pressure. A repeat call
+# over the SAME input+params (matched by the analyzed plan's semantic
+# hash) reuses the already-materialized frame — re-caching would be a
+# no-op in Spark's CacheManager, and unpersisting it would throw away a
+# warm cache. Call clear_minhash_cache() to drop it eagerly.
+_ENRICHED_LAST: list[tuple] = []
+
+
+def _plan_key(df: DataFrame):
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # non-JVM backend (e.g. connect) — no reuse key
+        return None
+
+
+def _remember_enriched(df: DataFrame) -> DataFrame:
+    key = _plan_key(df)
+    if _ENRICHED_LAST and key is not None and _ENRICHED_LAST[0][0] == key:
+        return _ENRICHED_LAST[0][1]
+    clear_minhash_cache()
+    cached = df.cache()
+    _ENRICHED_LAST.append((key, cached))
+    return cached
+
+
+def clear_minhash_cache() -> None:
+    """Unpersist the most recent minhash signature cache."""
+    while _ENRICHED_LAST:
+        try:
+            _ENRICHED_LAST.pop()[1].unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 def minhash_lsh_pairs(
@@ -471,18 +511,46 @@ def embedding_dup_pairs(
     """
     if n_planes is None or n_bands is None:
         p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        # threshold >= 1.0 gives p == 1.0 and log(p) == 0; clamp so the
+        # exact-duplicate case tunes to the finest buckets instead of
+        # dividing by zero.
+        p = min(p, 1.0 - 1e-9)
         r = n_planes if n_planes is not None else max(
             1, min(32, int(math.floor(math.log(0.17) / math.log(p))))
         )
-        per_band = p**r
+        per_band = min(p**r, 1.0 - 1e-12)
         n_bands = n_bands if n_bands is not None else max(
             1, min(96, int(math.ceil(math.log(1e-6) / math.log(1.0 - per_band))))
         )
         n_planes = r
+    # Pruning-power check: a random (orthogonal-ish) pair collides in one
+    # band with prob ~2^-r, so the expected candidate fraction of ALL
+    # pairs is ~ n_bands * 2^-r. When that approaches 1 the banding
+    # cannot prune (the loose-threshold regime documented above) and the
+    # join is quadratic by construction — warn rather than run silently.
+    random_rate = n_bands * 2.0 ** (-n_planes)
+    if random_rate > 0.05:
+        warnings.warn(
+            f"embedding_dup_pairs: threshold={threshold} tunes to "
+            f"r={n_planes} planes x b={n_bands} bands, whose random-pair "
+            f"candidate rate ~{random_rate:.2g} of ALL pairs — hyperplane "
+            "banding cannot prune in this regime and the candidate join "
+            "is effectively quadratic. Use a genuine near-dup threshold "
+            "(>= ~0.8) or the IVF path at scale.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if dim is None:
         # Spark array types don't carry a fixed length; one 1-row lookup
         # at plan-build time. Pass dim explicitly to avoid it.
-        dim = len(df.select(vec_col).head()[0])
+        head = df.select(vec_col).head()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "embedding_dup_pairs: cannot infer vector dim from an "
+                "empty DataFrame (or null first vector) — pass dim "
+                "explicitly"
+            )
+        dim = len(head[0])
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = df.select(
         F.col(id_col),

@@ -198,12 +198,21 @@ def _murmur3_padded_sorted(
 # batches with varying max string length.
 _WORKSPACE: dict[str, np.ndarray] = {}
 
+# Cap the cached buffer so a batch containing one long string (e.g.
+# hashing whole documents) cannot pin 16384 rows x that width per worker
+# for the process lifetime. 16384 rows x 2 KB = 32 MB; wider batches get
+# a transient allocation sized to the actual row count instead.
+_WS_MAX_BYTES = 32 << 20
+
 
 def _padded_workspace(n: int, max16: int) -> np.ndarray:
     w = ((max16 + 255) // 256) * 256
+    rows = max(n, 16384)
+    if rows * w > _WS_MAX_BYTES:
+        return np.zeros((n, max16), dtype=np.uint8)
     buf = _WORKSPACE.get("buf")
     if buf is None or buf.shape[0] < n or buf.shape[1] < w:
-        buf = np.zeros((max(n, 16384), w), dtype=np.uint8)
+        buf = np.zeros((rows, w), dtype=np.uint8)
         _WORKSPACE["buf"] = buf
     else:
         buf[:n, :max16] = 0

@@ -262,9 +262,24 @@ def session_hll_distinct(
         bounds = np.nonzero(np.diff(ts) > gap_ms)[0] + 1
         for seg in np.split(np.arange(len(ts)), bounds):
             seg_start, seg_end = int(ts[seg[0]]), int(ts[seg[-1]])
-            if sketch is not None and seg_start - last_ms <= gap_ms:
+            if sketch is not None and seg_end < start_ms - gap_ms:
+                # Watermark-admitted late segment that ends a full gap
+                # BEFORE the open session starts: a distinct earlier
+                # session, not part of the open one. Emit it closed
+                # immediately (approximation: even-later stragglers
+                # belonging to it would re-open a new tiny session
+                # rather than extend this emitted row — the same
+                # trade-off batch sessionize makes at partition edges).
+                late = HllSketch.empty(cfg)
+                late.add_hashed(h[seg])
+                closed.append(_row(key, seg_start, seg_end, late, len(seg)))
+            elif sketch is not None and seg_start - last_ms <= gap_ms:
+                # In-gap of the open session. seg may also PREDATE the
+                # session start (late data within one gap of it) — then
+                # the session genuinely extends backward.
                 sketch.add_hashed(h[seg])
                 rows += len(seg)
+                start_ms = min(start_ms, seg_start)
                 last_ms = max(last_ms, seg_end)
             else:
                 if sketch is not None:

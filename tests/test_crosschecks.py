@@ -90,10 +90,16 @@ def test_throughput_competitive_with_datasketches(spark):
     df.count()
 
     def t(fn):
+        # min-of-3: this sandbox shows ~45% hypervisor steal under load,
+        # so a single-shot timing race can fail through no fault of the
+        # code. The minimum of three attempts is the least-contended run.
         fn()  # warm
-        t0 = time.perf_counter()
-        fn()
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     ours = t(lambda: hll_sketch_agg(df, "url", cfg=HllConfig(14, 5)).collect())
     try:

@@ -219,3 +219,63 @@ def test_minhash_dedup_keep_boilerplate_cluster(spark):
         .collect()
     )
     assert kept == [0] + list(range(300, 400))
+
+
+def test_embedding_dup_pairs_threshold_one_and_empty(spark):
+    """ADVICE r2 guards: threshold=1.0 must not divide by zero; an empty
+    input without dim raises a clear error; loose thresholds warn."""
+    import warnings
+
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", __import__("pyspark").sql.types.LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])], schema=schema
+    )
+    # exact-duplicate tuning: p clamps, no ZeroDivisionError
+    got = embedding_dup_pairs(df, "embedding", "vec_id", threshold=1.0).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+
+    empty = spark.createDataFrame([], schema=schema)
+    with pytest.raises(ValueError, match="empty"):
+        embedding_dup_pairs(empty, "embedding", "vec_id", threshold=0.95)
+    # with dim passed explicitly, empty input is fine (0 rows out)
+    assert (
+        embedding_dup_pairs(empty, "embedding", "vec_id", 0.95, dim=2).count() == 0
+    )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        embedding_dup_pairs(df, "embedding", "vec_id", threshold=0.46)
+    assert any("quadratic" in str(x.message) for x in w)
+
+
+def test_minhash_cache_is_bounded(spark):
+    """Repeated minhash calls keep at most one cached signature frame."""
+    from hll_spark.operators.dedup import (
+        _ENRICHED_LAST,
+        clear_minhash_cache,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} " * 3) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    for _ in range(3):
+        minhash_lsh_pairs(df, "text", "doc_id").count()
+    assert len(_ENRICHED_LAST) == 1
+    same = _ENRICHED_LAST[0][1]
+    # same input+params: the warm cached frame is REUSED, not evicted
+    minhash_lsh_pairs(df, "text", "doc_id").count()
+    assert _ENRICHED_LAST[0][1] is same
+    # different params: old entry evicted, still exactly one alive
+    minhash_lsh_pairs(df, "text", "doc_id", k=64, bands=16).count()
+    assert len(_ENRICHED_LAST) == 1 and _ENRICHED_LAST[0][1] is not same
+    clear_minhash_cache()
+    assert len(_ENRICHED_LAST) == 0

@@ -145,3 +145,22 @@ def test_hash64_long_is_deterministic_and_spread():
     h = hash64_long(vals)
     assert len(np.unique(h)) == 10_000  # bijective finalizer: no collisions
     np.testing.assert_array_equal(h, hash64_long(vals))
+
+
+def test_workspace_cache_capped_for_wide_strings():
+    """A batch with one huge string must not pin a rows x width cache
+    (ADVICE r2: worker-OOM hazard); hashes stay identical either way."""
+    from hll_spark.sketchlib.hashing import (
+        _WORKSPACE,
+        _WS_MAX_BYTES,
+        murmur3_x64_128_low64,
+    )
+
+    wide = ["x" * 100_000] + [f"doc{i}" for i in range(99)]
+    h_wide = murmur3_x64_128_low64(wide)
+    buf = _WORKSPACE.get("buf")
+    assert buf is None or buf.nbytes <= _WS_MAX_BYTES
+    # per-value hashes equal the narrow-batch path's answers
+    np.testing.assert_array_equal(
+        h_wide[1:], murmur3_x64_128_low64(wide[1:])
+    )

@@ -321,3 +321,70 @@ def test_streaming_sketch_generic_theta(spark, tmp_path):
     assert sa.estimate() == 400   # users 0..399 cumulative for 'a'
     assert sb.estimate() == 100   # users 200..299 for 'b'
     assert sa.intersect_estimate(sb) == 100.0  # exact below k
+
+
+def test_session_late_out_of_order_data(spark, tmp_path):
+    """Watermark-admitted LATE segments: one within a gap of the open
+    session's start extends it backward; one a full gap earlier becomes
+    its own emitted session — never silently absorbed (ADVICE r2)."""
+    from hll_spark.streaming.stateful import session_hll_distinct
+
+    src = str(tmp_path / "lsrc")
+    ck = str(tmp_path / "lck")
+    outd = str(tmp_path / "lout")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+        pdf["event_type"] = pdf["event_type"].astype(str)
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, ts timestamp"
+            ).parquet(src)
+        )
+        out = session_hll_distinct(
+            stream, "event_type", "user_id", "ts",
+            gap_seconds=3600, watermark="2 hours", cfg=CFG,
+        )
+
+        def sink(bdf, bid):
+            if bdf.count():
+                bdf.write.mode("append").parquet(outd)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    m = lambda mins: base + pd.Timedelta(minutes=mins)
+    # batch 1: open session at minutes 100..104 (5 distinct types)
+    write([(5, i, m(100 + i)) for i in range(5)])
+    run_once()
+    # batch 2 (late, admitted — watermark after batch1 is ~0):
+    #  - minutes 5,6: ends >1 gap before start=100m -> separate session
+    #    (and >1 gap before minute 70, so it stays its own segment)
+    #  - minutes 70,71: within one 60-min gap of start -> extends it back
+    write([(5, 0, m(5)), (5, 1, m(6)), (5, 0, m(70)), (5, 1, m(71))])
+    run_once()
+    # batch 3: far-future row closes the open session via watermark
+    write([(99, "z", base + pd.Timedelta(days=5))])
+    run_once()
+
+    got = spark.read.parquet(outd).toPandas()
+    sess = got[got.key == "5"].sort_values("session_start_ms")
+    ms = lambda mins: int((base + pd.Timedelta(minutes=mins)).timestamp() * 1000)
+    rows = [
+        (r.session_start_ms, r.session_end_ms, r.rows_seen, r.distinct_estimate)
+        for r in sess.itertuples()
+    ]
+    assert rows == [
+        (ms(5), ms(6), 2, 2),       # late gap-separated session, emitted
+        (ms(70), ms(104), 7, 5),    # open session extended backward
+    ]
