@@ -76,6 +76,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# One session-scoped tmp root, removed at interpreter exit — the
+# checkpoint/cube queries get a fresh subdir per call without leaking
+# a /tmp directory per driver run.
+_TMP_ROOT: list[str] = []
+
+
+def _query_tmp(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _TMP_ROOT:
+        root = tempfile.mkdtemp(prefix="hll_spark_queries_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _TMP_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMP_ROOT[0])
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -214,6 +232,20 @@ def q_theta_except_partkeys(spark, sf):
     )
 
 
+def q_theta_estimate_orderkeys(spark, sf):
+    # theta ESTIMATION tier: k=1024 << distinct l_orderkey (1.5k/15k/147k
+    # at sf0.001/0.01/0.1) forces the KMV estimator (k-1)/theta — the
+    # regime the exact-tier driver queries deliberately avoid. Rows-only
+    # (probabilistic); the rse bound is asserted in pytest at n=2x10^6
+    # (tests/test_theta.py, mirroring test_hll_bounds.py).
+    from hll_spark.operators.sketches import theta_estimate_udf, theta_sketch_agg
+
+    li = _t(spark, sf, "lineitem")
+    return theta_sketch_agg(li, "l_orderkey", k=1024).select(
+        theta_estimate_udf()(F.col("sketch")).cast("long").alias("est_orderkeys")
+    )
+
+
 def q_hll_users_salted(spark, sf):
     # the skew path: pre-combine across 16 salted partitions, then
     # re-merge — must be value-identical to the unsalted aggregate
@@ -229,15 +261,13 @@ def q_checkpoint_resume_estimate(spark, sf):
     # second call replays from the checkpoint (scan skipped); the
     # resumed estimate is what this query returns — exact-tier, so the
     # plain COUNT(DISTINCT) oracle applies to the RESUMED path
-    import tempfile
-
     from hll_spark.operators.agg import hll_spec
     from hll_spark.plans.checkpoint import (
         CheckpointStore,
         checkpointed_sketch_aggregate,
     )
 
-    root = tempfile.mkdtemp(prefix="hll_ckpt_query_")
+    root = _query_tmp("hll_ckpt_query_")
     store = CheckpointStore(spark, root)
     spec = hll_spec(EXACT_CFG)
     events = _t(spark, sf, "events")
@@ -252,12 +282,10 @@ def q_sketch_cube_slice(spark, sf):
     # partitioned by the dimension; the slice below is answered from
     # the pruned cube cells alone (raw rows never rescanned) — exact
     # tier, so the COUNT(DISTINCT) oracle applies to the cube path
-    import tempfile
-
     from hll_spark.operators.agg import hll_spec
     from hll_spark.plans.cube import build_sketch_cube, query_sketch_cube
 
-    path = tempfile.mkdtemp(prefix="hll_cube_query_") + "/users_by_type"
+    path = _query_tmp("hll_cube_query_") + "/users_by_type"
     build_sketch_cube(
         _t(spark, sf, "events"), "user_id", ["event_type"], path,
         spec=hll_spec(EXACT_CFG),
@@ -267,6 +295,49 @@ def q_sketch_cube_slice(spark, sf):
         spark, path, spec=hll_spec(EXACT_CFG),
         where="event_type IN ('click', 'view')",
     ).select(est(F.col("sketch")).alias("distinct_click_view_users"))
+
+
+def q_streaming_sink_distinct(spark, sf):
+    # Streaming under the oracle: the events table is replayed through a
+    # REAL two-micro-batch stream (file source, availableNow triggers,
+    # durable checkpoint) into sink_sketch_table's upserted parquet; the
+    # returned frame reads the SINK, so the oracle gates the full
+    # stream -> stateful sketch state -> dynamic-partition-overwrite
+    # path. Exact tier (EXACT_CFG), so COUNT(DISTINCT) applies.
+    from hll_spark.streaming.stateful import (
+        sink_sketch_table,
+        streaming_hll_distinct,
+    )
+
+    root = _query_tmp("hll_stream_query_")
+    src, ck, sink = f"{root}/src", f"{root}/ck", f"{root}/sink"
+    events = _t(spark, sf, "events").select("event_type", "user_id")
+    split = F.pmod(F.xxhash64("user_id"), F.lit(2)) == 0
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_type string, user_id long"
+        ).parquet(src)
+        out = streaming_hll_distinct(
+            stream, "user_id", "event_type", cfg=EXACT_CFG
+        )
+        q = (
+            sink_sketch_table(out, sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    events.where(split).write.mode("append").parquet(src)
+    run_once()
+    events.where(~split).write.mode("append").parquet(src)
+    run_once()
+    est = hll_estimate_udf()
+    return spark.read.parquet(sink).select(
+        F.col("key").alias("event_type"),
+        est(F.col("sketch")).alias("distinct_user_id"),
+    )
 
 
 def q_kll_quantiles_price(spark, sf):
@@ -297,6 +368,72 @@ def q_embedding_dup_pairs(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.46).select(
         "id_a", "id_b"
+    )
+
+
+def q_embedding_dup_pairs_tight(spark, sf):
+    # The sub-quadratic regime the operator was built for: threshold
+    # 0.92 tunes to fine buckets (r=12 planes) where banding genuinely
+    # prunes. The synthetic embeddings table has no pairs above cosine
+    # ~0.6, so near-dups are constructed deterministically: each vector
+    # gets a copy (vec_id + 100000) with its first coordinate scaled by
+    # 1.2 — cosine(original, copy) ~0.99, every cross pair stays < 0.7.
+    # DuckDB builds the identical corpus (see oracle_sql).
+    emb = _t(spark, sf, "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * F.lit(1.2)).otherwise(x),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(pert)
+    return embedding_dup_pairs(
+        corpus, "embedding", "vec_id", threshold=0.92
+    ).select("id_a", "id_b")
+
+
+def q_minhash_dedup_parity(spark, sf):
+    # Oracle-visible proof of the 100 TB dedup path: a corpus whose
+    # star rule provably equals transitive closure (disjoint-token pair
+    # clusters + singletons), so rep-based minhash_dedup_keep's keep-set
+    # is exactly derivable in SQL. Pair i = docs (2i, 2i+1): 60 shared
+    # tokens w{i}_{j} plus one extra token on the odd member (3-gram
+    # Jaccard 58/59 ~ 0.983 >= 0.9); singletons use disjoint s{id}_{j}
+    # tokens. Keep-set = every even id + every singleton id.
+    from hll_spark.operators.dedup import minhash_dedup_keep
+
+    n_pairs, n_single = 500, 250
+    ids = spark.range(2 * n_pairs + n_single).withColumnRenamed("id", "doc_id")
+    pid = F.floor(F.col("doc_id") / 2).cast("long")
+    base_txt = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda j: F.format_string("w%d_%d", pid, j),
+        ),
+        " ",
+    )
+    pair_txt = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(base_txt, F.format_string(" x%d", pid)),
+    ).otherwise(base_txt)
+    single_txt = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(10)),
+            lambda j: F.format_string("s%d_%d", F.col("doc_id"), j),
+        ),
+        " ",
+    )
+    corpus = ids.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 2 * n_pairs, pair_txt)
+        .otherwise(single_txt)
+        .alias("text"),
+    )
+    return minhash_dedup_keep(corpus, "text", "doc_id", threshold=0.9).select(
+        "doc_id"
     )
 
 
@@ -454,6 +591,38 @@ def q_media_features_documents(spark, sf):
     return extract_media_features(docs).select("media_id", "n_bytes")
 
 
+def q_decoded_media_stats(spark, sf):
+    # REAL pixel/sample decode under the oracle: 20 grayscale PNGs
+    # (pixel(y,x) = (id*7 + y*8 + x) % 251, 8x6, encoder rotates all 5
+    # PNG filter types) and 10 16-bit PCM WAVs (sample(t) =
+    # (id*13 + t) % 211 - 100, 50 samples) are synthesized
+    # deterministically; mapInPandas decodes them in-partition and the
+    # DuckDB oracle recomputes count+sum in closed form from the same
+    # formulas — content-level proof of decode_media, not just headers.
+    import numpy as np
+
+    from hll_spark.operators.multimodal import (
+        encode_png,
+        encode_wav,
+        media_sample_stats,
+    )
+
+    rows = []
+    y, x = np.mgrid[0:6, 0:8]
+    for i in range(20):
+        img = ((i * 7 + y * 8 + x) % 251).astype(np.uint8)
+        rows.append((i, "image", bytearray(encode_png(img))))
+    t = np.arange(50)
+    for j in range(10):
+        mid = 100 + j
+        s = ((mid * 13 + t) % 211 - 100).astype(np.int16)
+        rows.append((mid, "audio", bytearray(encode_wav(s))))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).repartition(4)
+    return media_sample_stats(media)
+
+
 # ---------------------------------------------------------------------------
 # queries — relational coverage (Spark built-ins; Catalyst does the work)
 
@@ -604,8 +773,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_order_part_pairs": q_hll_distinct_order_part_pairs,
         "hll_users_salted": q_hll_users_salted,
         "checkpoint_resume_estimate": q_checkpoint_resume_estimate,
+        "streaming_sink_distinct": q_streaming_sink_distinct,
         "theta_intersect_partkeys": q_theta_intersect_partkeys,
         "theta_except_partkeys": q_theta_except_partkeys,
+        "theta_estimate_orderkeys": q_theta_estimate_orderkeys,
         "sketch_cube_slice": q_sketch_cube_slice,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
@@ -613,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "duplicate_groups_documents": q_duplicate_groups_documents,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_tight": q_embedding_dup_pairs_tight,
+        "minhash_dedup_parity": q_minhash_dedup_parity,
         "ann_top3": q_ann_top3,
         "ivf_ann_top3": q_ivf_ann_top3,
         "minhash_pairs_documents": q_minhash_pairs_documents,
@@ -630,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_documents": q_pii_scrub_documents,
         "media_metadata_documents": q_media_metadata_documents,
         "media_features_documents": q_media_features_documents,
+        "decoded_media_stats": q_decoded_media_stats,
         # relational coverage
         "pricing_summary": q_pricing_summary,
         "join_mktsegment_orders": q_join_mktsegment_orders,
@@ -648,6 +822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "hll_users_by_event_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS distinct_user_id
+            FROM events GROUP BY event_type
+        """,
+        "streaming_sink_distinct": """
             SELECT event_type, COUNT(DISTINCT user_id) AS distinct_user_id
             FROM events GROUP BY event_type
         """,
@@ -724,6 +902,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46
+        """,
+        "embedding_dup_pairs_tight": """
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_concat([embedding[1] * 1.2], embedding[2:])
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.92
+        """,
+        "decoded_media_stats": """
+            SELECT i AS media_id, CAST(48 AS BIGINT) AS n_samples,
+                   CAST(SUM((i*7 + y.y*8 + x.x) % 251) AS BIGINT) AS sample_sum
+            FROM range(20) t(i), range(6) y(y), range(8) x(x)
+            GROUP BY i
+            UNION ALL
+            SELECT 100 + j AS media_id, CAST(50 AS BIGINT) AS n_samples,
+                   CAST(SUM(((100 + j)*13 + s.s) % 211 - 100) AS BIGINT)
+                       AS sample_sum
+            FROM range(10) t(j), range(50) s(s)
+            GROUP BY 1
+        """,
+        "minhash_dedup_parity": """
+            SELECT i * 2 AS doc_id FROM range(500) t(i)
+            UNION ALL
+            SELECT 1000 + i AS doc_id FROM range(250) t(i)
         """,
         "ann_top3": """
             SELECT query_id, neighbor_id, rank FROM (

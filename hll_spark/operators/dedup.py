@@ -151,16 +151,17 @@ def _minhash_enriched(
     return _remember_enriched(enriched)
 
 
-# The enriched (signatures + band keys) frame is cached because every
-# caller reads it twice (bucket explode + signature rejoin). Keep at most
-# one alive: repeated minhash_lsh_pairs / minhash_dedup_keep /
-# clean_corpus calls over DIFFERENT inputs would otherwise accumulate
-# cached DataFrames in executor storage until LRU pressure. A repeat call
-# over the SAME input+params (matched by the analyzed plan's semantic
-# hash) reuses the already-materialized frame — re-caching would be a
-# no-op in Spark's CacheManager, and unpersisting it would throw away a
-# warm cache. Call clear_minhash_cache() to drop it eagerly.
-_ENRICHED_LAST: list[tuple] = []
+# Signature/shingle frames are cached because every caller reads them
+# several times (bucket explode + rejoin / DF count + array verify), and
+# the pandas-UDF pass that builds them is the expensive stage. Each slot
+# keeps at most ONE frame alive: repeated calls over DIFFERENT inputs
+# would otherwise accumulate cached DataFrames in executor storage until
+# LRU pressure. A repeat call over the SAME input+params (matched by the
+# analyzed plan's semantic hash) reuses the already-materialized frame —
+# re-caching would be a no-op in Spark's CacheManager, and unpersisting
+# it would throw away a warm cache. clear_minhash_cache() drops all
+# slots eagerly.
+_CACHE_SLOTS: dict[str, tuple] = {}
 
 
 def _plan_key(df: DataFrame):
@@ -170,21 +171,31 @@ def _plan_key(df: DataFrame):
         return None
 
 
-def _remember_enriched(df: DataFrame) -> DataFrame:
+def _bounded_cache(slot: str, df: DataFrame) -> DataFrame:
     key = _plan_key(df)
-    if _ENRICHED_LAST and key is not None and _ENRICHED_LAST[0][0] == key:
-        return _ENRICHED_LAST[0][1]
-    clear_minhash_cache()
+    prev = _CACHE_SLOTS.get(slot)
+    if prev is not None and key is not None and prev[0] == key:
+        return prev[1]
+    if prev is not None:
+        try:
+            prev[1].unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
     cached = df.cache()
-    _ENRICHED_LAST.append((key, cached))
+    _CACHE_SLOTS[slot] = (key, cached)
     return cached
 
 
+def _remember_enriched(df: DataFrame) -> DataFrame:
+    return _bounded_cache("minhash", df)
+
+
 def clear_minhash_cache() -> None:
-    """Unpersist the most recent minhash signature cache."""
-    while _ENRICHED_LAST:
+    """Unpersist every cached signature/shingle frame."""
+    while _CACHE_SLOTS:
+        _, (key, df) = _CACHE_SLOTS.popitem()
         try:
-            _ENRICHED_LAST.pop()[1].unpersist()
+            df.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
 
@@ -323,13 +334,25 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via shingle inverted index.
 
-    Plan: explode distinct shingle hashes -> self-join on shingle ->
-    count common shingles per pair -> Jaccard = common/(|A|+|B|-common).
-    Exact (oracle-checkable) but quadratic in per-shingle bucket sizes;
-    the MinHash path above is the at-scale variant.
+    Plan: explode distinct shingle hashes -> drop shingles with document
+    frequency > ``max_shingle_df`` from CANDIDATE GENERATION only ->
+    self-join on the remaining shingles -> verify candidates with the
+    FULL shingle sets (array_intersect), so Jaccard itself is exact.
+
+    The DF cap bounds the self-join's largest bucket at
+    ``max_shingle_df`` docs regardless of corpus-wide boilerplate — the
+    unbounded form is the one plan here that dies at 100x. Correctness
+    contract: a qualifying pair is missed only if EVERY shingle it
+    shares occurs in more than ``max_shingle_df`` documents — at
+    near-dup thresholds a pair shares most of its shingles, so its
+    similarity would have to rest entirely on corpus-ubiquitous
+    boilerplate. Pass ``max_shingle_df=None`` for the uncapped exact
+    oracle form. The MinHash path above is the at-scale approximate
+    variant.
     """
 
     def shingles_batch(texts: pd.Series) -> pd.Series:
@@ -341,34 +364,43 @@ def ngram_jaccard_pairs(
         )
 
     sh_udf = pandas_udf(shingles_batch, ArrayType(LongType()))
-    sh = df.select(F.col(id_col), sh_udf(F.col(text_col)).alias("sh"))
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    # cached: the shingle pandas-UDF pass is read 3-4x (explode for
+    # candidates, DF count, and both sides of the array verify)
+    sh = _bounded_cache(
+        "ngram", df.select(F.col(id_col), sh_udf(F.col(text_col)).alias("sh"))
+    )
     exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle")
     a, b = exploded.alias("a"), exploded.alias("b")
-    common = (
+    candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("n_common"))
+        .distinct()
     )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sh_b"))
+    n_common = F.size(F.array_intersect("__sh_a", "__sh_b"))
     return (
-        common.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")),
-            "id_b",
-        )
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+                n_common
+                / (F.size("__sh_a") + F.size("__sh_b") - n_common),
                 6,
             ),
         )

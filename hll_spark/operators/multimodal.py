@@ -1,15 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side machinery is real and tested — typed metadata schema,
-Arrow batch shapes, mapInPandas partitioning, deterministic fake
-feature extraction — and container-HEADER parsing
-(:func:`parse_media_headers`) is REAL — PNG/JPEG/GIF/BMP/WAV
-dimensions, sample rate and duration read straight from the published
-byte layouts, no codec library needed. Only pixel/sample DECODING is
-stubbed: ``decode_media`` raises ``NotImplementedError`` unless the
-caller opts into the deterministic fake decoder (used by tests and the
-synthetic pipeline). Swapping in a real decoder is a one-function
-change; nothing in the distributed plan changes.
+Arrow batch shapes, mapInPandas partitioning — and so are two levels of
+content access:
+
+- container-HEADER parsing (:func:`parse_media_headers`): PNG/JPEG/GIF/
+  BMP/WAV dimensions, sample rate and duration read straight from the
+  published byte layouts;
+- pixel/sample DECODING (:func:`decode_media`): REAL for PNG (stdlib
+  zlib + numpy unfiltering of all five scanline filters) and WAV PCM
+  (stdlib ``wave``) — oracle-checked against closed-form content sums
+  (driver query ``decoded_media_stats``). JPEG/GIF/video decoding stays
+  stubbed behind ``NotImplementedError`` (entropy/DCT decode genuinely
+  needs codec libraries absent here); the deterministic fake decoder
+  remains for exercising the pipeline on those formats.
 
 Design for 100 TB: media bytes never leave their partition — features
 are extracted in-place per Arrow batch (mapInPandas), and only the small
@@ -56,16 +60,218 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_media(payload: bytes, kind: str):
-    """Decode raw media bytes into pixels/samples/frames.
+    """Decode raw media bytes into pixels/samples.
 
-    STUB: real decoding requires codec libraries (PIL/ffmpeg/...) that are
-    not present in this environment. The distributed plumbing around this
-    function is real; swap this body for a real decoder in production.
+    REAL for PNG (stdlib zlib inflate + numpy scanline unfiltering, all
+    five PNG filter types, 8-bit gray/gray+alpha/RGB/RGBA) and WAV PCM
+    (stdlib ``wave``): returns a uint8 pixel array (h, w[, channels])
+    or an int16/uint8 sample array (n[, channels]). JPEG/GIF/video
+    stay stubbed — entropy/DCT decoding genuinely needs codec
+    libraries (PIL/ffmpeg) absent from this environment; swap this
+    body's fallthrough for a real decoder in production. Nothing in
+    the distributed plan changes either way.
     """
+    b = bytes(payload)
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return decode_wav(b)
     raise NotImplementedError(
-        "media decoding requires codec libraries not available here; "
-        "use fake_decode for deterministic testing"
+        "only PNG and WAV decode without codec libraries; "
+        "use fake_decode for deterministic testing of other formats"
     )
+
+
+# -- PNG: encode/decode with stdlib zlib + numpy ---------------------------
+#
+# Layouts from the public PNG spec (RFC 2083 / W3C PNG): 8-byte
+# signature, length-type-data-crc chunks, IHDR geometry, IDAT = zlib
+# stream of filter-byte-prefixed scanlines, filters 0-4 defined on the
+# raw bytes of the current/previous scanline.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (spec §6.6)."""
+    ai, bi, ci = (x.astype(np.int32) for x in (a, b, c))
+    p = ai + bi - ci
+    pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (8-bit, non-interlaced) for synthetic test /
+    oracle media. Rotates through all five filter types row by row so a
+    decoder must implement every unfilter branch to round-trip."""
+    import struct
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ctype, ch = 0, 1
+    elif img.shape[2] == 2:
+        ctype, ch = 4, 2
+    elif img.shape[2] == 3:
+        ctype, ch = 2, 3
+    else:
+        ctype, ch = 6, 4
+    h, w = img.shape[0], img.shape[1]
+    raw = img.reshape(h, w * ch)
+    zero = np.zeros(w * ch, dtype=np.uint8)
+    out = []
+    for y in range(h):
+        row, prev = raw[y], (raw[y - 1] if y else zero)
+        left = np.concatenate([zero[:ch], row[:-ch]]) if w * ch > ch else zero[: w * ch]
+        upleft = np.concatenate([zero[:ch], prev[:-ch]]) if w * ch > ch else zero[: w * ch]
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left.astype(np.int32) + prev) // 2).astype(np.uint8)
+        else:
+            filt = row - _paeth(left, prev, upleft)
+        out.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(out))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Real PNG pixel decode: zlib-inflate the IDAT stream and undo the
+    per-scanline filters. Supports the common web shape — 8-bit depth,
+    color types 0/2/4/6, non-interlaced."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, idat, meta = 8, [], None
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + clen]
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, ctype, interlace)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        i += 12 + clen
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, interlace = meta
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} "
+            "not supported (8-bit non-interlaced only)"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        prev = img[y - 1] if y else zero
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = line + prev
+        else:
+            # Sub/Average/Paeth reference the reconstructed LEFT pixel —
+            # inherently sequential along the scanline (loop over pixel
+            # positions, vector over channels).
+            cur = line
+            li = cur.astype(np.int32)
+            pi = prev.astype(np.int32)
+            for x in range(0, stride, ch):
+                left = li[x - ch : x] if x else np.zeros(ch, np.int32)
+                upleft = pi[x - ch : x] if x else np.zeros(ch, np.int32)
+                up = pi[x : x + ch]
+                if f == 1:
+                    li[x : x + ch] = (li[x : x + ch] + left) & 0xFF
+                elif f == 3:
+                    li[x : x + ch] = (li[x : x + ch] + (left + up) // 2) & 0xFF
+                elif f == 4:
+                    pred = _paeth(
+                        left.astype(np.uint8),
+                        up.astype(np.uint8),
+                        upleft.astype(np.uint8),
+                    )
+                    li[x : x + ch] = (li[x : x + ch] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+            cur = li.astype(np.uint8)
+        img[y] = cur
+    img = img.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+# -- WAV PCM: encode/decode with stdlib wave --------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal 16-bit PCM WAV encoder for synthetic test/oracle media."""
+    import io
+    import wave
+
+    samples = np.asarray(samples)
+    n_ch = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(n_ch)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(b: bytes) -> np.ndarray:
+    """Real WAV PCM decode via stdlib ``wave``: int16 (or uint8 for
+    8-bit files) sample array, shape (n,) mono / (n, channels)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(b), "rb") as wv:
+        n_ch, sw = wv.getnchannels(), wv.getsampwidth()
+        frames = wv.readframes(wv.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2")
+    elif sw == 1:
+        arr = np.frombuffer(frames, dtype=np.uint8)
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} not supported")
+    return arr if n_ch == 1 else arr.reshape(-1, n_ch)
 
 
 def fake_decode(payload: bytes, kind: str) -> np.ndarray:
@@ -80,8 +286,16 @@ def fake_decode(payload: bytes, kind: str) -> np.ndarray:
 
 def _extract_features(signal: np.ndarray) -> np.ndarray:
     """Toy feature extractor: banded second-moment summary (content-
-    deterministic, fixed FEATURE_DIM output)."""
-    bands = signal.reshape(FEATURE_DIM, -1)
+    deterministic, fixed FEATURE_DIM output). Accepts any decoder
+    output shape — pixels or samples are flattened and zero-padded to
+    a FEATURE_DIM multiple."""
+    flat = np.asarray(signal, dtype=np.float64).ravel()
+    if flat.size == 0:
+        return np.zeros(FEATURE_DIM)
+    pad = (-flat.size) % FEATURE_DIM
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad)])
+    bands = flat.reshape(FEATURE_DIM, -1)
     return np.sqrt((bands**2).mean(axis=1))
 
 
@@ -128,6 +342,48 @@ def extract_media_features(
             )
 
     return df.select(id_col, "kind", payload_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+MEDIA_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+    ]
+)
+
+
+def media_sample_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder=decode_media,
+) -> DataFrame:
+    """Per-media decoded-content statistics (count + sum of raw
+    pixel/sample values) via in-partition decode — the oracle-checkable
+    proof that :func:`decode_media` reconstructs the actual content, not
+    just headers. Bytes never shuffle; only (id, 2 longs) rows do."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns, sums = [], []
+            for payload, kind in zip(pdf[payload_col], pdf["kind"]):
+                flat = np.asarray(decoder(bytes(payload), kind)).ravel()
+                ns.append(int(flat.size))
+                sums.append(int(flat.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(np.int64),
+                    "n_samples": ns,
+                    "sample_sum": sums,
+                }
+            )
+
+    return df.select(id_col, "kind", payload_col).mapInPandas(
+        run, MEDIA_STATS_SCHEMA
+    )
 
 
 HEADER_SCHEMA = StructType(

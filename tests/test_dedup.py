@@ -258,7 +258,7 @@ def test_embedding_dup_pairs_threshold_one_and_empty(spark):
 def test_minhash_cache_is_bounded(spark):
     """Repeated minhash calls keep at most one cached signature frame."""
     from hll_spark.operators.dedup import (
-        _ENRICHED_LAST,
+        _CACHE_SLOTS,
         clear_minhash_cache,
         minhash_lsh_pairs,
     )
@@ -267,15 +267,39 @@ def test_minhash_cache_is_bounded(spark):
         [(i, f"some text body number {i} " * 3) for i in range(20)],
         ["doc_id", "text"],
     )
+    clear_minhash_cache()
     for _ in range(3):
         minhash_lsh_pairs(df, "text", "doc_id").count()
-    assert len(_ENRICHED_LAST) == 1
-    same = _ENRICHED_LAST[0][1]
+    assert len(_CACHE_SLOTS) == 1
+    same = _CACHE_SLOTS["minhash"][1]
     # same input+params: the warm cached frame is REUSED, not evicted
     minhash_lsh_pairs(df, "text", "doc_id").count()
-    assert _ENRICHED_LAST[0][1] is same
+    assert _CACHE_SLOTS["minhash"][1] is same
     # different params: old entry evicted, still exactly one alive
     minhash_lsh_pairs(df, "text", "doc_id", k=64, bands=16).count()
-    assert len(_ENRICHED_LAST) == 1 and _ENRICHED_LAST[0][1] is not same
+    assert len(_CACHE_SLOTS) == 1 and _CACHE_SLOTS["minhash"][1] is not same
     clear_minhash_cache()
-    assert len(_ENRICHED_LAST) == 0
+    assert len(_CACHE_SLOTS) == 0
+
+
+def test_ngram_df_cap_keeps_threshold_pairs(spark, sf_dir):
+    """The shingle document-frequency cap bounds the candidate self-join
+    without losing pairs: capped and uncapped results agree on the sf
+    documents table, and a boilerplate shingle shared by MANY docs still
+    counts toward the (exact) Jaccard of pairs found via rarer shingles."""
+    from hll_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_shingle_df=50
+        ).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert capped == uncapped and len(uncapped) > 0

@@ -135,3 +135,78 @@ def test_parse_media_headers_real_formats(spark):
             got[4].duration_ms) == ("wav", 16000, 2, 1000)
     assert got[5].format == "unknown" and got[5].width is None
     assert all(got[i].n_bytes == len(payloads[i]) for i in range(6))
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """Real PNG decode: the encoder rotates through all 5 filter types
+    row-by-row, so a correct round-trip proves every unfilter branch
+    (None/Sub/Up/Average/Paeth) for gray, gray+alpha, RGB and RGBA."""
+    from hll_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(6, 8), (7, 5, 2), (6, 8, 3), (5, 7, 4), (1, 1), (2, 1, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(encode_png(img))
+        np.testing.assert_array_equal(got, img.squeeze() if img.ndim == 2 else img)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from hll_spark.operators.multimodal import decode_wav, encode_wav
+
+    mono = (np.arange(100) * 37 % 211 - 100).astype(np.int16)
+    np.testing.assert_array_equal(decode_wav(encode_wav(mono)), mono)
+    stereo = np.stack([mono, -mono], axis=1)
+    np.testing.assert_array_equal(decode_wav(encode_wav(stereo)), stereo)
+
+
+def test_decode_media_dispatch_and_header_consistency():
+    """decode_media routes PNG/WAV to the real decoders; decoded shape
+    agrees with the independent header parser; other formats still
+    raise (honest stub for codec-dependent formats)."""
+    from hll_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+        encode_wav,
+        parse_header,
+    )
+
+    img = (np.arange(48, dtype=np.uint8) % 251).reshape(6, 8)
+    png = encode_png(img)
+    hdr = parse_header(png)
+    pixels = decode_media(png, "image")
+    assert (hdr["width"], hdr["height"]) == (8, 6)
+    assert pixels.shape == (6, 8)
+    np.testing.assert_array_equal(pixels, img)
+
+    wav = encode_wav(np.zeros(400, dtype=np.int16), rate=8000)
+    hdr = parse_header(wav)
+    samples = decode_media(wav, "audio")
+    assert hdr["sample_rate"] == 8000 and hdr["duration_ms"] == 50
+    assert samples.shape == (400,)
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xe0 not decodable jpeg", "image")
+
+
+def test_extract_features_with_real_decoder(spark):
+    """extract_media_features over REAL decoded pixels/samples — the
+    repo's former only stub now runs end-to-end on PNG and WAV rows."""
+    from hll_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+        encode_wav,
+        extract_media_features,
+    )
+
+    rows = []
+    for i in range(4):
+        img = ((np.arange(48) * (i + 1)) % 251).astype(np.uint8).reshape(6, 8)
+        rows.append((i, "image", bytearray(encode_png(img))))
+    for i in range(4, 6):
+        s = ((np.arange(64) * i) % 211 - 100).astype(np.int16)
+        rows.append((i, "audio", bytearray(encode_wav(s))))
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = extract_media_features(df, decoder=decode_media).collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(r.feature) == 64 and all(v >= 0 for v in r.feature)

@@ -132,3 +132,22 @@ def test_from_bytes_rejects_corrupt_input():
     # truncated payload: frombuffer must fail loudly, not mis-read
     with _pytest.raises(ValueError):
         ThetaSketch.from_bytes(blob[: len(blob) - 5])
+
+
+def test_kmv_bound_large_n_real_hashes():
+    """Estimation-tier accuracy at n >= 10^6 with REAL hash values (the
+    pipeline's own 64-bit finalizer over sequential ids), mirroring the
+    rigor of test_hll_bounds.py: |est/n - 1| <= 4*rse, with the sketch
+    built incrementally in partition-shaped chunks as the Spark
+    aggregation path does."""
+    from hll_spark.sketchlib.hashing import hash64_long
+
+    n = 2_000_000
+    h = hash64_long(np.arange(n, dtype=np.int64))
+    for k in (1024, 4096):
+        s = ThetaSketch(k=k)
+        for i in range(0, n, 250_000):
+            s.add_hashed(h[i : i + 250_000])
+        assert s.full
+        rel = abs(s.estimate_float() / n - 1)
+        assert rel <= 4 / np.sqrt(k - 2), (k, rel)
