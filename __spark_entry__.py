@@ -340,6 +340,41 @@ def q_streaming_sink_distinct(spark, sf):
     )
 
 
+def q_mg_top_sources(spark, sf):
+    # Misra-Gries frequent items, exact regime: capacity 64 >= the 20
+    # distinct sources, so no counter is ever decremented (offset 0) and
+    # the lower-bound counts ARE the exact counts — oracle-checkable.
+    # The estimation regime (k << distinct) is bound-asserted in
+    # tests/test_mg.py.
+    from hll_spark.operators.sketches import mg_top_items
+
+    docs = _t(spark, sf, "documents")
+    return mg_top_items(docs, "source", top_n=64, k=64).select(
+        "item", "count_lb", "error_bound"
+    )
+
+
+def q_strip_boilerplate_docs(spark, sf):
+    # Corpus-wide boilerplate line removal under the oracle: every doc
+    # is wrapped with a nav header + copyright footer (document
+    # frequency = corpus size >> cap, stripped) plus a 'group-N' line
+    # shared by only ~n/997 docs (kept); the cleaned text must equal
+    # original + group line, which DuckDB reconstructs directly.
+    from hll_spark.operators.text import strip_boilerplate_lines
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV HOME ABOUT CONTACT\n"),
+            F.col("text"),
+            F.lit("\ncopyright 2026 example.org\n"),
+            F.format_string("group-%d", F.col("doc_id") % 997),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(corpus, "text", "doc_id", max_line_df=30)
+
+
 def q_kll_quantiles_price(spark, sf):
     return kll_quantiles(_t(spark, sf, "lineitem"), "l_extendedprice",
                          [0.1, 0.5, 0.9])
@@ -778,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_except_partkeys": q_theta_except_partkeys,
         "theta_estimate_orderkeys": q_theta_estimate_orderkeys,
         "sketch_cube_slice": q_sketch_cube_slice,
+        "mg_top_sources": q_mg_top_sources,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         # dedup / similarity
@@ -801,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_stats": q_clean_corpus_stats,
         "gopher_metrics_documents": q_gopher_metrics_documents,
         "pii_scrub_documents": q_pii_scrub_documents,
+        "strip_boilerplate_docs": q_strip_boilerplate_docs,
         "media_metadata_documents": q_media_metadata_documents,
         "media_features_documents": q_media_features_documents,
         "decoded_media_stats": q_decoded_media_stats,
@@ -914,6 +951,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.92
+        """,
+        "mg_top_sources": """
+            SELECT source AS item, COUNT(*) AS count_lb,
+                   CAST(0 AS BIGINT) AS error_bound
+            FROM documents GROUP BY source
+        """,
+        "strip_boilerplate_docs": """
+            SELECT doc_id,
+                   text || chr(10) || 'group-' || CAST(doc_id % 997 AS VARCHAR)
+                       AS text
+            FROM documents
         """,
         "decoded_media_stats": """
             SELECT i AS media_id, CAST(48 AS BIGINT) AS n_samples,

@@ -136,6 +136,18 @@ EXTRA_QUERIES = [
     "clean_corpus_stats",
 ]
 
+# round-3 additions (same treatment). streaming_sink_distinct is
+# excluded like embedding_dup_pairs: its wall time is micro-batch
+# machinery startup (two full stream lifecycles per call), not
+# data-volume work, so timing it at sf0.1 measures fixed overhead; it
+# stays correctness-gated in CORRECTNESS/pytest.
+EXTRA_QUERIES_R3 = [
+    "theta_estimate_orderkeys",
+    "embedding_dup_pairs_tight",
+    "minhash_dedup_parity",
+    "decoded_media_stats",
+]
+
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
@@ -160,7 +172,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    for name in bench_queries + EXTRA_QUERIES:
+    for name in bench_queries + EXTRA_QUERIES + EXTRA_QUERIES_R3:
         qs[name](spark, sf_dir).collect()  # warm: parquet footers, JIT, plan
         # best of 3 warm runs: robust to background-load spikes on this
         # shared VM (per-run variance is up to ~40%)
@@ -255,7 +267,12 @@ def main() -> None:
         scaling_child(int(sys.argv[-1]), int(sys.argv[-1]))
         return
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        rounds = (
+            int(sys.argv[sys.argv.index("--rounds") + 1])
+            if "--rounds" in sys.argv
+            else 2
+        )
+        print(json.dumps(run_scaling(rounds)))
         return
 
     spark = make_spark(CPUS, ui=True)
@@ -290,8 +307,13 @@ def main() -> None:
     except Exception:
         pass
     all_timings = run_queries(spark, SF_DIR)
-    timings = {k: v for k, v in all_timings.items() if k not in EXTRA_QUERIES}
+    timings = {
+        k: v
+        for k, v in all_timings.items()
+        if k not in EXTRA_QUERIES and k not in EXTRA_QUERIES_R3
+    }
     extra = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES}
+    extra_r3 = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES_R3}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -302,6 +324,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_extra_r2": extra,
+                "queries_extra_r3": extra_r3,
                 "sf": SF_DIR,
                 "docs_per_sec": round(docs_per_sec),
                 "flagship_rows": n_rows,

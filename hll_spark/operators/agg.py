@@ -137,6 +137,10 @@ def _batch_values(pdf: pd.DataFrame, hash_mode: str | None) -> np.ndarray:
         return v.to_numpy(dtype=np.int64)
     if hash_mode == "murmur3":
         return murmur3_x64_128_low64(v).view(np.int64)
+    if hash_mode == "raw":
+        # item-identity sketches (Misra-Gries): the summary must carry
+        # the values themselves, so ship them untouched
+        return v.to_numpy()
     return v.to_numpy(dtype=np.float64)
 
 

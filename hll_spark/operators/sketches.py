@@ -370,3 +370,92 @@ def theta_difference_udf():
         )
 
     return diff
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving: mergeable frequent-items summary
+
+
+def mg_spec(k: int = 256) -> SketchSpec:
+    from ..sketchlib.mg import MisraGries
+
+    def update(state: MisraGries, values: np.ndarray) -> MisraGries:
+        return state.update(values)
+
+    return SketchSpec(
+        name="mg",
+        zero_fn=lambda: MisraGries(k),
+        update_fn=update,
+        merge_fn=lambda a, b: a.merge(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=MisraGries.from_bytes,
+    )
+
+
+def mg_sketch_agg(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """(by..., sketch, rows_seen) Misra-Gries summaries via the shared
+    two-level scaffold. Items ship as raw strings (hash_mode='raw'):
+    the summary must report the items themselves, and the per-batch
+    cost is one C-level value_counts, not per-row Python."""
+    return sketch_aggregate(df, col, mg_spec(k), by, hash_mode="raw")
+
+
+def mg_top_items(
+    df: DataFrame,
+    col: str,
+    top_n: int = 10,
+    k: int = 256,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Top-N frequent items per group with lower-bound counts and the
+    summary's error bound.
+
+    Output: (*by, item, count_lb, error_bound) — ``count_lb <= true
+    count <= count_lb + error_bound`` and ``error_bound <= n/(k+1)``
+    regardless of merge order (mergeable MG). With ``k`` >= the column's
+    distinct count the bound is 0 and counts are EXACT — the regime the
+    oracle-checked driver query pins. Unlike CMS heavy hitters, no
+    candidate set is needed: the summary carries the items.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sketchlib.mg import MisraGries
+
+    sketches = mg_sketch_agg(df, col, k=k, by=by)
+    entry = StructType(
+        [
+            StructField("item", StringType()),
+            StructField("count_lb", LongType()),
+            StructField("error_bound", LongType()),
+        ]
+    )
+
+    @pandas_udf(ArrayType(entry))
+    def top(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            s = MisraGries.from_bytes(bytes(b))
+            out.append(
+                [
+                    {"item": it, "count_lb": c, "error_bound": s.offset}
+                    for it, c in s.top(top_n)
+                ]
+            )
+        return pd.Series(out, index=blobs.index)
+
+    keys = [F.col(c) for c in (by or [])]
+    return (
+        sketches.select(*keys, F.explode(top(F.col("sketch"))).alias("__e"))
+        .select(*keys, "__e.item", "__e.count_lb", "__e.error_bound")
+    )

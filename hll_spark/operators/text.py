@@ -298,3 +298,56 @@ def gopher_quality_filters(
         & F.col("mean_word_len").between(lo, hi)
         & (F.col("top_bigram_frac") <= max_top_bigram_fraction),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide boilerplate line removal
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line_df: int = 100,
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove corpus-ubiquitous lines (nav bars, cookie banners, footer
+    chrome) from every document: a line is boilerplate iff it appears in
+    MORE than ``max_line_df`` distinct documents. Returns (id, text)
+    with the surviving lines re-joined in original order.
+
+    Plan (all JVM built-ins, three shuffles, every one key-bounded):
+    split -> posexplode (lines) -> per-line distinct-doc count (map-side
+    partial agg) -> semi-ish join keeps rare lines -> groupBy(id) with
+    array_agg sorted by position -> array_join. At 100 TB the line
+    table is the corpus itself re-keyed — the aggregates stream with
+    partial combine, and no stage ever holds a whole document group
+    beyond its own lines.
+
+    Blank lines are preserved verbatim (they carry formatting, and
+    counting them as 'boilerplate' would strip every paragraph break).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    line_df = (
+        lines.where(F.length(F.trim("line")) > 0)
+        .groupBy("line")
+        .agg(F.count_distinct(id_col).alias("__docs"))
+        .where(F.col("__docs") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(line_df, "line", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                delim,
+            ).alias(text_col)
+        )
+    )

@@ -146,3 +146,27 @@ def test_gopher_filters_flag_boilerplate(spark):
     assert not out[2].gopher_pass and out[2].dup_line_frac > 0.5
     assert not out[3].gopher_pass and out[3].symbol_word_ratio > 0.1
     assert not out[4].gopher_pass and out[4].top_bigram_frac > 0.2
+
+
+def test_strip_boilerplate_lines(spark):
+    """Lines in > max_line_df docs are stripped; rare lines and blank
+    lines survive in original order; within-doc duplicates of a rare
+    line are kept (DF counts distinct DOCS, not occurrences)."""
+    from hll_spark.operators.text import strip_boilerplate_lines
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER"
+    rows = []
+    for i in range(10):
+        body = f"unique body {i}\n\nrepeated rare {i % 5}\nrepeated rare {i % 5}"
+        rows.append((i, f"{boiler}\n{body}\n{boiler}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, "text", "doc_id", max_line_df=5
+        ).collect()
+    }
+    for i in range(10):
+        assert out[i] == (
+            f"unique body {i}\n\nrepeated rare {i % 5}\nrepeated rare {i % 5}"
+        )
