@@ -146,6 +146,8 @@ EXTRA_QUERIES_R3 = [
     "embedding_dup_pairs_tight",
     "minhash_dedup_parity",
     "decoded_media_stats",
+    "mg_top_sources",
+    "strip_boilerplate_docs",
 ]
 
 

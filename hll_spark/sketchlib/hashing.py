@@ -64,6 +64,29 @@ def murmur3_finalizer_u64(x: np.ndarray) -> np.ndarray:
     return _fmix64(np.ascontiguousarray(x).view(np.uint64))
 
 
+_F32_1 = np.array(0x85EBCA6B, dtype=np.uint32)
+_F32_2 = np.array(0xC2B2AE35, dtype=np.uint32)
+
+
+def murmur3_finalizer_u32(x: np.ndarray) -> np.ndarray:
+    """MurmurHash3 32-bit finalizer/avalanche (fmix32), vectorized.
+
+    Semantics-parity with the reference's murmur3Hash32 (util.go:262-269),
+    which scrambles keys for its open-addressing int hash maps
+    (int2byte_hashmap.go:101). This build replaces those hash tables with
+    numpy arrays/dicts, so the finalizer is exposed as a general utility
+    (and used as an independent secondary mix in tests).
+    """
+    x = np.ascontiguousarray(x).view(np.uint32) if isinstance(x, np.ndarray) \
+        else np.asarray(x, dtype=np.uint32)
+    x = x ^ (x >> np.uint32(16))
+    x = x * _F32_1
+    x = x ^ (x >> np.uint32(13))
+    x = x * _F32_2
+    x = x ^ (x >> np.uint32(16))
+    return x
+
+
 def _murmur3_fixed_length(mat: np.ndarray, length: int, seed: int) -> np.ndarray:
     """MurmurHash3 x64-128 low64 over an (n, length) uint8 matrix."""
     n = mat.shape[0]

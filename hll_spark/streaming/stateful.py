@@ -113,8 +113,16 @@ def windowed_hll_distinct(
     window: str = "1 hour",
     watermark: str = "2 hours",
     cfg: HllConfig | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window distinct counts with a late-data watermark.
+    """Tumbling (default) or sliding window distinct counts with a
+    late-data watermark.
+
+    ``slide`` < ``window`` turns the windows sliding: Spark's window()
+    assigns each event to window/slide overlapping windows (one state
+    row each), so state grows by that factor — each window's sketch
+    stays bounded and is still evicted at watermark, exactly like the
+    tumbling case.
 
     Window assignment and watermarking are Spark built-ins; the sketch
     union inside each window group reuses the batch kernel. The stateful
@@ -177,7 +185,7 @@ def windowed_hll_distinct(
     # for the window can be admitted.
     bucketed = (
         stream_df.select(
-            F.window(F.col(ts_col), window).alias("__w"),
+            F.window(F.col(ts_col), window, slide or window).alias("__w"),
             F.xxhash64(F.col(col)).alias("__h"),
         )
         .select(

@@ -164,3 +164,33 @@ def test_workspace_cache_capped_for_wide_strings():
     np.testing.assert_array_equal(
         h_wide[1:], murmur3_x64_128_low64(wide[1:])
     )
+
+
+def test_murmur3_finalizer_u32_scalar_model_and_avalanche():
+    """fmix32 parity with an independent scalar model of the published
+    finalizer (reference util.go:262-269), plus the properties the
+    reference relies on: bijectivity (no collisions over a large sample)
+    and ~50% avalanche on single-bit flips."""
+    from hll_spark.sketchlib.hashing import murmur3_finalizer_u32
+
+    def scalar_fmix32(x: int) -> int:
+        x &= 0xFFFFFFFF
+        x ^= x >> 16
+        x = (x * 0x85EBCA6B) & 0xFFFFFFFF
+        x ^= x >> 13
+        x = (x * 0xC2B2AE35) & 0xFFFFFFFF
+        x ^= x >> 16
+        return x
+
+    vals = np.array([0, 1, 2, 0xDEADBEEF, 0xFFFFFFFF, 12345678], dtype=np.uint32)
+    got = murmur3_finalizer_u32(vals)
+    assert got.tolist() == [scalar_fmix32(int(v)) for v in vals]
+    assert scalar_fmix32(0) == 0 and got[0] == 0
+
+    sample = np.arange(100_000, dtype=np.uint32)
+    h = murmur3_finalizer_u32(sample)
+    assert len(np.unique(h)) == len(sample)  # bijective: no collisions
+
+    flipped = murmur3_finalizer_u32(sample ^ np.uint32(1))
+    diff_bits = np.unpackbits((h ^ flipped).view(np.uint8)).mean() * 32
+    assert 14 <= diff_bits <= 18  # ~16 of 32 bits flip on average

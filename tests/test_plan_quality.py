@@ -43,6 +43,13 @@ GATED = [
     "setop_partkeys_except",
     "asof_last_order",
     "session_counts",
+    # round-3 additions
+    "theta_estimate_orderkeys",
+    "embedding_dup_pairs_tight",
+    "minhash_dedup_parity",
+    "decoded_media_stats",
+    "mg_top_sources",
+    "strip_boilerplate_docs",
 ]
 
 

@@ -388,3 +388,39 @@ def test_session_late_out_of_order_data(spark, tmp_path):
         (ms(5), ms(6), 2, 2),       # late gap-separated session, emitted
         (ms(70), ms(104), 7, 5),    # open session extended backward
     ]
+
+
+def test_sliding_windowed_distinct(spark, tmp_path):
+    """Sliding windows (2h window, 1h slide): every event lands in two
+    overlapping windows and each window's distinct count matches the
+    batch ground truth computed over the same 2h span."""
+    rng = np.random.default_rng(9)
+    src = str(tmp_path / "slsrc")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    ts = base + pd.to_timedelta(rng.integers(0, 3 * 3600, 3000), unit="s")
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 300, 3000),
+            "event_type": ["x"] * 3000,
+            "ts": ts,
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("append").parquet(src)
+    result = run_stream(
+        spark,
+        src,
+        str(tmp_path / "slck"),
+        lambda s: windowed_hll_distinct(
+            s, "user_id", "ts", "2 hours", "2 hours", CFG, slide="1 hour"
+        ),
+        str(tmp_path / "slout"),
+    )
+    # ground truth: window starting at hour h covers [h, h+2h)
+    got = result.set_index("key")["distinct_estimate"].to_dict()
+    starts = sorted(got)
+    # events span [0, 3h) -> sliding starts at -1h, 0h, 1h, 2h
+    assert len(starts) == 4
+    for start in starts:
+        s = pd.Timestamp(start)
+        mask = (pdf.ts >= s) & (pdf.ts < s + pd.Timedelta(hours=2))
+        assert got[start] == pdf.loc[mask, "user_id"].nunique(), start
