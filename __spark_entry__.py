@@ -425,8 +425,10 @@ def q_embedding_dup_pairs_tight(spark, sf):
         .alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(pert)
+    # dim passed explicitly (testdata embeddings are 64-wide at every
+    # sf) — skips the plan-build-time head() lookup
     return embedding_dup_pairs(
-        corpus, "embedding", "vec_id", threshold=0.92
+        corpus, "embedding", "vec_id", threshold=0.92, dim=64
     ).select("id_a", "id_b")
 
 

@@ -112,3 +112,24 @@ def test_spark_mg_matches_kernel(spark):
     for r in rows:
         assert r.count_lb <= 1000 <= r.count_lb + r.error_bound
         assert r.error_bound <= 40_000 / (16 + 1)
+
+
+def test_spark_mg_grouped(spark):
+    """Per-group MG summaries: one summary per key, each exact in the
+    under-capacity regime."""
+    from hll_spark.operators.sketches import mg_top_items
+
+    pdf = pd.DataFrame(
+        {
+            "grp": ["a"] * 6000 + ["b"] * 3000,
+            "w": [f"x{i % 3}" for i in range(6000)]
+            + [f"y{i % 2}" for i in range(3000)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(6)
+    rows = mg_top_items(df, "w", top_n=5, k=32, by=["grp"]).collect()
+    got = {(r.grp, r.item): (r.count_lb, r.error_bound) for r in rows}
+    assert got == {
+        ("a", "x0"): (2000, 0), ("a", "x1"): (2000, 0), ("a", "x2"): (2000, 0),
+        ("b", "y0"): (1500, 0), ("b", "y1"): (1500, 0),
+    }
