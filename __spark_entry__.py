@@ -474,6 +474,60 @@ def q_minhash_dedup_parity(spark, sf):
     )
 
 
+def q_clean_corpus_rep_parity(spark, sf):
+    # The composed pipeline on its AT-SCALE path (exact_neardup=False:
+    # exact dedup -> rep-based MinHash dedup) under the oracle. Corpus:
+    # 400 near-dup pairs (ids 2i/2i+1, disjoint token sets per pair),
+    # 250 unique singletons (ids 800..1049), 250 EXACT copies of the
+    # singletons (ids 1050..1299, removed by the exact-dedup stage).
+    # Quality gates are opened wide so the oracle-derivable keep-set is
+    # exactly: every even pair id + every singleton id.
+    from hll_spark.operators.pipeline import clean_corpus
+
+    n_pairs, n_single = 400, 250
+    ids = spark.range(2 * n_pairs + 2 * n_single).withColumnRenamed(
+        "id", "doc_id"
+    )
+    pid = F.floor(F.col("doc_id") / 2).cast("long")
+    base_txt = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda j: F.format_string("w%d_%d", pid, j),
+        ),
+        " ",
+    )
+    pair_txt = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(base_txt, F.format_string(" x%d", pid)),
+    ).otherwise(base_txt)
+    single_id = F.when(
+        F.col("doc_id") < 2 * n_pairs + n_single, F.col("doc_id")
+    ).otherwise(F.col("doc_id") - n_single)
+    single_txt = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(10)),
+            lambda j: F.format_string("s%d_%d", single_id, j),
+        ),
+        " ",
+    )
+    corpus = ids.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 2 * n_pairs, pair_txt)
+        .otherwise(single_txt)
+        .alias("text"),
+    )
+    cleaned = clean_corpus(
+        corpus,
+        min_quality=0.0,
+        max_dup_line_fraction=1.0,
+        max_symbol_word_ratio=1.0,
+        word_len_bounds=(0.0, 1000.0),
+        neardup_threshold=0.9,
+        exact_neardup=False,
+    )
+    return cleaned.select("doc_id")
+
+
 def q_ann_top3(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
@@ -824,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_tight": q_embedding_dup_pairs_tight,
         "minhash_dedup_parity": q_minhash_dedup_parity,
+        "clean_corpus_rep_parity": q_clean_corpus_rep_parity,
         "ann_top3": q_ann_top3,
         "ivf_ann_top3": q_ivf_ann_top3,
         "minhash_pairs_documents": q_minhash_pairs_documents,
@@ -981,6 +1036,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT i * 2 AS doc_id FROM range(500) t(i)
             UNION ALL
             SELECT 1000 + i AS doc_id FROM range(250) t(i)
+        """,
+        "clean_corpus_rep_parity": """
+            SELECT i * 2 AS doc_id FROM range(400) t(i)
+            UNION ALL
+            SELECT 800 + i AS doc_id FROM range(250) t(i)
         """,
         "ann_top3": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -148,6 +148,7 @@ EXTRA_QUERIES_R3 = [
     "decoded_media_stats",
     "mg_top_sources",
     "strip_boilerplate_docs",
+    "clean_corpus_rep_parity",
 ]
 
 

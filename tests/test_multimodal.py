@@ -210,3 +210,26 @@ def test_extract_features_with_real_decoder(spark):
     assert len(out) == 6
     for r in out:
         assert len(r.feature) == 64 and all(v >= 0 for v in r.feature)
+
+
+def test_png_roundtrip_property_based():
+    """Hypothesis: any 8-bit image round-trips through the PNG codec
+    (random shapes, all channel counts, full value range)."""
+    from hypothesis import given, settings, strategies as st
+
+    from hll_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    roundtrip()
