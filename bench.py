@@ -270,11 +270,13 @@ def main() -> None:
         scaling_child(int(sys.argv[-1]), int(sys.argv[-1]))
         return
     if "--scaling" in sys.argv:
-        rounds = (
-            int(sys.argv[sys.argv.index("--rounds") + 1])
-            if "--rounds" in sys.argv
-            else 2
-        )
+        rounds = 2
+        if "--rounds" in sys.argv:
+            i = sys.argv.index("--rounds")
+            try:
+                rounds = int(sys.argv[i + 1])
+            except (IndexError, ValueError):
+                sys.exit("usage: bench.py --scaling [--rounds N]")
         print(json.dumps(run_scaling(rounds)))
         return
 

@@ -26,6 +26,7 @@ only — never the n^2 cross join.
 from __future__ import annotations
 
 import math
+import threading
 import warnings
 
 import numpy as np
@@ -162,6 +163,11 @@ def _minhash_enriched(
 # it would throw away a warm cache. clear_minhash_cache() drops all
 # slots eagerly.
 _CACHE_SLOTS: dict[str, tuple] = {}
+# check-then-act on the slot dict must be atomic: concurrent driver
+# threads (a normal Spark pattern) would otherwise both cache and one
+# frame would lose its only reference while staying pinned in executor
+# storage — exactly the leak the slots exist to prevent
+_CACHE_LOCK = threading.Lock()
 
 
 def _plan_key(df: DataFrame):
@@ -173,17 +179,18 @@ def _plan_key(df: DataFrame):
 
 def _bounded_cache(slot: str, df: DataFrame) -> DataFrame:
     key = _plan_key(df)
-    prev = _CACHE_SLOTS.get(slot)
-    if prev is not None and key is not None and prev[0] == key:
-        return prev[1]
-    if prev is not None:
-        try:
-            prev[1].unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
-    cached = df.cache()
-    _CACHE_SLOTS[slot] = (key, cached)
-    return cached
+    with _CACHE_LOCK:
+        prev = _CACHE_SLOTS.get(slot)
+        if prev is not None and key is not None and prev[0] == key:
+            return prev[1]
+        if prev is not None:
+            try:
+                prev[1].unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+        cached = df.cache()
+        _CACHE_SLOTS[slot] = (key, cached)
+        return cached
 
 
 def _remember_enriched(df: DataFrame) -> DataFrame:
@@ -192,12 +199,13 @@ def _remember_enriched(df: DataFrame) -> DataFrame:
 
 def clear_minhash_cache() -> None:
     """Unpersist every cached signature/shingle frame."""
-    while _CACHE_SLOTS:
-        _, (key, df) = _CACHE_SLOTS.popitem()
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
+    with _CACHE_LOCK:
+        while _CACHE_SLOTS:
+            _, (key, df) = _CACHE_SLOTS.popitem()
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
 
 
 def minhash_lsh_pairs(

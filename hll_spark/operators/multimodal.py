@@ -111,6 +111,8 @@ def encode_png(img: np.ndarray) -> bytes:
     import zlib
 
     img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]  # (h, w, 1) is grayscale, not RGBA
     if img.ndim == 2:
         ctype, ch = 0, 1
     elif img.shape[2] == 2:

@@ -46,12 +46,16 @@ def clean_corpus(
     word_len_bounds: tuple = (3.0, 10.0),
     neardup_threshold: float = 0.8,
     exact_neardup: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus (all original columns preserved).
 
     ``exact_neardup=True`` uses the exact n-gram Jaccard pair finder
     (oracle-reproducible); ``False`` uses MinHash-LSH — the at-scale
-    path with identical output contract.
+    path with identical output contract. ``max_shingle_df`` passes a
+    shingle document-frequency cap through to the exact pair finder
+    (None = truly exact, the default here — the cap is opt-in for this
+    path precisely because this docstring promises oracle parity).
     """
     lo, hi = word_len_bounds
     kept = exact_dedup(df, [text_col], id_col)
@@ -63,7 +67,8 @@ def clean_corpus(
     )
     if exact_neardup:
         pairs = ngram_jaccard_pairs(
-            kept, text_col, id_col, threshold=neardup_threshold
+            kept, text_col, id_col, threshold=neardup_threshold,
+            max_shingle_df=max_shingle_df,
         )
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return kept.join(drop, id_col, "left_anti")

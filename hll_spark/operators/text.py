@@ -326,10 +326,18 @@ def strip_boilerplate_lines(
 
     Blank lines are preserved verbatim (they carry formatting, and
     counting them as 'boilerplate' would strip every paragraph break).
+    Every input document stays in the output: a document whose every
+    line was boilerplate comes back with empty text rather than
+    silently vanishing (the caller decides whether to filter those).
     """
+    # F.split takes a Java regex but the rejoin is literal — \Q...\E
+    # quotes the delimiter so metacharacter delims ('|', '.') split
+    # literally instead of between every character
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delim + "\\E")
+        ).alias("pos", "line"),
     )
     line_df = (
         lines.where(F.length(F.trim("line")) > 0)
@@ -339,15 +347,17 @@ def strip_boilerplate_lines(
         .select("line")
     )
     kept = lines.join(line_df, "line", "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias(text_col)
+    )
     return (
-        kept.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                delim,
-            ).alias(text_col)
-        )
+        df.select(id_col)
+        .join(cleaned, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )

@@ -77,8 +77,15 @@ def murmur3_finalizer_u32(x: np.ndarray) -> np.ndarray:
     numpy arrays/dicts, so the finalizer is exposed as a general utility
     (and used as an independent secondary mix in tests).
     """
-    x = np.ascontiguousarray(x).view(np.uint32) if isinstance(x, np.ndarray) \
-        else np.asarray(x, dtype=np.uint32)
+    if isinstance(x, np.ndarray):
+        if x.dtype.itemsize != 4:
+            raise ValueError(
+                f"murmur3_finalizer_u32 needs 32-bit input, got {x.dtype} "
+                "(a silent .view would return the wrong number of hashes)"
+            )
+        x = np.ascontiguousarray(x).view(np.uint32)
+    else:
+        x = np.asarray(x, dtype=np.uint32)
     x = x ^ (x >> np.uint32(16))
     x = x * _F32_1
     x = x ^ (x >> np.uint32(13))

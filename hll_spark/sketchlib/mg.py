@@ -132,7 +132,11 @@ class MisraGries:
             pos += blen
             (cnt,) = struct.unpack_from("<Q", data, pos)
             pos += 8
+            if cnt < 1:
+                raise ValueError("non-positive counter in MG blob")
             s.counts[item] = cnt
         if len(s.counts) != n:
             raise ValueError("duplicate keys in MG blob")
+        if pos != len(data):
+            raise ValueError("trailing bytes after MG blob")
         return s

@@ -194,3 +194,14 @@ def test_murmur3_finalizer_u32_scalar_model_and_avalanche():
     flipped = murmur3_finalizer_u32(sample ^ np.uint32(1))
     diff_bits = np.unpackbits((h ^ flipped).view(np.uint8)).mean() * 32
     assert 14 <= diff_bits <= 18  # ~16 of 32 bits flip on average
+
+
+def test_murmur3_finalizer_u32_rejects_wrong_width():
+    from hll_spark.sketchlib.hashing import murmur3_finalizer_u32
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="32-bit"):
+        murmur3_finalizer_u32(np.array([1, 2], dtype=np.int64))
+    # int32 is fine (same width, viewed)
+    assert murmur3_finalizer_u32(np.array([0], dtype=np.int32))[0] == 0

@@ -133,3 +133,17 @@ def test_spark_mg_grouped(spark):
         ("a", "x0"): (2000, 0), ("a", "x1"): (2000, 0), ("a", "x2"): (2000, 0),
         ("b", "y0"): (1500, 0), ("b", "y1"): (1500, 0),
     }
+
+
+def test_from_bytes_rejects_trailing_garbage_and_zero_counts():
+    import struct
+
+    s = MisraGries(k=8).update(["a", "b", "a"])
+    blob = s.to_bytes()
+    with pytest.raises(ValueError, match="trailing"):
+        MisraGries.from_bytes(blob + b"junk")
+    # hand-craft a blob with a zero counter
+    bad = struct.pack("<IIQQI", 0x4D475331, 8, 1, 0, 1)
+    bad += struct.pack("<I", 1) + b"z" + struct.pack("<Q", 0)
+    with pytest.raises(ValueError, match="non-positive"):
+        MisraGries.from_bytes(bad)

@@ -233,3 +233,11 @@ def test_png_roundtrip_property_based():
         np.testing.assert_array_equal(decode_png(encode_png(img)), img)
 
     roundtrip()
+
+
+def test_encode_png_single_channel_3d():
+    """(h, w, 1) is grayscale, not RGBA — round-trips to (h, w)."""
+    from hll_spark.operators.multimodal import decode_png, encode_png
+
+    img = (np.arange(48, dtype=np.uint8)).reshape(6, 8, 1)
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img[:, :, 0])

@@ -170,3 +170,35 @@ def test_strip_boilerplate_lines(spark):
         assert out[i] == (
             f"unique body {i}\n\nrepeated rare {i % 5}\nrepeated rare {i % 5}"
         )
+
+
+def test_strip_boilerplate_all_boilerplate_doc_survives_empty(spark):
+    """A doc made ENTIRELY of boilerplate keeps its row (empty text) —
+    it must not silently vanish from the corpus."""
+    from hll_spark.operators.text import strip_boilerplate_lines
+
+    b = "COOKIE BANNER"
+    rows = [(i, f"{b}\ncontent {i}") for i in range(8)] + [(99, b)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(df, "text", "doc_id", 5).collect()
+    }
+    assert out[99] == ""
+    assert all(out[i] == f"content {i}" for i in range(8))
+    assert len(out) == 9
+
+
+def test_strip_boilerplate_regex_metachar_delim(spark):
+    """Delimiters that are regex metacharacters split literally."""
+    from hll_spark.operators.text import strip_boilerplate_lines
+
+    rows = [(i, f"BOILER|content {i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(
+            df, "text", "doc_id", max_line_df=5, delim="|"
+        ).collect()
+    }
+    assert all(out[i] == f"content {i}" for i in range(8))
