@@ -354,6 +354,17 @@ def q_mg_top_sources(spark, sf):
     )
 
 
+def q_distinct_sample_sources(spark, sf):
+    # bottom-k distinct sample (KMV with payload), exact regime: k=64 >=
+    # the 20 distinct sources, so the sample IS the distinct set and
+    # is_exact is true — oracle-checkable. Sub-k sampling properties
+    # (partition/duplication invariance, uniformity) in test_kmvsample.py.
+    from hll_spark.operators.sketches import distinct_sample
+
+    docs = _t(spark, sf, "documents")
+    return distinct_sample(docs, "source", k=64).select("item", "is_exact")
+
+
 def q_strip_boilerplate_docs(spark, sf):
     # Corpus-wide boilerplate line removal under the oracle: every doc
     # is wrapped with a nav header + copyright footer (document
@@ -870,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_estimate_orderkeys": q_theta_estimate_orderkeys,
         "sketch_cube_slice": q_sketch_cube_slice,
         "mg_top_sources": q_mg_top_sources,
+        "distinct_sample_sources": q_distinct_sample_sources,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         # dedup / similarity
@@ -1013,6 +1025,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT source AS item, COUNT(*) AS count_lb,
                    CAST(0 AS BIGINT) AS error_bound
             FROM documents GROUP BY source
+        """,
+        "distinct_sample_sources": """
+            SELECT DISTINCT source AS item, true AS is_exact FROM documents
         """,
         "strip_boilerplate_docs": """
             SELECT doc_id,

@@ -149,6 +149,7 @@ EXTRA_QUERIES_R3 = [
     "mg_top_sources",
     "strip_boilerplate_docs",
     "clean_corpus_rep_parity",
+    "distinct_sample_sources",
 ]
 
 

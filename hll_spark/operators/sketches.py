@@ -459,3 +459,73 @@ def mg_top_items(
         sketches.select(*keys, F.explode(top(F.col("sketch"))).alias("__e"))
         .select(*keys, "__e.item", "__e.count_lb", "__e.error_bound")
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k distinct sample (KMV with payload)
+
+
+def kmv_sample_spec(k: int = 1024) -> SketchSpec:
+    from ..sketchlib.kmvsample import BottomKSample
+
+    def update(state: BottomKSample, values: np.ndarray) -> BottomKSample:
+        return state.update(values)
+
+    return SketchSpec(
+        name="kmv_sample",
+        zero_fn=lambda: BottomKSample(k),
+        update_fn=update,
+        merge_fn=lambda a, b: a.merge(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=BottomKSample.from_bytes,
+    )
+
+
+def distinct_sample(
+    df: DataFrame,
+    col: str,
+    k: int = 1024,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable UNIFORM SAMPLE OVER DISTINCT values of ``col`` — the k
+    items whose 64-bit hashes are smallest (KMV-with-payload).
+
+    Unlike a row sample, duplication cannot bias it: a value repeated
+    10^9 times has exactly the same inclusion probability as one that
+    appears once — the right way to sample a duplicate-heavy web corpus
+    for inspection/labeling. Output: (*by, item, is_exact) where
+    ``is_exact`` is true iff the group's distinct count <= k (the sample
+    is then the complete distinct set — the oracle-checkable regime).
+    Deterministic at any partitioning (tested byte-equal).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType as _Bool,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sketchlib.kmvsample import BottomKSample
+
+    sketches = sketch_aggregate(df, col, kmv_sample_spec(k), by, hash_mode="raw")
+    entry = StructType(
+        [StructField("item", StringType()), StructField("is_exact", _Bool())]
+    )
+
+    @pandas_udf(ArrayType(entry))
+    def expand(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            s = BottomKSample.from_bytes(bytes(b))
+            out.append(
+                [{"item": it, "is_exact": s.is_exact} for it in s.sample()]
+            )
+        return pd.Series(out, index=blobs.index)
+
+    keys = [F.col(c) for c in (by or [])]
+    return (
+        sketches.select(*keys, F.explode(expand(F.col("sketch"))).alias("__e"))
+        .select(*keys, "__e.item", "__e.is_exact")
+    )
