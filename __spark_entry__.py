@@ -386,6 +386,46 @@ def q_strip_boilerplate_docs(spark, sf):
     return strip_boilerplate_lines(corpus, "text", "doc_id", max_line_df=30)
 
 
+def q_extract_text_pages(spark, sf):
+    # HTML -> text extraction under the oracle (the input-hint per-row
+    # invariant: byte-identical extracted text). Each document's text is
+    # wrapped into a full deterministic page (head/style/script/comments
+    # /entities, JVM-side) and cast to BINARY — the input-hint html
+    # column shape — then extract_text (a pure codegen regexp chain)
+    # recovers it. md5 + length per row hash-match DuckDB computing over
+    # the ORIGINAL text directly, proving the round trip is byte-exact
+    # (documents.text is whitespace-normalized, so normalize == id).
+    from hll_spark.operators.extract import extract_text, wrap_html
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        "doc_id",
+        wrap_html(F.col("text"), lang=F.col("lang"))
+        .cast("binary")
+        .alias("html"),
+    )
+    ext = pages.select("doc_id", extract_text("html").alias("etext"))
+    return ext.select(
+        "doc_id",
+        F.md5("etext").alias("text_md5"),
+        F.length("etext").alias("text_len"),
+    )
+
+
+def q_mg_top_sources_by_lang(spark, sf):
+    # GROUPED Misra-Gries: one frequent-items summary per lang cell via
+    # the shared two-level scaffold (partials shuffle as sketch blobs,
+    # never raw rows). Exact regime (k=64 >= 20 distinct sources), and
+    # the full item set is returned (top_n=k) so the oracle needs no
+    # tie-breaking rule — it is GROUP BY lang, source.
+    from hll_spark.operators.sketches import mg_top_items
+
+    docs = _t(spark, sf, "documents")
+    return mg_top_items(docs, "source", top_n=64, k=64, by=["lang"]).select(
+        "lang", "item", "count_lb", "error_bound"
+    )
+
+
 def q_kll_quantiles_price(spark, sf):
     return kll_quantiles(_t(spark, sf, "lineitem"), "l_extendedprice",
                          [0.1, 0.5, 0.9])
@@ -794,6 +834,44 @@ def q_session_counts(spark, sf):
                           gap_seconds=86400)
 
 
+def q_range_join_value_bands(spark, sf):
+    # point-in-interval join WITHOUT a nested loop: binned range join
+    # (sequence+explode interval replication -> hash equi-join on the
+    # bin -> exact predicate). Spark's native plan for this predicate
+    # is BroadcastNestedLoopJoin, O(|L|x|R|). Aggregated per band so
+    # the oracle hash gates the full pair set via count + id checksum.
+    from hll_spark.operators.relational import range_join
+
+    events = _t(spark, sf, "events").select("event_id", "value")
+    bands = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 3.0).alias("lo"),
+        (F.col("n_nationkey") * 3.0 + 2.0).alias("hi"),
+    )
+    joined = range_join(events, bands, "value", "lo", "hi", bin_width=2.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+def q_pivot_event_type_by_cohort(spark, sf):
+    # PIVOT: wide per-cohort counts by event type (Catalyst pivot
+    # operator; missing cells coalesced to 0 to match SQL semantics)
+    events = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        events.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(10)))
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
 def q_json_props_stats(spark, sf):
     # semi-structured extraction: per-type stats over a JSON props
     # column — get_json_object stays JVM-side (codegen'd path)
@@ -881,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_estimate_orderkeys": q_theta_estimate_orderkeys,
         "sketch_cube_slice": q_sketch_cube_slice,
         "mg_top_sources": q_mg_top_sources,
+        "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
+        "extract_text_pages": q_extract_text_pages,
         "distinct_sample_sources": q_distinct_sample_sources,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
@@ -922,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_partkeys_except": q_setop_partkeys_except,
         "asof_last_order": q_asof_last_order,
         "session_counts": q_session_counts,
+        "range_join_value_bands": q_range_join_value_bands,
+        "pivot_event_type_by_cohort": q_pivot_event_type_by_cohort,
     }
 
 
@@ -1025,6 +1107,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT source AS item, COUNT(*) AS count_lb,
                    CAST(0 AS BIGINT) AS error_bound
             FROM documents GROUP BY source
+        """,
+        "mg_top_sources_by_lang": """
+            SELECT lang, source AS item, COUNT(*) AS count_lb,
+                   CAST(0 AS BIGINT) AS error_bound
+            FROM documents GROUP BY lang, source
+        """,
+        "extract_text_pages": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS text_md5,
+                   length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS text_len
+            FROM documents
         """,
         "distinct_sample_sources": """
             SELECT DISTINCT source AS item, true AS is_exact FROM documents
@@ -1285,5 +1380,25 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS is_new
                 FROM events
             ) GROUP BY user_id
+        """,
+        "range_join_value_bands": """
+            SELECT n.n_nationkey AS band_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(e.event_id) AS BIGINT) AS sum_event_id
+            FROM events e
+            JOIN nation n
+              ON e.value >= n.n_nationkey * 3.0
+             AND e.value <= n.n_nationkey * 3.0 + 2.0
+            GROUP BY 1
+        """,
+        "pivot_event_type_by_cohort": """
+            SELECT user_id % 10 AS cohort,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       AS purchase,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+            FROM events GROUP BY 1
         """,
     }

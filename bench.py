@@ -115,6 +115,39 @@ def flagship_docs_per_sec(
     return row["rows_seen"] / wall, row["rows_seen"], row["est"]
 
 
+def extract_docs_per_sec(spark, pages_path: str) -> tuple[float, int, int]:
+    """North-star front half measured end-to-end: raw ``html: binary``
+    -> extract_text (pure JVM regexp chain) -> distinct-TEXT HLL (p=14,
+    xxhash64). This is the pipeline shape the north_star names (sketches
+    are defined over the EXTRACTED text); unlike the url flagship the
+    scan reads the wide html column, so this measures extraction + scan
+    bandwidth, not just the sketch kernel.
+
+    Returns (docs/sec, n_rows, estimate).
+    """
+    from pyspark.sql import functions as F
+
+    from hll_spark.operators.agg import hll_sketch_agg, hll_estimate_udf
+    from hll_spark.operators.extract import extract_text
+    from hll_spark.sketchlib.hll import HllConfig
+
+    pages = spark.read.parquet(pages_path).select(
+        extract_text("html").alias("etext")
+    )
+    t0 = time.perf_counter()
+    row = (
+        hll_sketch_agg(
+            pages, "etext", cfg=HllConfig(log2m=14, regwidth=5),
+            hash_mode="xxhash64",
+        )
+        .withColumn("est", hll_estimate_udf()(F.col("sketch")))
+        .select("est", "rows_seen")
+        .collect()[0]
+    )
+    wall = time.perf_counter() - t0
+    return row["rows_seen"] / wall, row["rows_seen"], row["est"]
+
+
 # round-2 additions, timed identically but reported under
 # "queries_extra" so the original 16-query total stays comparable
 # across rounds
@@ -142,6 +175,8 @@ EXTRA_QUERIES = [
 # data-volume work, so timing it at sf0.1 measures fixed overhead; it
 # stays correctness-gated in CORRECTNESS/pytest.
 EXTRA_QUERIES_R3 = [
+    "extract_text_pages",
+    "mg_top_sources_by_lang",
     "theta_estimate_orderkeys",
     "embedding_dup_pairs_tight",
     "minhash_dedup_parity",
@@ -291,6 +326,10 @@ def main() -> None:
     io_after = _io_snapshot(spark)
     flagship_io = {k: (io_after[k] - io_before[k]) // 3 for k in io_after}
     docs_per_sec, n_rows, est = sorted(runs)[1]  # median of 3
+    # extraction flagship: 1 warm + 2 measured (regex-bound, ~stable)
+    extract_docs_per_sec(spark, pages_path)
+    ext_runs = [extract_docs_per_sec(spark, pages_path) for _ in range(2)]
+    ext_docs_per_sec, _, ext_est = max(ext_runs)
     # latest committed two-cluster-size measurement (BENCH/scaling_rN.json,
     # produced by `python bench.py --scaling`): carried here so the
     # per-round bench JSON records the north-rule evidence too
@@ -335,6 +374,8 @@ def main() -> None:
                 "docs_per_sec": round(docs_per_sec),
                 "flagship_rows": n_rows,
                 "flagship_estimate": est,
+                "extract_docs_per_sec": round(ext_docs_per_sec),
+                "extract_distinct_text_estimate": ext_est,
                 "flagship_io_per_run": flagship_io,
                 "scaling": scaling_ref,
             }

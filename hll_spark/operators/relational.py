@@ -136,3 +136,59 @@ def consistent_sample(
         raise ValueError("fraction must be in [0, 1]")
     bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(1 << 20))
     return df.where(bucket < int(fraction * (1 << 20)))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    bin_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join: rows where ``lo <= point <= hi`` (and the
+    optional equi-keys match), WITHOUT a nested-loop plan.
+
+    Spark plans a bare inequality join as BroadcastNestedLoopJoin —
+    O(|L|x|R|) comparisons, the classic 100 TB killer. This instead
+    bins the domain: each left row lands in bin floor(point/w); each
+    interval replicates into the ceil(span/w)+1 bins it overlaps
+    (``sequence`` + ``explode``, JVM-side). The join becomes an
+    equi-join (hash/SMJ, shuffle on the bin key), with the exact
+    predicate re-applied afterwards. Each matching pair is produced
+    exactly once (the left row's single bin), so no distinct is needed.
+
+    Pick ``bin_width`` near the typical interval length: replication
+    factor is ~span/w + 1 per interval, while an over-wide bin packs
+    unrelated rows into one reducer. Intervals with ``hi < lo`` are
+    dropped (they can match nothing; dropping also keeps ``sequence``
+    ascending). NULL points/bounds never match (inner-join semantics).
+
+    The reference has no join layer (it is a sketch kernel); this
+    operator exists for the dataflow the north star wraps around it.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    on = on or []
+    dup = (set(left.columns) & set(right.columns)) - set(on)
+    if dup:
+        raise ValueError(f"ambiguous output columns, rename first: {sorted(dup)}")
+    w = F.lit(float(bin_width))
+    l = left.withColumn("__bin", F.floor(F.col(point) / w))
+    r = (
+        right.where(F.col(lo) <= F.col(hi))
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(F.floor(F.col(lo) / w), F.floor(F.col(hi) / w))
+            ),
+        )
+    )
+    cond = [l["__bin"] == r["__bin"]] + [l[k] == r[k] for k in on]
+    out = l.join(r, cond).where(
+        (F.col(point) >= F.col(lo)) & (F.col(point) <= F.col(hi))
+    )
+    for k in on:
+        out = out.drop(r[k])
+    return out.drop(l["__bin"]).drop(r["__bin"])

@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..operators.extract import wrap_html_py
+
 TABLE_NAMES = [
     "region",
     "nation",
@@ -127,7 +129,10 @@ def generate_pages_pdf(
         {
             "url": urls,
             "warc_ts": ts,
-            "html": [f"<html><body>{t}</body></html>".encode() for t in texts],
+            "html": [
+                wrap_html_py(t, lang=lg).encode()
+                for t, lg in zip(texts, langs)
+            ],
             "text": texts,
             "lang": langs,
         }
