@@ -412,6 +412,92 @@ def q_extract_text_pages(spark, sf):
     )
 
 
+def q_extract_text_pages_arrow(spark, sf):
+    # same round trip as extract_text_pages, but extracted by the Arrow
+    # batch kernel (operators/extractkernel.py) instead of the JVM
+    # regexp chain — the fast path under the same per-row md5 oracle.
+    from hll_spark.operators.extract import extract_pages, wrap_html
+
+    docs = _t(spark, sf, "documents")
+    pages = docs.select(
+        "doc_id",
+        wrap_html(F.col("text"), lang=F.col("lang"))
+        .cast("binary")
+        .alias("html"),
+    )
+    ext = extract_pages(pages, out_col="etext", engine="arrow")
+    return ext.select(
+        "doc_id",
+        F.md5("etext").alias("text_md5"),
+        F.length("etext").alias("text_len"),
+    )
+
+
+def _normalize_urls_oracle_sql() -> str:
+    # DuckDB mirror of q_normalize_urls_docs: same messy-url synthesis,
+    # then the normalize_url mirror expression from operators/url.py
+    # (kept next to the implementation so the rules stay in lockstep).
+    from hll_spark.operators.url import duckdb_normalize_expr
+
+    messy = (
+        "(CASE WHEN doc_id % 5 = 0 THEN 'HTTP' ELSE 'HTTPS' END"
+        " || '://Host-' || source || '.Example.COM'"
+        " || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'"
+        "      WHEN 2 THEN ':8080' ELSE '' END"
+        " || CASE doc_id % 3 WHEN 0 THEN ''"
+        "      WHEN 1 THEN '/Path/' || doc_id"
+        "      ELSE '/p?q=' || doc_id END"
+        " || CASE WHEN doc_id % 2 = 0 THEN '#Sec' ELSE '' END)"
+    )
+    stripped = f"regexp_replace({messy}, '(?s)#.*', '')"
+    host = (
+        f"lower(regexp_replace(regexp_extract({stripped},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''))"
+    )
+    return f"""
+        SELECT doc_id,
+               {duckdb_normalize_expr(stripped)} AS norm_url,
+               {host} AS host
+        FROM documents
+    """
+
+
+def q_normalize_urls_docs(spark, sf):
+    # URL canonicalization under the oracle: deterministically messy
+    # urls (mixed-case scheme/host, default + explicit ports, fragments,
+    # empty paths) are synthesized from (doc_id, source) identically in
+    # Spark and DuckDB, then normalize_url/url_host (pure JVM regexp
+    # chains) must match the DuckDB mirror byte-for-byte.
+    from hll_spark.operators.url import normalize_url, url_host
+
+    d = F.col("doc_id").cast("string")
+    scheme = F.when(F.col("doc_id") % 5 == 0, F.lit("HTTP")).otherwise(
+        F.lit("HTTPS")
+    )
+    port = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/Path/"), d))
+        .otherwise(F.concat(F.lit("/p?q="), d))
+    )
+    frag = F.when(F.col("doc_id") % 2 == 0, F.lit("#Sec")).otherwise(F.lit(""))
+    messy = F.concat(
+        scheme, F.lit("://Host-"), F.col("source"), F.lit(".Example.COM"),
+        port, path, frag,
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return docs.select(
+        "doc_id",
+        normalize_url(messy).alias("norm_url"),
+        url_host(messy).alias("host"),
+    )
+
+
 def q_mg_top_sources_by_lang(spark, sf):
     # GROUPED Misra-Gries: one frequent-items summary per lang cell via
     # the shared two-level scaffold (partials shuffle as sketch blobs,
@@ -961,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_sources": q_mg_top_sources,
         "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
         "extract_text_pages": q_extract_text_pages,
+        "extract_text_pages_arrow": q_extract_text_pages_arrow,
+        "normalize_urls_docs": q_normalize_urls_docs,
         "distinct_sample_sources": q_distinct_sample_sources,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
@@ -1121,6 +1209,15 @@ def oracle_sql() -> dict[str, str]:
                        AS text_len
             FROM documents
         """,
+        "extract_text_pages_arrow": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS text_md5,
+                   length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                       AS text_len
+            FROM documents
+        """,
+        "normalize_urls_docs": _normalize_urls_oracle_sql(),
         "distinct_sample_sources": """
             SELECT DISTINCT source AS item, true AS is_exact FROM documents
         """,

@@ -115,32 +115,43 @@ def flagship_docs_per_sec(
     return row["rows_seen"] / wall, row["rows_seen"], row["est"]
 
 
-def extract_docs_per_sec(spark, pages_path: str) -> tuple[float, int, int]:
+def extract_docs_per_sec(
+    spark, pages_path: str, engine: str = "fused"
+) -> tuple[float, int, int]:
     """North-star front half measured end-to-end: raw ``html: binary``
-    -> extract_text (pure JVM regexp chain) -> distinct-TEXT HLL (p=14,
-    xxhash64). This is the pipeline shape the north_star names (sketches
-    are defined over the EXTRACTED text); unlike the url flagship the
-    scan reads the wide html column, so this measures extraction + scan
-    bandwidth, not just the sketch kernel.
+    -> text extraction -> distinct-TEXT HLL (p=14). This is the pipeline
+    shape the north_star names (sketches are defined over the EXTRACTED
+    text); unlike the url flagship the scan reads the wide html column,
+    so this measures extraction + scan bandwidth, not just the sketch
+    kernel.
 
-    Returns (docs/sec, n_rows, estimate).
+    engine='fused' (headline): the Arrow batch kernel extracts, murmur3-
+    hashes and updates HLL state in ONE Python pass per partition — only
+    sketch blobs leave the workers (operators/extract.extract_sketch_agg).
+    engine='jvm' (comparison): the pure column-expression regexp chain +
+    JVM xxhash64 — zero Python, but the Java regex alternation is ~4.5x
+    slower per core than the batch kernel on 1 KB pages.
+
+    Returns (docs/sec, n_rows, estimate). Each call builds a fresh scan
+    (new lineage), so timings are cold — no shuffle-stage reuse.
     """
     from pyspark.sql import functions as F
 
     from hll_spark.operators.agg import hll_sketch_agg, hll_estimate_udf
-    from hll_spark.operators.extract import extract_text
+    from hll_spark.operators.extract import extract_sketch_agg, extract_text
     from hll_spark.sketchlib.hll import HllConfig
 
-    pages = spark.read.parquet(pages_path).select(
-        extract_text("html").alias("etext")
-    )
+    cfg = HllConfig(log2m=14, regwidth=5)
     t0 = time.perf_counter()
-    row = (
-        hll_sketch_agg(
-            pages, "etext", cfg=HllConfig(log2m=14, regwidth=5),
-            hash_mode="xxhash64",
+    if engine == "fused":
+        sk = extract_sketch_agg(spark.read.parquet(pages_path), "html", cfg=cfg)
+    else:
+        pages = spark.read.parquet(pages_path).select(
+            extract_text("html").alias("etext")
         )
-        .withColumn("est", hll_estimate_udf()(F.col("sketch")))
+        sk = hll_sketch_agg(pages, "etext", cfg=cfg, hash_mode="xxhash64")
+    row = (
+        sk.withColumn("est", hll_estimate_udf()(F.col("sketch")))
         .select("est", "rows_seen")
         .collect()[0]
     )
@@ -176,6 +187,8 @@ EXTRA_QUERIES = [
 # stays correctness-gated in CORRECTNESS/pytest.
 EXTRA_QUERIES_R3 = [
     "extract_text_pages",
+    "extract_text_pages_arrow",
+    "normalize_urls_docs",
     "mg_top_sources_by_lang",
     "theta_estimate_orderkeys",
     "embedding_dup_pairs_tight",
@@ -326,10 +339,15 @@ def main() -> None:
     io_after = _io_snapshot(spark)
     flagship_io = {k: (io_after[k] - io_before[k]) // 3 for k in io_after}
     docs_per_sec, n_rows, est = sorted(runs)[1]  # median of 3
-    # extraction flagship: 1 warm + 2 measured (regex-bound, ~stable)
+    # extraction flagship: 1 warm + 2 measured fused-kernel runs, plus
+    # one JVM-chain run for the engine comparison (each run is cold —
+    # fresh lineage per call, no shuffle-stage reuse)
     extract_docs_per_sec(spark, pages_path)
     ext_runs = [extract_docs_per_sec(spark, pages_path) for _ in range(2)]
     ext_docs_per_sec, _, ext_est = max(ext_runs)
+    ext_jvm_docs_per_sec, _, _ = extract_docs_per_sec(
+        spark, pages_path, engine="jvm"
+    )
     # latest committed two-cluster-size measurement (BENCH/scaling_rN.json,
     # produced by `python bench.py --scaling`): carried here so the
     # per-round bench JSON records the north-rule evidence too
@@ -375,6 +393,7 @@ def main() -> None:
                 "flagship_rows": n_rows,
                 "flagship_estimate": est,
                 "extract_docs_per_sec": round(ext_docs_per_sec),
+                "extract_docs_per_sec_jvm_engine": round(ext_jvm_docs_per_sec),
                 "extract_distinct_text_estimate": ext_est,
                 "flagship_io_per_run": flagship_io,
                 "scaling": scaling_ref,

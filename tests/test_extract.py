@@ -106,9 +106,10 @@ def test_generated_pages_invariant(spark):
     assert bad == 0
 
 
-def test_extract_plan_is_jvm_only(spark):
-    """No Python (BatchEvalPython/ArrowEvalPython/mapInPandas) in the
-    extraction plan — it must stay inside codegen at scale."""
+def test_extract_plan_shapes(spark):
+    """engine='jvm' stays inside codegen (no Python in the plan);
+    engine='arrow' is exactly one mapInPandas over the scan (no
+    shuffle, no per-row Python)."""
     df = generate_pages(spark, 100, n_partitions=1)
     # plan the extraction over a parquet-backed frame to mimic the real
     # scan (the generator itself is mapInPandas, so split the lineage)
@@ -117,11 +118,19 @@ def test_extract_plan_is_jvm_only(spark):
     with tempfile.TemporaryDirectory() as d:
         df.write.mode("overwrite").parquet(d + "/p")
         scan = spark.read.parquet(d + "/p")
-        plan = (
-            extract_pages(scan, out_col="etext")
-            .select("url", "etext")
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-    assert "EvalPython" not in plan and "InPandas" not in plan
+
+        def planned(engine):
+            return (
+                extract_pages(scan, out_col="etext", engine=engine)
+                .select("url", "etext")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+
+        jvm_plan = planned("jvm")
+        arrow_plan = planned("arrow")
+    assert "EvalPython" not in jvm_plan and "InPandas" not in jvm_plan
+    assert arrow_plan.count("MapInPandas") == 1
+    assert "Exchange" not in arrow_plan
+    assert "BatchEvalPython" not in arrow_plan  # never per-row Python
