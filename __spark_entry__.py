@@ -941,6 +941,57 @@ def q_range_join_value_bands(spark, sf):
     )
 
 
+def q_unpivot_doc_metrics(spark, sf):
+    # UNPIVOT (melt): wide per-doc metrics to long (metric, value) rows
+    # via Catalyst's unpivot operator — the inverse of pivot, used to
+    # feed generic per-metric aggregations without N separate scans
+    docs = _t(spark, sf, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.col("n_chars").cast("long").alias("n_chars_meta"),
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    long = wide.unpivot(
+        "doc_id", ["n_chars_text", "n_chars_meta", "n_tokens"],
+        "metric", "value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+def q_distinct_urls_by_host(spark, sf):
+    # composition of the two r3 web operators under one oracle: messy
+    # synthesized urls -> normalize_url -> url_host -> grouped distinct
+    # normalized urls per host via the HLL scaffold (EXACT tier: per-
+    # host distincts stay inside the EXPLICIT threshold at oracle SF)
+    from hll_spark.operators.agg import hll_distinct
+    from hll_spark.operators.url import normalize_url, url_host
+
+    d = F.col("doc_id").cast("string")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://Host-"), F.col("source"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Path/"), d,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#f")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select(
+        normalize_url(messy).alias("norm_url"),
+        url_host(messy).alias("host"),
+    )
+    return hll_distinct(
+        docs, "norm_url", by=["host"], cfg=EXACT_CFG, alias="n_urls"
+    )
+
+
 def q_pivot_event_type_by_cohort(spark, sf):
     # PIVOT: wide per-cohort counts by event type (Catalyst pivot
     # operator; missing cells coalesced to 0 to match SQL semantics)
@@ -1049,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_pages": q_extract_text_pages,
         "extract_text_pages_arrow": q_extract_text_pages_arrow,
         "normalize_urls_docs": q_normalize_urls_docs,
+        "unpivot_doc_metrics": q_unpivot_doc_metrics,
+        "distinct_urls_by_host": q_distinct_urls_by_host,
         "distinct_sample_sources": q_distinct_sample_sources,
         "kll_quantiles_price": q_kll_quantiles_price,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
@@ -1218,6 +1271,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "normalize_urls_docs": _normalize_urls_oracle_sql(),
+        "unpivot_doc_metrics": r"""
+            SELECT metric,
+                   COUNT(*) AS n,
+                   CAST(SUM(value) AS BIGINT) AS total,
+                   CAST(MIN(value) AS BIGINT) AS vmin,
+                   CAST(MAX(value) AS BIGINT) AS vmax
+            FROM (
+                SELECT doc_id, 'n_chars_text' AS metric,
+                       length(text) AS value FROM documents
+                UNION ALL
+                SELECT doc_id, 'n_chars_meta', n_chars FROM documents
+                UNION ALL
+                SELECT doc_id, 'n_tokens',
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END
+                FROM documents
+            ) GROUP BY metric
+        """,
+        "distinct_urls_by_host": """
+            SELECT 'host-' || lower(source) || '.example.com' AS host,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_urls
+            FROM documents GROUP BY 1
+        """,
         "distinct_sample_sources": """
             SELECT DISTINCT source AS item, true AS is_exact FROM documents
         """,

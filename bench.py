@@ -73,6 +73,41 @@ def _io_snapshot(spark) -> dict[str, int]:
     }
 
 
+def _tree_cpu_seconds() -> float:
+    """Total accumulated CPU seconds (user+sys) of this process and
+    every live descendant (the local-mode JVM and its reused Python
+    workers), from /proc. Deltas of two snapshots give the CPU actually
+    burned by a measured region — immune to hypervisor steal, and
+    unlike Spark's executorCpuTime it INCLUDES the Python workers
+    (where the murmur3/fused pipelines do their compute, while the JVM
+    task thread blocks on the worker socket)."""
+    import glob as _glob
+
+    tick = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    cpu: dict[int, float] = {}
+    for stat in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                data = f.read()
+        except OSError:
+            continue
+        # pid (comm possibly with spaces) state ppid ... utime stime at 13,14
+        rpar = data.rfind(")")
+        fields = data[rpar + 2:].split()
+        pid = int(data.split(" ", 1)[0])
+        ppid = int(fields[1])
+        cpu[pid] = (int(fields[11]) + int(fields[12])) / tick
+        children.setdefault(ppid, []).append(pid)
+    total, todo = 0.0, [me]
+    while todo:
+        p = todo.pop()
+        total += cpu.get(p, 0.0)
+        todo.extend(children.get(p, []))
+    return total
+
+
 def ensure_pages(spark, n_rows: int = PAGES_ROWS, path: str = PAGES_PATH) -> str:
     """Materialize the deterministic synthetic pages table once."""
     import glob
@@ -237,22 +272,44 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+EXTRACT_SCALING_ROWS = 1_000_000  # extraction is ~40x costlier per row
+# than the url flagship (wide html scan + kernel); a smaller table keeps
+# the local[2] leg to ~15 s per run while staying >>JIT/startup noise
+
+
 def scaling_child(cpus: int, shuffle: int) -> None:
     spark = make_spark(cpus, shuffle, ui=True)
     spark.sparkContext.setLogLevel("ERROR")
     path = ensure_pages(spark)
+    epath = ensure_pages(
+        spark, EXTRACT_SCALING_ROWS,
+        os.path.join(REPO, "_bench_cache", f"pages_{EXTRACT_SCALING_ROWS}"),
+    )
     out = {"cpus": cpus}
     for mode in ("xxhash64", "murmur3"):
         # one warm-up pass (JIT/arrow init), then the measured passes
         flagship_docs_per_sec(spark, path, mode)
         before = _io_snapshot(spark)
+        cpu0 = _tree_cpu_seconds()
         runs = [flagship_docs_per_sec(spark, path, mode) for _ in range(2)]
+        cpu1 = _tree_cpu_seconds()
         after = _io_snapshot(spark)
         out[mode] = [r[0] for r in runs]
         out[f"{mode}_io"] = {
             k: (after[k] - before[k]) // len(runs) for k in after
         }
+        # docs per CPU-second (whole process tree incl. Python workers):
+        # steal-immune — flat across levels == the engine adds no
+        # per-doc work as parallelism grows
+        out[f"{mode}_per_cpu"] = runs[0][1] * len(runs) / max(cpu1 - cpu0, 1e-9)
         out["rows"] = runs[0][1]
+    # north-star front half: fused extract+hash+sketch over raw html
+    extract_docs_per_sec(spark, epath)
+    cpu0 = _tree_cpu_seconds()
+    eruns = [extract_docs_per_sec(spark, epath) for _ in range(2)]
+    cpu1 = _tree_cpu_seconds()
+    out["extract"] = [r[0] for r in eruns]
+    out["extract_per_cpu"] = eruns[0][1] * len(eruns) / max(cpu1 - cpu0, 1e-9)
     print(json.dumps(out))
     spark.stop()
 
@@ -290,9 +347,11 @@ def run_scaling(rounds: int = 2) -> dict:
         return xs[len(xs) // 2]
 
     result = {"rows": rows}
-    for mode in ("xxhash64", "murmur3"):
-        mode_lo = [x for rec in samples[lo] for x in rec[mode]]
-        mode_hi = [x for rec in samples[hi] for x in rec[mode]]
+    for mode in ("xxhash64", "murmur3", "extract"):
+        mode_lo = [x for rec in samples[lo] for x in rec.get(mode, [])]
+        mode_hi = [x for rec in samples[hi] for x in rec.get(mode, [])]
+        if not mode_lo or not mode_hi:
+            continue
         thr_lo, thr_hi = median(mode_lo), median(mode_hi)
         result[mode] = {
             f"thr_{lo}": round(thr_lo),
@@ -307,6 +366,16 @@ def run_scaling(rounds: int = 2) -> dict:
             f"io_{lo}": samples[lo][-1].get(f"{mode}_io"),
             f"io_{hi}": samples[hi][-1].get(f"{mode}_io"),
         }
+        cpu_lo = [r[f"{mode}_per_cpu"] for r in samples[lo] if f"{mode}_per_cpu" in r]
+        cpu_hi = [r[f"{mode}_per_cpu"] for r in samples[hi] if f"{mode}_per_cpu" in r]
+        if cpu_lo and cpu_hi:
+            # docs per CPU-second at each level (process-tree CPU incl.
+            # Python workers, /proc-based): parity ~1.0 means the engine
+            # does no extra per-doc work at higher parallelism — the
+            # steal-immune complement to the wall-clock efficiency
+            result[mode][f"per_cpu_{lo}"] = round(median(cpu_lo))
+            result[mode][f"per_cpu_{hi}"] = round(median(cpu_hi))
+            result[mode]["cpu_parity"] = round(median(cpu_hi) / median(cpu_lo), 3)
     result["scaling_efficiency"] = max(
         result["xxhash64"]["scaling_efficiency"],
         result["murmur3"]["scaling_efficiency"],
@@ -364,9 +433,19 @@ def main() -> None:
                 "scaling_efficiency": rec.get("scaling_efficiency"),
                 "murmur3": {
                     k: rec["murmur3"].get(k)
-                    for k in ("thr_2", "thr_8", "scaling_efficiency", "io_2", "io_8")
+                    for k in (
+                        "thr_2", "thr_8", "scaling_efficiency",
+                        "cpu_parity", "io_2", "io_8",
+                    )
                 },
             }
+            if "extract" in rec:
+                scaling_ref["extract"] = {
+                    k: rec["extract"].get(k)
+                    for k in (
+                        "thr_2", "thr_8", "scaling_efficiency", "cpu_parity",
+                    )
+                }
     except Exception:
         pass
     all_timings = run_queries(spark, SF_DIR)
