@@ -37,6 +37,25 @@ def murmur3_64_udf(seed: int = 0):
     return pandas_udf(h, LongType())
 
 
+def extract_text_udf():
+    """Vectorized HTML -> visible-text extraction (the Arrow batch
+    kernel, operators/extractkernel.py) as a scalar pandas UDF — lets
+    ``spark.sql`` users write ``extract_text(html)`` directly. Same
+    bytes as the JVM column chain ``operators.extract.extract_text``
+    (differentially tested); prefer ``extract_pages`` /
+    ``extract_sketch_agg`` on the DataFrame side for pipelines."""
+    from pyspark.sql.types import StringType
+
+    from ..operators.extractkernel import extract_text_batch
+
+    def ex(html: pd.Series) -> pd.Series:
+        return pd.Series(
+            extract_text_batch(html), index=html.index, dtype=object
+        )
+
+    return pandas_udf(ex, StringType())
+
+
 def kll_quantile_udf(q: float):
     """sketch bytes -> quantile value."""
 
@@ -115,6 +134,7 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("hll_hash_text", murmur3_64_udf())
     spark.udf.register("doc_fingerprint", fingerprint_udf())
     spark.udf.register("lang_id", lang_id_udf())
+    spark.udf.register("extract_text", extract_text_udf())
     from ..operators.sketches import (
         theta_difference_udf,
         theta_estimate_udf,

@@ -30,6 +30,13 @@ def main() -> None:
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--job-id", required=True)
     ap.add_argument("--column", default="url")
+    ap.add_argument(
+        "--extract",
+        action="store_true",
+        help="sketch distinct EXTRACTED text: run the Arrow extraction "
+        "kernel over the html column first (narrow map, same stage "
+        "chain, same checkpoint/resume semantics) and sketch the result",
+    )
     ap.add_argument("--by", default=None, help="optional group column")
     ap.add_argument("--log2m", type=int, default=14)
     ap.add_argument("--regwidth", type=int, default=5)
@@ -48,10 +55,16 @@ def main() -> None:
         raise SystemExit(2)
 
     cfg = HllConfig(log2m=args.log2m, regwidth=args.regwidth)
+    column = args.column
+    if args.extract:
+        from hll_spark.operators.extract import extract_pages
+
+        df = extract_pages(df, "html", "__etext", engine="arrow")
+        column = "__etext"
     store = CheckpointStore(spark, args.checkpoint)
     sketches = checkpointed_sketch_aggregate(
         df,
-        args.column,
+        column,
         hll_spec(cfg),
         store,
         args.job_id,

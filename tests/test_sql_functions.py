@@ -80,3 +80,20 @@ def test_sql_theta_functions(spark, lang_sketches):
     ).collect()[0]
     assert (row.ca, row.i, row.d) == (500.0, 200.0, 300.0)  # exact tier
     assert abs(row.j - 200.0 / 800.0) < 1e-9
+
+
+def test_sql_extract_text(spark, lang_sketches):
+    """extract_text callable from spark.sql, same bytes as the JVM
+    column chain."""
+    import pandas as pd
+
+    from hll_spark.sources.tables import generate_pages_pdf
+
+    pdf = generate_pages_pdf(n_rows=50, seed=21)
+    spark.createDataFrame(pdf[["html", "text"]]).createOrReplaceTempView(
+        "pages_sqlfn"
+    )
+    bad = spark.sql(
+        "SELECT count(*) AS n FROM pages_sqlfn WHERE extract_text(html) != text"
+    ).collect()[0]["n"]
+    assert bad == 0
