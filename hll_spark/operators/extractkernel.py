@@ -138,8 +138,6 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
     nbsp = _match_at(low, amp, b"&nbsp;")
     n160 = _match_at(low, amp, b"&#160;")
 
-    doc_end_of = lambda pos: offs[np.searchsorted(offs, pos, "right")]
-
     # ------------------------------------------------------------------
     # 1. body slice: (?is)<body[^>]*>(.*)</body> — FIRST <body whose open
     #    tag closes in-doc AND has a </body> at/after the close (greedy
