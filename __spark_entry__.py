@@ -941,6 +941,25 @@ def q_range_join_value_bands(spark, sf):
     )
 
 
+def q_cube_event_stats(spark, sf):
+    # CUBE grouping sets (Catalyst Expand operator): all 4 grouping
+    # combinations in one scan. Rolled-up cells are disambiguated with
+    # sentinels (not NULLs) so the oracle hash is deterministic.
+    events = _t(spark, sf, "events").withColumn(
+        "cohort", F.pmod(F.col("user_id"), F.lit(5))
+    )
+    cube = events.cube("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+    return cube.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("cohort"), F.lit(-1)).alias("cohort"),
+        "n",
+        "sum_event_id",
+    )
+
+
 def q_unpivot_doc_metrics(spark, sf):
     # UNPIVOT (melt): wide per-doc metrics to long (metric, value) rows
     # via Catalyst's unpivot operator — the inverse of pivot, used to
@@ -1101,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_pages_arrow": q_extract_text_pages_arrow,
         "normalize_urls_docs": q_normalize_urls_docs,
         "unpivot_doc_metrics": q_unpivot_doc_metrics,
+        "cube_event_stats": q_cube_event_stats,
         "distinct_urls_by_host": q_distinct_urls_by_host,
         "distinct_sample_sources": q_distinct_sample_sources,
         "kll_quantiles_price": q_kll_quantiles_price,
@@ -1271,6 +1291,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "normalize_urls_docs": _normalize_urls_oracle_sql(),
+        "cube_event_stats": """
+            SELECT COALESCE(event_type, '(all)') AS event_type,
+                   CAST(COALESCE(cohort, -1) AS BIGINT) AS cohort,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+            FROM (SELECT event_type, user_id % 5 AS cohort, event_id
+                  FROM events)
+            GROUP BY CUBE(event_type, cohort)
+        """,
         "unpivot_doc_metrics": r"""
             SELECT metric,
                    COUNT(*) AS n,

@@ -264,6 +264,13 @@ def extract_sketch_agg(
         ]
     )
 
+    # hash in sub-batches: the murmur kernel's padded row matrix only
+    # stays in its cached per-worker workspace below ~32 MB
+    # (hashing._WS_MAX_BYTES); Arrow batches can be 128k rows of ~KB
+    # texts, and a fresh 80+ MB np.zeros per batch page-faults in the
+    # kernel and serializes under multi-worker load (the r1 alloc storm)
+    hash_chunk = 16384
+
     def build(batches):
         state = spec.zero_fn()
         rows = 0
@@ -272,9 +279,11 @@ def extract_sketch_agg(
                 continue
             texts = extract_text_batch(pdf[html_col])
             texts = [t for t in texts if t is not None]
-            if texts:
-                hashed = murmur3_x64_128_low64(pd.Series(texts)).view("int64")
-                state = spec.update_fn(state, hashed)
+            for i in range(0, len(texts), hash_chunk):
+                chunk = pd.Series(texts[i:i + hash_chunk])
+                state = spec.update_fn(
+                    state, murmur3_x64_128_low64(chunk).view("int64")
+                )
             rows += len(pdf)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
