@@ -845,6 +845,19 @@ def q_decoded_media_stats(spark, sf):
         mid = 100 + j
         s = ((mid * 13 + t) % 211 - 100).astype(np.int16)
         rows.append((mid, "audio", bytearray(encode_wav(s))))
+    # r3: 10 palette GIFs (16 colors, palette[k] = (3k, 3k+1, 3k+2) so
+    # the per-pixel RGB contribution is 9*idx + 3 in closed form)
+    from hll_spark.operators.multimodal import encode_gif
+
+    gy, gx = np.mgrid[0:5, 0:7]
+    pal = np.stack(
+        [3 * np.arange(16), 3 * np.arange(16) + 1, 3 * np.arange(16) + 2],
+        axis=1,
+    ).astype(np.uint8)
+    for g in range(10):
+        gid = 200 + g
+        gidx = ((gid + gy * 7 + gx) % 16).astype(np.uint8)
+        rows.append((gid, "image", bytearray(encode_gif(gidx, pal))))
     media = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     ).repartition(4)
@@ -939,6 +952,33 @@ def q_range_join_value_bands(spark, sf):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("event_id").alias("sum_event_id"),
     )
+
+
+def q_window_event_neighbors(spark, sf):
+    # window-function depth beyond row_number: lag/lead, rank with ties,
+    # and a running ROWS-frame sum, all over one deterministic ordering
+    # (ts with event_id tiebreak). Integer outputs only — float running
+    # sums would be accumulation-order-hashable but fragile.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    events = _t(spark, sf, "events")
+    out = events.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.row_number().over(w).alias("seq"),
+        F.sum("event_id")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_sum"),
+        F.rank().over(wv).alias("value_rank"),
+    )
+    # keep the driver compare bounded: only the first 3 events per user
+    return out.where(F.col("seq") <= 3)
 
 
 def q_cube_event_stats(spark, sf):
@@ -1121,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_urls_docs": q_normalize_urls_docs,
         "unpivot_doc_metrics": q_unpivot_doc_metrics,
         "cube_event_stats": q_cube_event_stats,
+        "window_event_neighbors": q_window_event_neighbors,
         "distinct_urls_by_host": q_distinct_urls_by_host,
         "distinct_sample_sources": q_distinct_sample_sources,
         "kll_quantiles_price": q_kll_quantiles_price,
@@ -1291,6 +1332,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "normalize_urls_docs": _normalize_urls_oracle_sql(),
+        "window_event_neighbors": """
+            SELECT user_id, event_id, prev_event_id, next_event_id,
+                   seq, running_sum, value_rank
+            FROM (
+                SELECT user_id, event_id,
+                       LAG(event_id) OVER w AS prev_event_id,
+                       LEAD(event_id) OVER w AS next_event_id,
+                       ROW_NUMBER() OVER w AS seq,
+                       CAST(SUM(event_id) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS running_sum,
+                       RANK() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id
+                       ) AS value_rank
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE seq <= 3
+        """,
         "cube_event_stats": """
             SELECT COALESCE(event_type, '(all)') AS event_type,
                    CAST(COALESCE(cohort, -1) AS BIGINT) AS cohort,
@@ -1343,6 +1404,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(((100 + j)*13 + s.s) % 211 - 100) AS BIGINT)
                        AS sample_sum
             FROM range(10) t(j), range(50) s(s)
+            GROUP BY 1
+            UNION ALL
+            SELECT 200 + g AS media_id, CAST(105 AS BIGINT) AS n_samples,
+                   CAST(SUM(9 * ((200 + g + y.y*7 + x.x) % 16) + 3)
+                        AS BIGINT) AS sample_sum
+            FROM range(10) t(g), range(5) y(y), range(7) x(x)
             GROUP BY 1
         """,
         "minhash_dedup_parity": """

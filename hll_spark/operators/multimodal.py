@@ -63,21 +63,24 @@ def decode_media(payload: bytes, kind: str):
     """Decode raw media bytes into pixels/samples.
 
     REAL for PNG (stdlib zlib inflate + numpy scanline unfiltering, all
-    five PNG filter types, 8-bit gray/gray+alpha/RGB/RGBA) and WAV PCM
-    (stdlib ``wave``): returns a uint8 pixel array (h, w[, channels])
-    or an int16/uint8 sample array (n[, channels]). JPEG/GIF/video
-    stay stubbed — entropy/DCT decoding genuinely needs codec
-    libraries (PIL/ffmpeg) absent from this environment; swap this
-    body's fallthrough for a real decoder in production. Nothing in
-    the distributed plan changes either way.
+    five PNG filter types, 8-bit gray/gray+alpha/RGB/RGBA), GIF (pure-
+    Python LZW, variable code width, interlacing, local palettes —
+    first frame as RGB) and WAV PCM (stdlib ``wave``): returns a uint8
+    pixel array (h, w[, channels]) or an int16/uint8 sample array
+    (n[, channels]). JPEG/video stay stubbed — entropy/DCT decoding
+    genuinely needs codec libraries (PIL/ffmpeg) absent from this
+    environment; swap this body's fallthrough for a real decoder in
+    production. Nothing in the distributed plan changes either way.
     """
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
         return decode_png(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return decode_wav(b)
+    if b[:3] == b"GIF" and b[3:6] in (b"87a", b"89a"):
+        return decode_gif(b)
     raise NotImplementedError(
-        "only PNG and WAV decode without codec libraries; "
+        "only PNG, GIF and WAV decode without codec libraries; "
         "use fake_decode for deterministic testing of other formats"
     )
 
@@ -274,6 +277,199 @@ def decode_wav(b: bytes) -> np.ndarray:
     else:
         raise NotImplementedError(f"WAV sample width {sw} not supported")
     return arr if n_ch == 1 else arr.reshape(-1, n_ch)
+
+
+# -- GIF: encode/decode with pure-Python LZW -------------------------------
+#
+# Layouts from the public GIF89a specification: header + logical screen
+# descriptor, optional global color table, extension blocks (0x21,
+# skipped), image descriptors (0x2C) with optional local color table
+# and interlacing, image data = LZW minimum-code-size byte followed by
+# data sub-blocks. GIF packs LZW codes LSB-first with variable width
+# growing 3..12 bits; Clear resets the dictionary, EOI terminates.
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder for synthetic test/oracle media: one
+    frame of palette indices (h, w) over an RGB palette (n, 3).
+
+    Uses the fixed-code-width technique: a Clear code is emitted before
+    the dictionary would grow past the initial width, so no compression
+    — every decoder (including ours) must still handle the stream.
+    """
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())  # color-table size exponent
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size, bg, aspect
+    out += table.tobytes()
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0, 0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    mcs = bits  # LZW minimum code size
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    acc = bitlen = 0
+    codes = bytearray()
+
+    def emit(code):
+        nonlocal acc, bitlen
+        acc |= code << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            codes.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+
+    emit(clear)
+    budget = (1 << width) - (clear + 2) - 1  # codes before width would grow
+    for i, px in enumerate(idx.ravel()):
+        if i and i % max(budget, 1) == 0:
+            emit(clear)
+        emit(int(px))
+    emit(eoi)
+    if bitlen:
+        codes.append(acc & 0xFF)
+    out += bytes([mcs])
+    for i in range(0, len(codes), 255):
+        sub = codes[i:i + 255]
+        out += bytes([len(sub)]) + sub
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """Real GIF pixel decode, first frame: LZW decompression (variable
+    code width, Clear/EOI, LSB-first packing) + palette mapping +
+    interlace reordering. Returns (h, w, 3) uint8 RGB. Transparency
+    and later frames are ignored (documented single-frame semantics);
+    the LZW inner loop is sequential by nature, so this is a
+    correctness/AT-test decoder — production pipelines plug a codec
+    library into the same ``decode_media`` seam."""
+    if b[:3] != b"GIF" or b[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _decode_gif_inner(b)
+    except IndexError as exc:  # ran off the end of a truncated stream
+        raise ValueError("GIF stream truncated") from exc
+
+
+def _decode_gif_inner(b: bytes) -> np.ndarray:
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left = int.from_bytes(b[pos + 1:pos + 3], "little")
+        top = int.from_bytes(b[pos + 3:pos + 5], "little")
+        w = int.from_bytes(b[pos + 5:pos + 7], "little")
+        h = int.from_bytes(b[pos + 7:pos + 9], "little")
+        ipacked = b[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                b[pos:pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        mcs = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos]:
+            ln = b[pos]
+            data += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), mcs, w * h)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+            # rows[y] = transmission-order index of display row y
+            rows = np.empty(h, dtype=np.int64)
+            r = 0
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, h, step):
+                    rows[y] = r
+                    r += 1
+            idx = idx.reshape(h, w)[rows].ravel()
+        frame = table[np.clip(idx[: w * h], 0, len(table) - 1)]
+        # first frame only; embed into the logical screen if offset
+        img = frame.reshape(h, w, 3)
+        if (left, top, w, h) != (0, 0, sw, sh):
+            full = np.zeros((sh, sw, 3), dtype=np.uint8)
+            full[top:top + h, left:left + w] = img[
+                : max(0, sh - top), : max(0, sw - left)
+            ]
+            img = full
+        return img
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, mcs: int, limit: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first bit packing, code width mcs+1..12,
+    Clear resets the table, EOI ends. Stops after ``limit`` pixels."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [(i,) for i in range(1 << mcs)] + [(), ()]
+    table = list(base)
+    width = mcs + 1
+    acc = bitlen = ppos = 0
+    out: list = []
+    prev: tuple = ()
+    for byte in data:
+        acc |= byte << bitlen
+        bitlen += 8
+        while bitlen >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bitlen -= width
+            if code == clear:
+                table = list(base)
+                width = mcs + 1
+                prev = ()
+                continue
+            if code == eoi:
+                return np.array(out[:limit], dtype=np.int32)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev:
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= limit:
+                return np.array(out[:limit], dtype=np.int32)
+    return np.array(out[:limit], dtype=np.int32)
 
 
 def fake_decode(payload: bytes, kind: str) -> np.ndarray:

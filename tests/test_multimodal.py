@@ -241,3 +241,107 @@ def test_encode_png_single_channel_3d():
 
     img = (np.arange(48, dtype=np.uint8)).reshape(6, 8, 1)
     np.testing.assert_array_equal(decode_png(encode_png(img)), img[:, :, 0])
+
+
+# -- GIF codec -------------------------------------------------------------
+
+
+def _rand_gif_case(rng, n_colors, h, w):
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    return idx, palette
+
+
+def test_gif_roundtrip_palette_sizes():
+    from hll_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    for n_colors, h, w in [(2, 5, 9), (4, 1, 1), (16, 13, 7), (256, 20, 33)]:
+        idx, palette = _rand_gif_case(rng, n_colors, h, w)
+        img = decode_gif(encode_gif(idx, palette))
+        assert img.shape == (h, w, 3)
+        assert np.array_equal(img, palette[idx])
+
+
+def test_gif_decode_handles_dictionary_growth():
+    """Our encoder never grows the LZW dictionary (fixed-width clear
+    trick); hand-pack a stream that DOES, including a width bump and
+    the KwKwK self-referencing case."""
+    from hll_spark.operators.multimodal import decode_gif
+
+    # 4-color table -> mcs=2, clear=4, eoi=5, first dynamic code=6
+    # stream: CLEAR 1 2 [6=(1,2)] [8=KwKwK of prev=(1,2)->(1,2,1)] EOI
+    codes = [(4, 3), (1, 3), (2, 3), (6, 3), (8, 4), (5, 4)]
+    # width grows to 4 AFTER code 8 is added when table hits 8 entries:
+    # table: 0..3,clear,eoi,6=(1,2),7=(2,1),8=(1,2,1) -> growth at 8
+    acc = bitlen = 0
+    data = bytearray()
+    for code, width in codes:
+        acc |= code << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        data.append(acc & 0xFF)
+    palette = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    w, h = 7, 1
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0x80 | 1, 0, 0]) + palette.tobytes()
+    gif += b"\x2c" + b"\x00" * 4
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    gif += bytes([2, len(data)]) + bytes(data) + b"\x00\x3b"
+    img = decode_gif(bytes(gif))
+    # pixels: 1 2 (1 2) (1 2 1) = 1,2,1,2,1,2,1
+    assert np.array_equal(img[0, :, 0], palette[[1, 2, 1, 2, 1, 2, 1], 0])
+
+
+def test_gif_interlaced_roundtrip():
+    """Interlace flag: rows transmitted in the 4-pass order must come
+    back in display order."""
+    from hll_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    idx, palette = _rand_gif_case(rng, 8, 17, 5)
+    plain = bytearray(encode_gif(idx, palette))
+    # flip the interlace bit and re-order rows into transmission order
+    # (the encoder wrote display order, so pre-permute the input so the
+    # decoder's de-interlace restores the original image)
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, 17, step))
+    reenc = bytearray(encode_gif(idx[order], palette))
+    desc = reenc.index(b"\x2c")
+    assert reenc[desc + 9] == 0
+    reenc[desc + 9] = 0x40
+    img = decode_gif(bytes(reenc))
+    assert np.array_equal(img, palette[idx])
+
+
+def test_gif_decode_media_dispatch_and_header():
+    from hll_spark.operators.multimodal import (
+        decode_media,
+        encode_gif,
+        parse_header,
+    )
+
+    rng = np.random.default_rng(3)
+    idx, palette = _rand_gif_case(rng, 16, 9, 14)
+    b = encode_gif(idx, palette)
+    hdr = parse_header(b)
+    assert (hdr["format"], hdr["width"], hdr["height"]) == ("gif", 14, 9)
+    assert np.array_equal(decode_media(b, "image"), palette[idx])
+
+
+def test_gif_corrupt_inputs_rejected():
+    from hll_spark.operators.multimodal import decode_gif, encode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF")
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    b = bytearray(encode_gif(idx, pal))
+    with pytest.raises(ValueError):
+        decode_gif(bytes(b[: len(b) // 2]))  # truncated pixel data
