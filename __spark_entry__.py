@@ -858,6 +858,21 @@ def q_decoded_media_stats(spark, sf):
         gid = 200 + g
         gidx = ((gid + gy * 7 + gx) % 16).astype(np.uint8)
         rows.append((gid, "image", bytearray(encode_gif(gidx, pal))))
+    # r3: 6 constant-128 JPEGs (all DCT coefficients are zero, so the
+    # decode is bit-exact at any quality — proves the whole baseline
+    # entropy/DCT path end to end in closed form). Sizes vary; odd
+    # sizes exercise MCU padding+crop, subsample the 4:2:0 path.
+    from hll_spark.operators.jpegcodec import encode_jpeg
+
+    for j, (jh, jw, qq, sub) in enumerate(
+        [(8, 8, 90, False), (9, 7, 50, False), (16, 16, 75, True),
+         (17, 13, 90, True), (24, 5, 10, False), (3, 30, 100, True)]
+    ):
+        jimg = np.full((jh, jw, 3), 128, dtype=np.uint8)
+        rows.append(
+            (300 + j, "image",
+             bytearray(encode_jpeg(jimg, qq, subsample=sub)))
+        )
     media = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     ).repartition(4)
@@ -1411,6 +1426,12 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sample_sum
             FROM range(10) t(g), range(5) y(y), range(7) x(x)
             GROUP BY 1
+            UNION ALL
+            SELECT 300 + j AS media_id,
+                   CAST(hw * 3 AS BIGINT) AS n_samples,
+                   CAST(hw * 3 * 128 AS BIGINT) AS sample_sum
+            FROM (VALUES (0, 64), (1, 63), (2, 256), (3, 221), (4, 120),
+                         (5, 90)) AS jj(j, hw)
         """,
         "minhash_dedup_parity": """
             SELECT i * 2 AS doc_id FROM range(500) t(i)

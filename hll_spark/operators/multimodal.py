@@ -67,10 +67,13 @@ def decode_media(payload: bytes, kind: str):
     Python LZW, variable code width, interlacing, local palettes —
     first frame as RGB) and WAV PCM (stdlib ``wave``): returns a uint8
     pixel array (h, w[, channels]) or an int16/uint8 sample array
-    (n[, channels]). JPEG/video stay stubbed — entropy/DCT decoding
-    genuinely needs codec libraries (PIL/ffmpeg) absent from this
-    environment; swap this body's fallthrough for a real decoder in
-    production. Nothing in the distributed plan changes either way.
+    (n[, channels]). JPEG decodes via the from-scratch baseline codec
+    (operators/jpegcodec.py — T.81 sequential Huffman + DCT; correctness
+    -grade throughput). Only video remains stubbed: container demuxing
+    plus inter-frame codecs genuinely need libraries (ffmpeg) absent
+    from this environment; swap this body's fallthrough for a real
+    decoder in production. Nothing in the distributed plan changes
+    either way.
     """
     b = bytes(payload)
     if b[:8] == _PNG_SIG:
@@ -79,9 +82,13 @@ def decode_media(payload: bytes, kind: str):
         return decode_wav(b)
     if b[:3] == b"GIF" and b[3:6] in (b"87a", b"89a"):
         return decode_gif(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "only PNG, GIF and WAV decode without codec libraries; "
-        "use fake_decode for deterministic testing of other formats"
+        "video decode needs container/codec libraries; "
+        "use fake_decode for deterministic testing"
     )
 
 

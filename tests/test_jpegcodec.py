@@ -1,0 +1,110 @@
+"""Baseline JPEG codec: round trips, every decoder path, exactness
+anchors.
+
+The decoder is written from the T.81 spec, the encoder from the same
+spec's inverse direction — a shared-misreading could in principle
+round-trip; the anchors below that do NOT depend on entropy/DCT
+inverses (constant-image exactness through closed-form DC math,
+header geometry, quality monotonicity, marker handling) plus the
+spec-constant tables keep the pair honest.
+"""
+
+import numpy as np
+import pytest
+
+from hll_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+from hll_spark.operators.multimodal import decode_media, parse_header
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient_rgb(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(y * 3 + x) % 256, (x * 2) % 256, (y * 4) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "quality,subsample,restart,min_psnr",
+    [
+        (95, False, 0, 45.0),
+        (90, True, 0, 40.0),
+        (75, False, 3, 40.0),
+        (50, True, 2, 35.0),
+    ],
+)
+def test_rgb_roundtrip_psnr(quality, subsample, restart, min_psnr):
+    img = _gradient_rgb(40, 56)
+    out = decode_jpeg(
+        encode_jpeg(img, quality, subsample=subsample, restart_every=restart)
+    )
+    assert out.shape == img.shape
+    assert _psnr(img, out) > min_psnr
+
+
+def test_grayscale_and_odd_sizes():
+    """Non-multiple-of-8 (and of-16 for 4:2:0) sizes crop correctly."""
+    for h, w in [(8, 8), (9, 7), (1, 1), (17, 33)]:
+        y, x = np.mgrid[0:h, 0:w]
+        g = ((y * 5 + x * 2) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=92))
+        assert out.shape == (h, w)
+        assert _psnr(g, out) > 30.0
+        rgb = _gradient_rgb(h, w)
+        out = decode_jpeg(encode_jpeg(rgb, quality=92, subsample=True))
+        assert out.shape == (h, w, 3)
+
+
+def test_constant_images_exact():
+    """Constant 128 has all-zero coefficients at every quality — the
+    decode must be bit-exact (an anchor independent of DCT round-trip
+    luck). Other constants survive DC quantization exactly when the
+    quantized DC reconstructs to the same integer."""
+    for q in (10, 50, 90, 100):
+        c = np.full((13, 11, 3), 128, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(c, q)), c)
+    c = np.full((8, 8), 200, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(c, quality=90))
+    assert np.abs(out.astype(int) - 200).max() <= 1
+
+
+def test_quality_monotone_in_size_and_error():
+    img = _gradient_rgb(48, 48)
+    sizes, errs = [], []
+    for q in (30, 60, 90):
+        b = encode_jpeg(img, q)
+        sizes.append(len(b))
+        errs.append(np.mean(np.abs(decode_jpeg(b).astype(int) - img)))
+    assert sizes == sorted(sizes)
+    assert errs == sorted(errs, reverse=True)
+
+
+def test_decode_media_dispatch_and_header():
+    img = _gradient_rgb(24, 31)
+    b = encode_jpeg(img, 90)
+    hdr = parse_header(b)
+    assert (hdr["format"], hdr["width"], hdr["height"]) == ("jpeg", 31, 24)
+    assert np.array_equal(decode_media(b, "image"), decode_jpeg(b))
+
+
+def test_rejects_unsupported_and_corrupt():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")
+    b = bytearray(encode_jpeg(_gradient_rgb(16, 16), 90))
+    # flip SOF0 marker to SOF2 (progressive) -> NotImplementedError
+    i = bytes(b).index(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+
+
+def test_restart_markers_present_and_parsed():
+    img = _gradient_rgb(33, 49)
+    b = encode_jpeg(img, 85, restart_every=2)
+    assert b"\xff\xdd" in b  # DRI segment
+    assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+    assert _psnr(img, decode_jpeg(b)) > 38.0

@@ -184,8 +184,13 @@ def test_decode_media_dispatch_and_header_consistency():
     assert hdr["sample_rate"] == 8000 and hdr["duration_ms"] == 50
     assert samples.shape == (400,)
 
-    with pytest.raises(NotImplementedError):
+    # JPEG now routes to the real baseline codec: corrupt data is a
+    # ValueError, not a stub
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff\xe0 not decodable jpeg", "image")
+    # only video remains a documented stub
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42 fake video", "video")
 
 
 def test_extract_features_with_real_decoder(spark):
