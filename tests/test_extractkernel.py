@@ -192,3 +192,15 @@ def test_kernel_many_empty_and_null_docs():
     assert got[300] == "a"
     assert got[301:601] == [None] * 300
     assert got[601] == "b"
+
+
+@settings(max_examples=150, deadline=None)
+@given(docs=st.lists(st.binary(max_size=80), max_size=5))
+def test_kernel_never_crashes_on_arbitrary_bytes(docs):
+    """Invalid UTF-8 relaxes the byte-level parity guarantee (FFFD
+    counts may differ from the JVM decoder) but never the contract
+    that the kernel returns a string per doc, deterministically."""
+    a = extract_text_batch(docs)
+    b = extract_text_batch(docs)
+    assert a == b
+    assert all(isinstance(x, str) for x in a)

@@ -108,3 +108,67 @@ def test_restart_markers_present_and_parsed():
     assert b"\xff\xdd" in b  # DRI segment
     assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
     assert _psnr(img, decode_jpeg(b)) > 38.0
+
+
+def test_zigzag_table_matches_algorithmic_definition():
+    """ZIGZAG is a spec constant; regenerate it from the diagonal-walk
+    definition so a transcription typo cannot survive."""
+    from hll_spark.operators.jpegcodec import ZIGZAG
+
+    order = []
+    r = c = 0
+    up = True
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if up:
+            if c == 7:
+                r += 1
+                up = False
+            elif r == 0:
+                c += 1
+                up = False
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+                up = True
+            elif c == 0:
+                r += 1
+                up = True
+            else:
+                r += 1
+                c -= 1
+    assert list(ZIGZAG) == order
+
+
+def test_huffman_tables_are_prefix_complete():
+    """Every Annex-K table must build a prefix-free canonical code with
+    one code per value and no length-overflow."""
+    from hll_spark.operators.jpegcodec import (
+        AC_CHROM,
+        AC_LUM,
+        DC_CHROM,
+        DC_LUM,
+        _build_huffman,
+    )
+
+    for bits, values in (DC_LUM, DC_CHROM, AC_LUM, AC_CHROM):
+        assert sum(bits) == len(values)
+        table = _build_huffman(bits, values)
+        assert len(table) == len(values)
+        for (ln, code) in table:
+            assert 0 <= code < (1 << ln)
+        # prefix-free: no code is a prefix of a longer one
+        codes = sorted(table)
+        for i, (ln, code) in enumerate(codes):
+            for ln2, code2 in codes[i + 1:]:
+                if ln2 > ln:
+                    assert (code2 >> (ln2 - ln)) != code
+
+
+def test_dct_matrix_is_orthonormal():
+    from hll_spark.operators.jpegcodec import _DCT
+
+    np.testing.assert_allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
