@@ -610,8 +610,9 @@ def parse_header(b: bytes) -> dict:
 
     Reads dimensions / audio params straight from the published byte
     layouts: PNG IHDR, JPEG SOF0/1/2 markers, GIF logical screen
-    descriptor, BMP info header, WAV RIFF fmt+data chunks. Anything
-    else is 'unknown'. (Pixel/sample DECODING stays stubbed in
+    descriptor, BMP info header, WAV RIFF fmt+data chunks, ISO-BMFF
+    (MP4/MOV) moov/mvhd/tkhd boxes (duration + video-track geometry).
+    Anything else is 'unknown'. (Pixel/sample DECODING stays stubbed in
     :func:`decode_media` — that genuinely needs codecs; header parsing
     does not.)
     """
@@ -660,9 +661,49 @@ def parse_header(b: bytes) -> dict:
             out["sample_rate"], out["n_channels"] = rate, channels
             if rate and block_align and data_len is not None:
                 out["duration_ms"] = data_len * 1000 // (rate * block_align)
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            # ISO-BMFF (MP4/MOV): walk top-level boxes to moov, then
+            # mvhd (timescale+duration) and each trak's tkhd geometry.
+            # Frame DECODE stays stubbed (inter-frame codecs need
+            # libraries); the container layout is public spec.
+            out["format"] = "mp4"
+            _parse_mp4_boxes(b, 0, len(b), out)
     except (IndexError, ValueError):
         pass  # malformed header: stay 'unknown' / partial
     return out
+
+
+def _parse_mp4_boxes(b: bytes, start: int, end: int, out: dict) -> None:
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i:i + 4], "big")
+        tag = b[i + 4:i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(b[i + 8:i + 16], "big")
+            body = i + 16
+        if size < 8 or i + size > end:
+            return
+        if tag in (b"moov", b"trak"):
+            _parse_mp4_boxes(b, body, i + size, out)
+        elif tag == b"mvhd":
+            ver = b[body]
+            if ver == 1:
+                scale = int.from_bytes(b[body + 20:body + 24], "big")
+                dur = int.from_bytes(b[body + 24:body + 32], "big")
+            else:
+                scale = int.from_bytes(b[body + 12:body + 16], "big")
+                dur = int.from_bytes(b[body + 16:body + 20], "big")
+            if scale:
+                out["duration_ms"] = dur * 1000 // scale
+        elif tag == b"tkhd":
+            ver = b[body]
+            geo = body + (88 if ver == 1 else 76)
+            w = int.from_bytes(b[geo:geo + 4], "big") >> 16  # 16.16 fixed
+            h = int.from_bytes(b[geo + 4:geo + 8], "big") >> 16
+            if w and h:  # audio tracks carry 0x0 geometry
+                out["width"], out["height"] = w, h
+        i += size
 
 
 def parse_media_headers(

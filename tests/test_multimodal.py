@@ -350,3 +350,39 @@ def test_gif_corrupt_inputs_rejected():
     b = bytearray(encode_gif(idx, pal))
     with pytest.raises(ValueError):
         decode_gif(bytes(b[: len(b) // 2]))  # truncated pixel data
+
+
+def test_parse_header_mp4():
+    """Handcrafted minimal ISO-BMFF: ftyp + moov(mvhd + video trak +
+    audio trak). Geometry comes from the VIDEO track (audio tkhd is
+    0x0); duration from mvhd timescale math."""
+    from hll_spark.operators.multimodal import parse_header
+
+    def box(tag, payload):
+        return (8 + len(payload)).to_bytes(4, "big") + tag + payload
+
+    mvhd = bytes([0]) + b"\x00" * 11 + (1000).to_bytes(4, "big") \
+        + (7500).to_bytes(4, "big") + b"\x00" * 80
+    tkhd_v = bytes([0]) + b"\x00" * 75 \
+        + (640 << 16).to_bytes(4, "big") + (360 << 16).to_bytes(4, "big")
+    tkhd_a = bytes([0]) + b"\x00" * 75 + b"\x00" * 8
+    moov = box(b"moov", box(b"mvhd", mvhd)
+               + box(b"trak", box(b"tkhd", tkhd_a))
+               + box(b"trak", box(b"tkhd", tkhd_v)))
+    mp4 = box(b"ftyp", b"mp42\x00\x00\x00\x00mp42") + moov
+    hdr = parse_header(mp4)
+    assert hdr["format"] == "mp4"
+    assert (hdr["width"], hdr["height"]) == (640, 360)
+    assert hdr["duration_ms"] == 7500
+    # version-1 mvhd (64-bit duration) and largesize boxes also parse
+    mvhd1 = bytes([1]) + b"\x00" * 19 + (600).to_bytes(4, "big") \
+        + (3000).to_bytes(8, "big") + b"\x00" * 80
+    big_moov = (1).to_bytes(4, "big") + b"moov" \
+        + (16 + len(box(b"mvhd", mvhd1))).to_bytes(8, "big") \
+        + box(b"mvhd", mvhd1)
+    hdr = parse_header(box(b"ftyp", b"isom") + big_moov)
+    assert hdr["format"] == "mp4" and hdr["duration_ms"] == 5000
+    # truncated box table must not raise
+    assert parse_header(box(b"ftyp", b"isom") + b"\x00\x00\x00\x20mo")[
+        "format"
+    ] == "mp4"
