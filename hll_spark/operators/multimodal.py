@@ -5,15 +5,17 @@ Arrow batch shapes, mapInPandas partitioning — and so are two levels of
 content access:
 
 - container-HEADER parsing (:func:`parse_media_headers`): PNG/JPEG/GIF/
-  BMP/WAV dimensions, sample rate and duration read straight from the
-  published byte layouts;
+  BMP/WAV/MP4 dimensions, sample rate and duration read straight from
+  the published byte layouts;
 - pixel/sample DECODING (:func:`decode_media`): REAL for PNG (stdlib
-  zlib + numpy unfiltering of all five scanline filters) and WAV PCM
-  (stdlib ``wave``) — oracle-checked against closed-form content sums
-  (driver query ``decoded_media_stats``). JPEG/GIF/video decoding stays
-  stubbed behind ``NotImplementedError`` (entropy/DCT decode genuinely
-  needs codec libraries absent here); the deterministic fake decoder
-  remains for exercising the pipeline on those formats.
+  zlib + numpy unfiltering of all five scanline filters), GIF
+  (pure-Python LZW), JPEG (from-scratch T.81 baseline codec,
+  operators/jpegcodec.py) and WAV PCM (stdlib ``wave``) —
+  oracle-checked against closed-form content sums (driver query
+  ``decoded_media_stats``). Only VIDEO frame decoding stays stubbed
+  behind ``NotImplementedError`` (container demux + inter-frame codecs
+  genuinely need libraries absent here); the deterministic fake
+  decoder remains for exercising the pipeline on that format.
 
 Design for 100 TB: media bytes never leave their partition — features
 are extracted in-place per Arrow batch (mapInPandas), and only the small
