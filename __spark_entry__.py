@@ -873,6 +873,15 @@ def q_decoded_media_stats(spark, sf):
             (300 + j, "image",
              bytearray(encode_jpeg(jimg, qq, subsample=sub)))
         )
+    # r3: 3 constant-128 MJPEG AVIs (REAL video decode: RIFF walk +
+    # per-frame baseline JPEG; constant frames keep it bit-exact)
+    from hll_spark.operators.multimodal import encode_avi_mjpeg
+
+    for v, (nf, vh, vw) in enumerate([(2, 8, 8), (4, 9, 6), (3, 5, 11)]):
+        vid = np.full((nf, vh, vw, 3), 128, dtype=np.uint8)
+        rows.append(
+            (400 + v, "video", bytearray(encode_avi_mjpeg(vid, fps=5)))
+        )
     media = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     ).repartition(4)
@@ -1432,6 +1441,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hw * 3 * 128 AS BIGINT) AS sample_sum
             FROM (VALUES (0, 64), (1, 63), (2, 256), (3, 221), (4, 120),
                          (5, 90)) AS jj(j, hw)
+            UNION ALL
+            SELECT 400 + v AS media_id,
+                   CAST(px * 3 AS BIGINT) AS n_samples,
+                   CAST(px * 3 * 128 AS BIGINT) AS sample_sum
+            FROM (VALUES (0, 128), (1, 216), (2, 165)) AS vv(v, px)
         """,
         "minhash_dedup_parity": """
             SELECT i * 2 AS doc_id FROM range(500) t(i)

@@ -88,9 +88,12 @@ def decode_media(payload: bytes, kind: str):
         from .jpegcodec import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return decode_avi_mjpeg(b)
     raise NotImplementedError(
-        "video decode needs container/codec libraries; "
-        "use fake_decode for deterministic testing"
+        "inter-frame video codecs (H.264/VP9/...) need codec libraries; "
+        "MJPEG-in-AVI decodes natively — use fake_decode for "
+        "deterministic testing of other formats"
     )
 
 
@@ -481,6 +484,87 @@ def _lzw_decode(data: bytes, mcs: int, limit: int) -> np.ndarray:
     return np.array(out[:limit], dtype=np.int32)
 
 
+# -- video: MJPEG-in-AVI with the from-scratch JPEG codec ------------------
+#
+# AVI is plain RIFF chunk walking (public MS spec): LIST hdrl (avih +
+# per-stream strl{strh,strf}), LIST movi holding '..dc'/'..db' frame
+# chunks, optional idx1. Motion-JPEG stores every frame as a standalone
+# baseline JPEG, so jpegcodec.decode_jpeg handles the payloads — real
+# video decode with zero codec libraries. Inter-frame codecs (H.264...)
+# are where libraries become genuinely unavoidable.
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10, quality: int = 90) -> bytes:
+    """Minimal MJPEG AVI writer for synthetic test/oracle media.
+
+    ``frames``: uint8 (n, h, w, 3) RGB (or (n, h, w) grayscale).
+    """
+    import struct
+
+    from .jpegcodec import encode_jpeg
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    n = frames.shape[0]
+    h, w = frames.shape[1], frames.shape[2]
+    payloads = [encode_jpeg(f, quality) for f in frames]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"MJPG" + struct.pack("<10I2H2I", 0, 0, 0, 1, fps, 0,
+                                           n, 0, 0, 0, 0, 0, 0, 0)
+    strf = struct.pack("<I2i2H6I", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_mjpeg(b: bytes, every_n: int = 1) -> np.ndarray:
+    """Real MJPEG/AVI video decode: walk RIFF to the movi list, decode
+    every ``every_n``-th video frame chunk with the baseline JPEG codec,
+    return (n_frames, h, w[, 3]) uint8. Non-MJPEG streams fail inside
+    the JPEG decoder (their chunks are not JPEG bitstreams)."""
+    import struct
+
+    from .jpegcodec import decode_jpeg
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            tag = b[i:i + 4]
+            (size,) = struct.unpack("<I", b[i + 4:i + 8])
+            if tag == b"LIST":
+                ltype = b[i + 8:i + 12]
+                if ltype in (b"movi", b"hdrl", b"rec "):
+                    walk(i + 12, i + 8 + size)
+            elif tag[2:4] in (b"dc", b"db") and size:
+                frames.append(b[i + 8:i + 8 + size])
+            i += 8 + size + (size & 1)
+
+    walk(12, len(b))
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    decoded = [decode_jpeg(f) for f in frames[::max(1, every_n)]]
+    return np.stack(decoded)
+
+
 def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic stand-in decoder: expands content bytes into a fixed
     pseudo-signal (sha256-seeded), so the downstream feature pipeline has
@@ -663,6 +747,24 @@ def parse_header(b: bytes) -> dict:
             out["sample_rate"], out["n_channels"] = rate, channels
             if rate and block_align and data_len is not None:
                 out["duration_ms"] = data_len * 1000 // (rate * block_align)
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            out["format"] = "avi"
+            # LIST hdrl -> avih: us/frame, ..., total frames, ..., w, h
+            i = 12
+            while i + 8 <= len(b):
+                tag = b[i:i + 4]
+                clen = int.from_bytes(b[i + 4:i + 8], "little")
+                if tag == b"LIST" and b[i + 8:i + 12] == b"hdrl":
+                    i += 12
+                    continue
+                if tag == b"avih":
+                    usf = int.from_bytes(b[i + 8:i + 12], "little")
+                    nfr = int.from_bytes(b[i + 24:i + 28], "little")
+                    out["width"] = int.from_bytes(b[i + 40:i + 44], "little")
+                    out["height"] = int.from_bytes(b[i + 44:i + 48], "little")
+                    out["duration_ms"] = usf * nfr // 1000
+                    break
+                i += 8 + clen + (clen & 1)
         elif len(b) >= 12 and b[4:8] == b"ftyp":
             # ISO-BMFF (MP4/MOV): walk top-level boxes to moov, then
             # mvhd (timescale+duration) and each trak's tkhd geometry.

@@ -386,3 +386,39 @@ def test_parse_header_mp4():
     assert parse_header(box(b"ftyp", b"isom") + b"\x00\x00\x00\x20mo")[
         "format"
     ] == "mp4"
+
+
+def test_avi_mjpeg_video_roundtrip():
+    """REAL video decode: MJPEG frames in an AVI container, each frame
+    a baseline JPEG from the from-scratch codec."""
+    from hll_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_media,
+        encode_avi_mjpeg,
+        parse_header,
+    )
+
+    y, x = np.mgrid[0:16, 0:24]
+    frames = np.stack(
+        [
+            np.stack(
+                [(y * 3 + x + 20 * t) % 256, (x * 2 + t) % 256, (y * 4) % 256],
+                axis=-1,
+            )
+            for t in range(5)
+        ]
+    ).astype(np.uint8)
+    avi = encode_avi_mjpeg(frames, fps=8, quality=92)
+    hdr = parse_header(avi)
+    assert (hdr["format"], hdr["width"], hdr["height"]) == ("avi", 24, 16)
+    assert hdr["duration_ms"] == (1_000_000 // 8) * 5 // 1000
+    out = decode_avi_mjpeg(avi)
+    assert out.shape == (5, 16, 24, 3)
+    err = np.mean(np.abs(out.astype(int) - frames.astype(int)))
+    assert err < 4.0  # lossy, but frame-faithful
+    # frame sampling decodes every 2nd frame only
+    assert decode_avi_mjpeg(avi, every_n=2).shape == (3, 16, 24, 3)
+    # dispatch through decode_media
+    assert np.array_equal(decode_media(avi, "video"), out)
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x04AVI ")  # no frames
