@@ -233,6 +233,12 @@ EXTRA_QUERIES_R3 = [
     "strip_boilerplate_docs",
     "clean_corpus_rep_parity",
     "distinct_sample_sources",
+    "range_join_value_bands",
+    "pivot_event_type_by_cohort",
+    "unpivot_doc_metrics",
+    "cube_event_stats",
+    "window_event_neighbors",
+    "distinct_urls_by_host",
 ]
 
 
