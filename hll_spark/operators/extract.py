@@ -284,7 +284,9 @@ def extract_sketch_agg(
                 state = spec.update_fn(
                     state, murmur3_x64_128_low64(chunk).view("int64")
                 )
-            rows += len(pdf)
+            # null html rows don't contribute a text; rows_seen counts
+            # sketched values, matching sketch_partials' null filter
+            rows += len(texts)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         yield pd.DataFrame(

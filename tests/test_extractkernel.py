@@ -204,3 +204,13 @@ def test_kernel_never_crashes_on_arbitrary_bytes(docs):
     b = extract_text_batch(docs)
     assert a == b
     assert all(isinstance(x, str) for x in a)
+
+
+def test_extract_sketch_agg_null_rows_excluded(spark):
+    """rows_seen counts sketched texts, not raw rows — null html rows
+    are filtered exactly like sketch_partials' null filter."""
+    pdf = generate_pages_pdf(n_rows=50, seed=3)
+    rows = [(bytes(h),) for h in pdf["html"]] + [(None,)] * 7
+    df = spark.createDataFrame(rows, "html binary")
+    out = extract_sketch_agg(df, "html").collect()[0]
+    assert out["rows_seen"] == 50
