@@ -205,9 +205,6 @@ def extract_pages(
 
     from .extractkernel import extract_text_batch
 
-    cols = [c for c in df.columns if c != out_col] + (
-        [out_col] if out_col in df.columns else []
-    )
     out_fields = ", ".join(
         f"`{c}` string" if c == out_col else f"`{c}` {df.schema[c].dataType.simpleString()}"
         for c in df.columns
