@@ -108,16 +108,33 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+# bump when generate_pages changes the bytes it emits (e.g. the html
+# column format) — a cache built by an older fixture would otherwise be
+# silently reused and make extraction numbers incomparable
+PAGES_FIXTURE_VERSION = "2-wrap_html"
+
+
 def ensure_pages(spark, n_rows: int = PAGES_ROWS, path: str = PAGES_PATH) -> str:
-    """Materialize the deterministic synthetic pages table once."""
+    """Materialize the deterministic synthetic pages table once (keyed
+    by row count AND fixture version)."""
     import glob
 
-    if not glob.glob(f"{path}/_SUCCESS"):
+    vfile = os.path.join(path, "_FIXTURE_VERSION")
+    current = None
+    if glob.glob(f"{path}/_SUCCESS"):
+        try:
+            with open(vfile) as fh:
+                current = fh.read().strip()
+        except OSError:
+            current = None
+    if current != PAGES_FIXTURE_VERSION:
         from hll_spark.sources.tables import generate_pages
 
         generate_pages(spark, n_rows, n_partitions=64).write.mode(
             "overwrite"
         ).parquet(path)
+        with open(vfile, "w") as fh:
+            fh.write(PAGES_FIXTURE_VERSION)
     return path
 
 
@@ -453,8 +470,10 @@ def main() -> None:
                         )
                         if rec[mode].get(k) is not None
                     }
-                    if mode != "xxhash64":  # scan-bound mode never headlines
-                        best = max(best, rec[mode]["scaling_efficiency"])
+                    eff = rec[mode].get("scaling_efficiency")
+                    if mode != "xxhash64" and eff is not None:
+                        # scan-bound xxhash64 never headlines
+                        best = max(best, eff)
                 runs[os.path.basename(rf)] = summary
             scaling_ref = {"scaling_efficiency": best, "runs": runs}
     except Exception:

@@ -107,7 +107,12 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
     """
     doc_list = list(docs)
     null_mask = [d is None for d in doc_list]
-    byte_docs = [bytes(d) if d is not None else b"" for d in doc_list]
+    byte_docs = [
+        d.encode("utf-8") if isinstance(d, str)
+        else bytes(d) if d is not None
+        else b""
+        for d in doc_list
+    ]
     ndoc = len(byte_docs)
     if ndoc == 0:
         return []
@@ -124,7 +129,6 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
 
     lt = np.nonzero(low == _LT)[0]
     gt = np.nonzero(low == _GT)[0]
-    amp = np.nonzero(low == _AMP)[0]
     dash = np.nonzero(low == _DASH)[0]
 
     body_s = _within_doc(_match_at(low, lt, b"<body"), 5, offs)
@@ -135,8 +139,6 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
     sty_e = _match_at(low, lt, b"</style>")
     com_s = _match_at(low, lt, b"<!--")
     com_e = _match_at(low, dash, b"-->")
-    nbsp = _match_at(low, amp, b"&nbsp;")
-    n160 = _match_at(low, amp, b"&#160;")
 
     # ------------------------------------------------------------------
     # 1. body slice: (?is)<body[^>]*>(.*)</body> — FIRST <body whose open

@@ -402,6 +402,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        while i + 4 <= len(b) and b[i + 1] == 0xFF:
+            i += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         marker = b[i + 1]
         if marker == 0xD9:
             break
@@ -480,6 +482,12 @@ def _decode_scan(b, start, comps, size, qtabs, huff, restart):
                 # before) the RSTn byte pair
                 br.acc = 0
                 br.n = 0
+                while (
+                    br.pos + 1 < len(br.data)
+                    and br.data[br.pos] == 0xFF
+                    and br.data[br.pos + 1] == 0xFF
+                ):
+                    br.pos += 1  # fill bytes before the RST marker
                 if (
                     br.pos + 1 < len(br.data)
                     and br.data[br.pos] == 0xFF

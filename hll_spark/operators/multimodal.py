@@ -12,10 +12,11 @@ content access:
   (pure-Python LZW), JPEG (from-scratch T.81 baseline codec,
   operators/jpegcodec.py) and WAV PCM (stdlib ``wave``) —
   oracle-checked against closed-form content sums (driver query
-  ``decoded_media_stats``). Only VIDEO frame decoding stays stubbed
-  behind ``NotImplementedError`` (container demux + inter-frame codecs
-  genuinely need libraries absent here); the deterministic fake
-  decoder remains for exercising the pipeline on that format.
+  ``decoded_media_stats``). VIDEO decodes natively for MJPEG-in-AVI
+  (RIFF walk + per-frame baseline JPEG); only inter-frame codecs
+  (H.264/VP9/...) raise ``NotImplementedError`` — the one genuinely
+  library-bound case. The deterministic fake decoder remains for
+  exercising the pipeline on those formats.
 
 Design for 100 TB: media bytes never leave their partition — features
 are extracted in-place per Arrow batch (mapInPandas), and only the small
@@ -71,11 +72,12 @@ def decode_media(payload: bytes, kind: str):
     pixel array (h, w[, channels]) or an int16/uint8 sample array
     (n[, channels]). JPEG decodes via the from-scratch baseline codec
     (operators/jpegcodec.py — T.81 sequential Huffman + DCT; correctness
-    -grade throughput). Only video remains stubbed: container demuxing
-    plus inter-frame codecs genuinely need libraries (ffmpeg) absent
-    from this environment; swap this body's fallthrough for a real
-    decoder in production. Nothing in the distributed plan changes
-    either way.
+    -grade throughput), and MJPEG-in-AVI video via
+    :func:`decode_avi_mjpeg` (frames, h, w, 3). Only inter-frame video
+    codecs remain stubbed: H.264-class decoding genuinely needs
+    libraries (ffmpeg) absent from this environment; swap this body's
+    fallthrough for a real decoder in production. Nothing in the
+    distributed plan changes either way.
     """
     b = bytes(payload)
     if b[:8] == _PNG_SIG:

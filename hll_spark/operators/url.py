@@ -29,13 +29,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from .extract import _as_col
+
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _AFTER_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
-
-
-def _as_col(c: str | Column) -> Column:
-    return F.col(c) if isinstance(c, str) else c
 
 
 def strip_fragment(url: str | Column) -> Column:

@@ -214,3 +214,18 @@ def test_extract_sketch_agg_null_rows_excluded(spark):
     df = spark.createDataFrame(rows, "html binary")
     out = extract_sketch_agg(df, "html").collect()[0]
     assert out["rows_seen"] == 50
+
+
+def test_kernel_accepts_str_inputs(spark):
+    """The JVM chain accepts string html columns; the kernel (and the
+    SQL UDF / arrow engine built on it) must too."""
+    docs = ["<p>hello</p>", "<body>x</body>", None]
+    assert extract_text_batch(docs) == ["hello", "x", None]
+    from hll_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [("<p>s</p>",)], "html string"
+    ).createOrReplaceTempView("strpages")
+    got = spark.sql("SELECT extract_text(html) AS t FROM strpages").collect()
+    assert got[0]["t"] == "s"

@@ -172,3 +172,21 @@ def test_dct_matrix_is_orthonormal():
     from hll_spark.operators.jpegcodec import _DCT
 
     np.testing.assert_allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: markers may be preceded by extra 0xFF fill bytes."""
+    img = _gradient_rgb(16, 16)
+    b = encode_jpeg(img, 90)
+    # inject a fill byte before every non-entropy marker segment
+    out = bytearray(b[:2])
+    i = 2
+    injected = 0
+    while i + 4 <= len(b) and b[i] == 0xFF and b[i + 1] != 0xDA:
+        seglen = int.from_bytes(b[i + 2:i + 4], "big")
+        out += b"\xff" + b[i:i + 2 + seglen]
+        injected += 1
+        i += 2 + seglen
+    out += b[i:]
+    assert injected >= 4
+    np.testing.assert_array_equal(decode_jpeg(bytes(out)), decode_jpeg(b))
