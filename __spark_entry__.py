@@ -978,6 +978,21 @@ def q_range_join_value_bands(spark, sf):
     )
 
 
+def q_customers_with_orders_semi(spark, sf):
+    # LEFT SEMI join (exists-style, no row multiplication from the
+    # right side), aggregated per segment so the oracle is compact
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_custkey").alias("sum_custkey"),
+        )
+    )
+
+
 def q_window_event_neighbors(spark, sf):
     # window-function depth beyond row_number: lag/lead, rank with ties,
     # and a running ROWS-frame sum, all over one deterministic ordering
@@ -1186,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_doc_metrics": q_unpivot_doc_metrics,
         "cube_event_stats": q_cube_event_stats,
         "window_event_neighbors": q_window_event_neighbors,
+        "customers_with_orders_semi": q_customers_with_orders_semi,
         "distinct_urls_by_host": q_distinct_urls_by_host,
         "distinct_sample_sources": q_distinct_sample_sources,
         "kll_quantiles_price": q_kll_quantiles_price,
@@ -1356,6 +1372,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "normalize_urls_docs": _normalize_urls_oracle_sql(),
+        "customers_with_orders_semi": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
         "window_event_neighbors": """
             SELECT user_id, event_id, prev_event_id, next_event_id,
                    seq, running_sum, value_rank
