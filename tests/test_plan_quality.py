@@ -50,6 +50,16 @@ GATED = [
     "decoded_media_stats",
     "mg_top_sources",
     "strip_boilerplate_docs",
+    "range_join_value_bands",  # the whole point: no nested loop
+    "customers_with_orders_semi",
+    "window_event_neighbors",
+    "cube_event_stats",
+    "unpivot_doc_metrics",
+    "pivot_event_type_by_cohort",
+    "distinct_urls_by_host",
+    "normalize_urls_docs",
+    "extract_text_pages",
+    "extract_text_pages_arrow",
 ]
 
 
