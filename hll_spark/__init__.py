@@ -7,9 +7,11 @@ numpy), count-min, Bloom, KLL, t-digest, and vectorized MurmurHash3.
 
 Spark layer (:mod:`hll_spark.operators`): a generic mergeable-aggregator
 scaffold (mapInPandas partial build -> two-level tree merge), plus
-dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding),
-similarity search (brute-force, LSH, IVF), text analysis, and
-multimodal binary-column plumbing.
+HTML -> text extraction (JVM chain + Arrow kernel + fused
+extract-and-sketch), URL canonicalization, dedup (exact / MinHash-LSH /
+SimHash / n-gram Jaccard / embedding), similarity search (brute-force,
+LSH, IVF), text analysis, and multimodal binary columns with real
+PNG/GIF/JPEG/WAV/MJPEG-AVI decoding.
 
 Checkpoint/resume (:mod:`hll_spark.plans`), Structured Streaming
 stateful sketches (:mod:`hll_spark.streaming`), sources and the
@@ -19,6 +21,8 @@ deterministic synthetic web-pages generator (:mod:`hll_spark.sources`).
 from .sketchlib.hll import HllConfig, HllSketch
 from .sketchlib.theta import ThetaSketch
 from .operators.agg import hll_distinct, hll_sketch_agg
+from .operators.extract import extract_pages, extract_sketch_agg
+from .operators.url import normalize_url, url_host
 
 __all__ = [
     "HllConfig",
@@ -26,5 +30,9 @@ __all__ = [
     "ThetaSketch",
     "hll_distinct",
     "hll_sketch_agg",
+    "extract_pages",
+    "extract_sketch_agg",
+    "normalize_url",
+    "url_host",
 ]
-__version__ = "0.2.0"
+__version__ = "0.3.0"
