@@ -63,19 +63,25 @@ _DECODE_PASSES = [
 ]
 
 
-def _match_at(low: np.ndarray, cand: np.ndarray, pat: bytes) -> np.ndarray:
-    """Positions from ``cand`` where the lowered buffer matches ``pat``.
+def _match_at(buf: np.ndarray, cand: np.ndarray, pat: bytes) -> np.ndarray:
+    """Positions from ``cand`` where the buffer case-insensitively
+    matches (lowercase) ``pat``.
 
-    ``cand`` must already be positions of ``pat[0]``; only the tail
-    bytes are checked (sparse fancy-indexed compares, not a full scan).
+    ``cand`` must already be positions of ``pat[0]`` (always a symbol
+    byte here, so no folding needed for it); only the tail bytes are
+    checked, with A-Z folded on the SPARSE gathered values — this keeps
+    the kernel free of a full-buffer lowercase copy, which profiling
+    showed was one of its biggest memory-traffic costs.
     """
-    n, m = len(low), len(pat)
+    n, m = len(buf), len(pat)
     cand = cand[cand <= n - m]
     if not len(cand):
         return cand
     keep = np.ones(len(cand), dtype=bool)
     for j in range(1, m):
-        keep &= low[cand + j] == pat[j]
+        v = buf[cand + j]
+        v = np.where((v >= 0x41) & (v <= 0x5A), v + 32, v)
+        keep &= v == pat[j]
     return cand[keep]
 
 
@@ -122,23 +128,20 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
     buf = np.frombuffer(b"".join(byte_docs), dtype=np.uint8).copy()
     n = len(buf)
 
-    # lowered view for case-insensitive pattern matches ((?i) in the chain)
-    low = buf.copy()
-    up = (low >= 0x41) & (low <= 0x5A)
-    low[up] += 32
+    # candidate first bytes are all symbols, so positions come straight
+    # off the raw buffer; tails are case-folded sparsely in _match_at
+    lt = np.nonzero(buf == _LT)[0]
+    gt = np.nonzero(buf == _GT)[0]
+    dash = np.nonzero(buf == _DASH)[0]
 
-    lt = np.nonzero(low == _LT)[0]
-    gt = np.nonzero(low == _GT)[0]
-    dash = np.nonzero(low == _DASH)[0]
-
-    body_s = _within_doc(_match_at(low, lt, b"<body"), 5, offs)
-    body_e = _within_doc(_match_at(low, lt, b"</body>"), 7, offs)
-    scr_s = _match_at(low, lt, b"<script")
-    scr_e = _match_at(low, lt, b"</script>")
-    sty_s = _match_at(low, lt, b"<style")
-    sty_e = _match_at(low, lt, b"</style>")
-    com_s = _match_at(low, lt, b"<!--")
-    com_e = _match_at(low, dash, b"-->")
+    body_s = _within_doc(_match_at(buf, lt, b"<body"), 5, offs)
+    body_e = _within_doc(_match_at(buf, lt, b"</body>"), 7, offs)
+    scr_s = _match_at(buf, lt, b"<script")
+    scr_e = _match_at(buf, lt, b"</script>")
+    sty_s = _match_at(buf, lt, b"<style")
+    sty_e = _match_at(buf, lt, b"</style>")
+    com_s = _match_at(buf, lt, b"<!--")
+    com_e = _match_at(buf, dash, b"-->")
 
     # ------------------------------------------------------------------
     # 1. body slice: (?is)<body[^>]*>(.*)</body> — FIRST <body whose open
@@ -275,12 +278,9 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
     #    exactly like the JVM chain's second regexp_replace). Every
     #    replacement is ' ' and the collapse normalizes runs, so
     #    overlapping matches need no consumption ordering here.
-    low1 = out.copy()
-    up1 = (low1 >= 0x41) & (low1 <= 0x5A)
-    low1[up1] += 32
-    lt1 = np.nonzero(low1 == _LT)[0]
-    gt1 = np.nonzero(low1 == _GT)[0]
-    amp1 = np.nonzero(low1 == _AMP)[0]
+    lt1 = np.nonzero(out == _LT)[0]
+    gt1 = np.nonzero(out == _GT)[0]
+    amp1 = np.nonzero(out == _AMP)[0]
     dend1 = noffs[np.searchsorted(noffs, lt1, "right")] if len(lt1) else lt1
     j = _next_in(gt1, lt1 + 1, dend1)
     tag_ok = (j >= 0) & (j >= lt1 + 2)
@@ -292,7 +292,7 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
         _, first = np.unique(tag_e, return_index=True)
         tag_s, tag_e = tag_s[first], tag_e[first]
     ent = np.concatenate(
-        [_match_at(low1, amp1, b"&nbsp;"), _match_at(low1, amp1, b"&#160;")]
+        [_match_at(out, amp1, b"&nbsp;"), _match_at(out, amp1, b"&#160;")]
     )
     ent = _within_doc(ent, 6, noffs)
     # an entity inside a tag span is consumed by the tag match (the tag
