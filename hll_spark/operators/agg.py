@@ -131,6 +131,53 @@ def _not_null_cond(col):
     return F.col(col).isNotNull()
 
 
+def _arrow_values(arr, hash_mode: str | None) -> np.ndarray:
+    """Values for the sketch update straight from one Arrow array.
+
+    xxhash64: zero-copy int64 view. murmur3 over strings: hash from the
+    Arrow offsets/data buffers (already utf-8 — no encode, no per-row
+    PyObjects). Falls back to the pandas-equivalent materialization for
+    anything else (raw item sketches, float quantile inputs).
+    """
+    import pyarrow as pa
+
+    from ..sketchlib.hashing import murmur3_low64_from_buffers
+
+    if arr.null_count:
+        # level-0 projections filter nulls JVM-side; keep a guard for
+        # direct callers
+        arr = arr.drop_null()
+    if hash_mode == "xxhash64":
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if hash_mode == "murmur3":
+        if (
+            pa.types.is_string(arr.type)
+            or pa.types.is_large_string(arr.type)
+            or pa.types.is_binary(arr.type)
+            or pa.types.is_large_binary(arr.type)
+        ):
+            off_dtype = (
+                np.int64
+                if (
+                    pa.types.is_large_string(arr.type)
+                    or pa.types.is_large_binary(arr.type)
+                )
+                else np.int32
+            )
+            buffers = arr.buffers()
+            offsets = np.frombuffer(buffers[1], dtype=off_dtype)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(buffers[2], dtype=np.uint8)
+            return murmur3_low64_from_buffers(
+                data, offsets[:-1], np.diff(offsets)
+            ).view(np.int64)
+        return murmur3_x64_128_low64(arr.to_pandas()).view(np.int64)
+    if hash_mode == "raw":
+        return arr.to_numpy(zero_copy_only=False)
+    return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+
+
 def _batch_values(pdf: pd.DataFrame, hash_mode: str | None) -> np.ndarray:
     v = pdf["__v"]
     if hash_mode == "xxhash64":
@@ -186,24 +233,44 @@ def sketch_partials(
             ]
         )
 
-        def build_global(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the global build consumes raw Arrow RecordBatches (mapInArrow):
+        # no Arrow->pandas object conversion, no per-row utf-8 encode —
+        # int64 hashed columns arrive as zero-copy numpy views and
+        # strings are murmur-hashed straight from the Arrow offsets/data
+        # buffers. On the 16M-row flagship this removes the largest
+        # remaining per-doc memory traffic in the Python worker.
+        import pyarrow as pa
+
+        arrow_schema = pa.schema(
+            [
+                ("bucket", pa.int64()),
+                ("sketch", pa.binary()),
+                ("rows_seen", pa.int64()),
+            ]
+        )
+
+        def build_global(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
             state = spec.zero_fn()
             rows = 0
-            for pdf in batches:
-                if len(pdf):
-                    state = spec.update_fn(state, _batch_values(pdf, hash_mode))
-                    rows += len(pdf)
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                state = spec.update_fn(
+                    state, _arrow_values(rb.column(0), hash_mode)
+                )
+                rows += rb.num_rows
             tc = TaskContext.get()
             pid = tc.partitionId() if tc is not None else 0
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
                     "bucket": [pid % merge_buckets],
                     "sketch": [spec.to_bytes_fn(state)],
                     "rows_seen": [rows],
-                }
+                },
+                schema=arrow_schema,
             )
 
-        return proj.mapInPandas(build_global, out_schema)
+        return proj.mapInArrow(build_global, out_schema)
 
     key_fields = [proj.schema[k] for k in by]
     out_schema = StructType(

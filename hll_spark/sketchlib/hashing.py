@@ -307,3 +307,49 @@ def murmur3_x64_128_low64(values, seed: int = 0) -> np.ndarray:
 def hash64_long(values: np.ndarray) -> np.ndarray:
     """Strong 64-bit hash of integer columns via the murmur3 finalizer."""
     return murmur3_finalizer_u64(np.ascontiguousarray(values, dtype=np.int64))
+
+
+def murmur3_low64_from_buffers(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """MurmurHash3 x64-128 low64 straight from Arrow string buffers.
+
+    ``data``: the contiguous utf-8 data buffer (uint8); ``starts``/
+    ``lens``: per-row byte offsets and lengths into it. Same result as
+    :func:`murmur3_x64_128_low64` but skips the Arrow->pandas object
+    conversion AND the per-row utf-8 encode (Arrow strings are already
+    utf-8): the only data movement is one gather per length class into
+    the shared zero-padded workspace. This is the hot path of the
+    mapInArrow sketch build (operators/agg.py).
+    """
+    n = len(lens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    _CHUNK = 16384
+    if n > _CHUNK:
+        return np.concatenate(
+            [
+                murmur3_low64_from_buffers(
+                    data, starts[i : i + _CHUNK], lens[i : i + _CHUNK], seed
+                )
+                for i in range(0, n, _CHUNK)
+            ]
+        )
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    order = np.argsort(-lens, kind="stable")
+    slens = lens[order]
+    max16 = max(16, int(-(-int(slens[0]) // 16) * 16)) if int(slens[0]) else 16
+    padded = _padded_workspace(n, max16)
+    pos = 0
+    while pos < n:
+        length = int(slens[pos])
+        end = int(np.searchsorted(-slens, -length, side="right"))
+        if length > 0:
+            src = starts[order[pos:end]]
+            idx = src[:, None] + np.arange(length, dtype=np.int64)[None, :]
+            padded[pos:end, :length] = data[idx]
+        pos = end
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = _murmur3_padded_sorted(padded, slens, seed)
+    return out
