@@ -128,6 +128,20 @@ def checkpointed_sketch_aggregate(
             },
         )
     saved = store.read(job_id, stage)
+    # Resume-shape guard: a checkpoint written with a different grouping
+    # must fail with an operator-facing message, not an unresolved-column
+    # AnalysisException deep in the merge plan (found via the
+    # spark-submit surface: --job-id reuse across --by changes).
+    lineage_cols = {"sketch", "rows_seen", "job_id", "stage", "written_at"}
+    stored_keys = sorted(c for c in saved.columns if c not in lineage_cols)
+    expected_keys = sorted(by) if by else ["partition_id"]
+    if stored_keys != expected_keys:
+        raise ValueError(
+            f"checkpoint for job_id={job_id!r} was written with key "
+            f"columns {stored_keys} but this run expects {expected_keys} "
+            "— the grouping (by=...) changed between runs of the same "
+            "job id. Use a new job_id or pass force_recompute=True."
+        )
     if not by:
         saved = saved.withColumnRenamed("partition_id", "bucket")
     cols = (list(by) if by else ["bucket"]) + ["sketch", "rows_seen"]

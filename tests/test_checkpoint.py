@@ -102,3 +102,29 @@ def test_grouped_checkpoint(spark, store):
         ).collect()
     }
     assert direct == resumed
+
+
+def test_resume_with_changed_grouping_raises_clearly(spark, store):
+    """Reusing a job_id with a different by= must be a clear ValueError,
+    not an unresolved-column AnalysisException from the merge plan
+    (caught at the spark-submit surface in round 4)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(100), "g": ["a", "b"] * 50})
+    )
+    spec = hll_spec(CFG)
+    checkpointed_sketch_aggregate(df, "id", spec, store, "jobX").collect()
+    with pytest.raises(ValueError, match="grouping .* changed|key columns"):
+        checkpointed_sketch_aggregate(
+            df, "id", spec, store, "jobX", by=["g"]
+        ).collect()
+    # and the reverse direction: grouped checkpoint, ungrouped rerun
+    checkpointed_sketch_aggregate(
+        df, "id", spec, store, "jobY", by=["g"]
+    ).collect()
+    with pytest.raises(ValueError, match="grouping .* changed|key columns"):
+        checkpointed_sketch_aggregate(df, "id", spec, store, "jobY").collect()
+    # force_recompute overwrites the mismatched checkpoint and recovers
+    out = checkpointed_sketch_aggregate(
+        df, "id", spec, store, "jobY", force_recompute=True
+    ).collect()
+    assert len(out) == 1
