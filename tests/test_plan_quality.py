@@ -60,6 +60,9 @@ GATED = [
     "normalize_urls_docs",
     "extract_text_pages",
     "extract_text_pages_arrow",
+    # round-4 additions
+    "minhash_pairs_parity",
+    "simhash_pairs_parity",
 ]
 
 
