@@ -258,6 +258,20 @@ EXTRA_QUERIES_R3 = [
     "distinct_urls_by_host",
 ]
 
+# round-4 additions: the re-routed loose-threshold GEMM query (timeable
+# now that it is no longer a quadratic bucket join), the two clone-corpus
+# parity queries, and previously-untimed driver queries
+EXTRA_QUERIES_R4 = [
+    "embedding_dup_pairs",
+    "minhash_pairs_parity",
+    "simhash_pairs_parity",
+    "media_metadata_documents",
+    "customers_with_orders_semi",
+    "asof_last_order",
+    "session_counts",
+    "rollup_user_counts",
+]
+
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
@@ -282,7 +296,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    for name in bench_queries + EXTRA_QUERIES + EXTRA_QUERIES_R3:
+    for name in (
+        bench_queries + EXTRA_QUERIES + EXTRA_QUERIES_R3 + EXTRA_QUERIES_R4
+    ):
         qs[name](spark, sf_dir).collect()  # warm: parquet footers, JIT, plan
         # best of 3 warm runs: robust to background-load spikes on this
         # shared VM (per-run variance is up to ~40%)
@@ -329,7 +345,9 @@ def scaling_child(cpus: int, shuffle: int) -> None:
     # north-star front half: fused extract+hash+sketch over raw html
     extract_docs_per_sec(spark, epath)
     cpu0 = _tree_cpu_seconds()
-    eruns = [extract_docs_per_sec(spark, epath) for _ in range(2)]
+    # 3 measured passes: extraction is the pre-registered criterion
+    # mode, so it gets the largest sample per child
+    eruns = [extract_docs_per_sec(spark, epath) for _ in range(3)]
     cpu1 = _tree_cpu_seconds()
     out["extract"] = [r[0] for r in eruns]
     out["extract_per_cpu"] = eruns[0][1] * len(eruns) / max(cpu1 - cpu0, 1e-9)
@@ -399,11 +417,94 @@ def run_scaling(rounds: int = 2) -> dict:
             result[mode][f"per_cpu_{lo}"] = round(median(cpu_lo))
             result[mode][f"per_cpu_{hi}"] = round(median(cpu_hi))
             result[mode]["cpu_parity"] = round(median(cpu_hi) / median(cpu_lo), 3)
-    result["scaling_efficiency"] = max(
-        result["xxhash64"]["scaling_efficiency"],
-        result["murmur3"]["scaling_efficiency"],
-    )
+    # run-level headline = the criterion mode (extraction flagship —
+    # the end-to-end pipeline; BENCH/BASELINE.md §2), never the best
+    # mode of the run (ADVICE r3); cross-run aggregation is the median
+    # in summarize_scaling_runs()
+    crit = "extract" if "extract" in result else "murmur3"
+    result["scaling_efficiency"] = result[crit]["scaling_efficiency"]
+    result["metric"] = f"{crit} flagship wall eff (this run)"
     return result
+
+
+def summarize_scaling_runs() -> dict | None:
+    """Fold every committed two-cluster-size run (BENCH/scaling_r*.json)
+    into the pre-registered headline (BENCH/BASELINE.md §2): the
+    criterion metric is the MEDIAN wall-clock scaling efficiency of the
+    EXTRACTION flagship (the end-to-end north-star pipeline; the thin
+    hash-only modes saturate this box's shared DRAM bus at 2 threads
+    since the r4 kernel and carry a bandwidth account instead) across
+    ALL committed interleaved runs (ADVICE r3: median, never the best
+    draw), with the median cpu_parity as the steal-immune companion.
+    The full per-run table is written to BENCH/scaling_summary.json so
+    this record stays tail-capture-sized.
+    """
+    import glob as _glob
+
+    ref_files = sorted(_glob.glob(os.path.join(REPO, "BENCH", "scaling_r*.json")))
+    if not ref_files:
+        return None
+
+    def _med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        if not n:
+            return None
+        mid = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+        return round(mid, 3)
+
+    runs: dict[str, dict] = {}
+    per_mode: dict[str, dict[str, list]] = {}
+    for rf in ref_files:
+        try:
+            with open(rf) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        summary = {}
+        for mode in ("murmur3", "xxhash64", "extract"):
+            if mode not in rec:
+                continue
+            summary[mode] = {
+                k: rec[mode].get(k)
+                for k in (
+                    "thr_2", "thr_8", "scaling_efficiency",
+                    "cpu_parity", "io_2", "io_8",
+                )
+                if rec[mode].get(k) is not None
+            }
+            acc = per_mode.setdefault(mode, {"eff": [], "parity": []})
+            if rec[mode].get("scaling_efficiency") is not None:
+                acc["eff"].append(rec[mode]["scaling_efficiency"])
+            if rec[mode].get("cpu_parity") is not None:
+                acc["parity"].append(rec[mode]["cpu_parity"])
+        runs[os.path.basename(rf)] = summary
+    medians = {
+        mode: {
+            "eff_median": _med(acc["eff"]),
+            "cpu_parity_median": _med(acc["parity"]),
+            "n_runs": len(acc["eff"]),
+        }
+        for mode, acc in per_mode.items()
+    }
+    detail_file = os.path.join(REPO, "BENCH", "scaling_summary.json")
+    try:
+        with open(detail_file, "w") as fh:
+            json.dump({"medians": medians, "runs": runs}, fh, indent=1)
+    except OSError:
+        pass
+    ex = medians.get("extract", {})
+    mm = medians.get("murmur3", {})
+    return {
+        # THE criterion number (pre-registered in BENCH/BASELINE.md §2)
+        "scaling_efficiency": ex.get("eff_median"),
+        "metric": "median extraction-flagship wall eff across committed runs",
+        "cpu_parity": ex.get("cpu_parity_median"),
+        "murmur3_eff": mm.get("eff_median"),
+        "murmur3_cpu_parity": mm.get("cpu_parity_median"),
+        "n_runs": ex.get("n_runs"),
+        "detail": "BENCH/scaling_summary.json",
+    }
 
 
 def main() -> None:
@@ -431,85 +532,65 @@ def main() -> None:
     io_after = _io_snapshot(spark)
     flagship_io = {k: (io_after[k] - io_before[k]) // 3 for k in io_after}
     docs_per_sec, n_rows, est = sorted(runs)[1]  # median of 3
-    # extraction flagship: 1 warm + 2 measured fused-kernel runs, plus
+    # extraction flagship: 1 warm + 3 measured fused-kernel runs,
+    # MEDIAN-of-3 (same policy as the url flagship — ADVICE r3), plus
     # one JVM-chain run for the engine comparison (each run is cold —
     # fresh lineage per call, no shuffle-stage reuse)
     extract_docs_per_sec(spark, pages_path)
-    ext_runs = [extract_docs_per_sec(spark, pages_path) for _ in range(2)]
-    ext_docs_per_sec, _, ext_est = max(ext_runs)
+    ext_runs = [extract_docs_per_sec(spark, pages_path) for _ in range(3)]
+    ext_docs_per_sec, _, ext_est = sorted(ext_runs)[1]
     ext_jvm_docs_per_sec, _, _ = extract_docs_per_sec(
         spark, pages_path, engine="jvm"
     )
-    # latest committed two-cluster-size measurement (BENCH/scaling_rN.json,
-    # produced by `python bench.py --scaling`): carried here so the
-    # per-round bench JSON records the north-rule evidence too
-    scaling_ref = None
-    try:
-        import glob as _glob
-
-        ref_files = sorted(_glob.glob(os.path.join(REPO, "BENCH", "scaling_r*.json")))
-        if ref_files:
-            # carry EVERY committed run (the wall-clock number swings
-            # with host contention — BENCH/BASELINE.md §2 — so one
-            # number alone misleads); headline = best measured job mode
-            # across runs, per the max-over-modes policy of r2
-            runs = {}
-            best = 0.0
-            for rf in ref_files:
-                with open(rf) as fh:
-                    rec = json.load(fh)
-                summary = {}
-                for mode in ("murmur3", "xxhash64", "extract"):
-                    if mode not in rec:
-                        continue
-                    summary[mode] = {
-                        k: rec[mode].get(k)
-                        for k in (
-                            "thr_2", "thr_8", "scaling_efficiency",
-                            "cpu_parity", "io_2", "io_8",
-                        )
-                        if rec[mode].get(k) is not None
-                    }
-                    eff = rec[mode].get("scaling_efficiency")
-                    if mode != "xxhash64" and eff is not None:
-                        # scan-bound xxhash64 never headlines
-                        best = max(best, eff)
-                runs[os.path.basename(rf)] = summary
-            scaling_ref = {"scaling_efficiency": best, "runs": runs}
-    except Exception:
-        pass
+    scaling_headline = summarize_scaling_runs()
     all_timings = run_queries(spark, SF_DIR)
-    timings = {
-        k: v
-        for k, v in all_timings.items()
-        if k not in EXTRA_QUERIES and k not in EXTRA_QUERIES_R3
-    }
+    later = set(EXTRA_QUERIES) | set(EXTRA_QUERIES_R3) | set(EXTRA_QUERIES_R4)
+    timings = {k: v for k, v in all_timings.items() if k not in later}
     extra = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES}
     extra_r3 = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES_R3}
+    extra_r4 = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES_R4}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite wall time (sf bench tables) "
-                "+ flagship distinct-url HLL sketch-build throughput",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_extra_r2": extra,
-                "queries_extra_r3": extra_r3,
-                "sf": SF_DIR,
-                "docs_per_sec": round(docs_per_sec),
-                "flagship_rows": n_rows,
-                "flagship_estimate": est,
-                "extract_docs_per_sec": round(ext_docs_per_sec),
-                "extract_docs_per_sec_jvm_engine": round(ext_jvm_docs_per_sec),
-                "extract_distinct_text_estimate": ext_est,
-                "flagship_io_per_run": flagship_io,
-                "scaling": scaling_ref,
-            }
-        )
-    )
+    # The suite record MUST be the last stdout line and stay compact
+    # (< ~2 KB): the driver captures only a short stdout tail
+    # (VERDICT r3 #2). Everything bulky (per-run scaling samples, io
+    # detail) lives in BENCH/scaling_summary.json, referenced by name.
+    record = {
+        "metric": "suite wall time + flagship HLL throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_extra_r2": extra,
+        "queries_extra_r3": extra_r3,
+        "queries_extra_r4": extra_r4,
+        "sf": SF_DIR,
+        "docs_per_sec": round(docs_per_sec),
+        "flagship_rows": n_rows,
+        "flagship_estimate": est,
+        "extract_docs_per_sec": round(ext_docs_per_sec),
+        "extract_docs_per_sec_jvm_engine": round(ext_jvm_docs_per_sec),
+        "extract_distinct_text_estimate": ext_est,
+        "flagship_io_per_run": flagship_io,
+        "scaling": scaling_headline,
+    }
+    # The untrimmed record always lands in BENCH/bench_full.json; the
+    # stdout line is trimmed (oldest-stable detail first) to fit the
+    # driver's ~2 KB tail capture.
+    try:
+        with open(os.path.join(REPO, "BENCH", "bench_full.json"), "w") as fh:
+            json.dump(record, fh, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(record, separators=(",", ":"))
+    for victim in ("flagship_io_per_run", "queries_extra_r2", "queries_extra_r3"):
+        if len(line) <= 1900:
+            break
+        dropped = record.pop(victim, None)
+        if isinstance(dropped, dict) and victim.startswith("queries"):
+            record[victim + "_total"] = round(sum(dropped.values()), 3)
+        record["full_record"] = "BENCH/bench_full.json"
+        line = json.dumps(record, separators=(",", ":"))
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
