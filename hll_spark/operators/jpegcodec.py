@@ -265,7 +265,11 @@ def encode_jpeg(
         while last > 0 and zz[last] == 0:
             last -= 1
         for k in range(1, last + 1):
-            v = int(zz[k])
+            # T.81 8-bit precision caps AC magnitudes at category 10
+            # (|v| <= 1023); quant step 1 at quality ~100 can exceed it
+            # on synthetic high-contrast blocks — clamp instead of a
+            # bare KeyError from the Huffman table (ADVICE r3)
+            v = max(-1023, min(1023, int(zz[k])))
             if v == 0:
                 run += 1
                 continue

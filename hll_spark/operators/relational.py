@@ -174,6 +174,13 @@ def range_join(
     dup = (set(left.columns) & set(right.columns)) - set(on)
     if dup:
         raise ValueError(f"ambiguous output columns, rename first: {sorted(dup)}")
+    # the bin key is internal; a caller's __bin on EITHER side would be
+    # silently overwritten/dropped (ADVICE r3) — refuse loudly instead
+    if "__bin" in left.columns or "__bin" in right.columns:
+        raise ValueError(
+            "range_join reserves the column name '__bin'; rename it on "
+            "the input first"
+        )
     w = F.lit(float(bin_width))
     l = left.withColumn("__bin", F.floor(F.col(point) / w))
     r = (

@@ -190,3 +190,82 @@ def test_fill_bytes_before_markers_are_legal():
     out += b[i:]
     assert injected >= 4
     np.testing.assert_array_equal(decode_jpeg(bytes(out)), decode_jpeg(b))
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis round-trip property (VERDICT r3 #7): random small images at
+# 4:4:4 and 4:2:0 must survive encode->decode within IDCT/quantization
+# rounding, mirroring the PNG property test. Smooth images (random
+# low-frequency fields) get a PSNR floor; pure-noise images only a
+# loose absolute-error cap (JPEG is built to discard that content).
+
+from hypothesis import given, settings, strategies as st
+
+
+def _psnr_h(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    h=st.integers(8, 33),
+    w=st.integers(8, 33),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(55, 98),
+    subsample=st.booleans(),
+    gray=st.booleans(),
+)
+def test_jpeg_roundtrip_property(h, w, seed, quality, subsample, gray):
+    rng = np.random.default_rng(seed)
+    # smooth field: bilinear-upsampled 4x4 noise — the content JPEG is
+    # designed to carry faithfully
+    shape = (4, 4) if gray else (4, 4, 3)
+    coarse = rng.integers(0, 256, size=shape).astype(np.float64)
+    reps = (h // 4 + 1, w // 4 + 1) if gray else (h // 4 + 1, w // 4 + 1, 1)
+    img = np.kron(coarse, np.ones((8, 8) if gray else (8, 8, 1)))[
+        :h, :w
+    ].astype(np.uint8)
+    if gray:
+        blob = encode_jpeg(img, quality=quality)
+    else:
+        blob = encode_jpeg(img, quality=quality, subsample=subsample)
+    out = decode_jpeg(blob)
+    assert out.shape == img.shape
+    assert out.dtype == np.uint8
+    # block-constant content -> high fidelity. 4:2:0 chroma on odd-size
+    # saturated-color images at q~55 legitimately lands in the mid-20s
+    # dB (edge replication + chroma decimation), so its floor is the
+    # bug-catching one, not a fidelity target: a broken decode path
+    # (wrong upsampling, bad dequant, shifted blocks) measures <15 dB.
+    assert _psnr_h(img, out) > (22.0 if (subsample and not gray) else 30.0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(8, 24),
+    w=st.integers(8, 24),
+    seed=st.integers(0, 2**31 - 1),
+    subsample=st.booleans(),
+)
+def test_jpeg_roundtrip_noise_never_crashes_or_drifts(h, w, seed, subsample):
+    """Adversarial full-range noise: no crash, right shape, and the
+    decoder's error stays bounded (every pixel within clamp range and
+    mean absolute error below the all-frequencies-quantized ceiling)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=75, subsample=subsample))
+    assert out.shape == img.shape
+    mae = np.mean(np.abs(out.astype(int) - img.astype(int)))
+    assert mae < 80.0
+
+
+def test_encoder_clamps_extreme_ac_instead_of_keyerror():
+    """Quality ~100 (quant step 1) on a max-contrast checkerboard can
+    push AC magnitudes toward category 11; the encoder must clamp to
+    the 8-bit-precision spec range (|v| <= 1023), not raise (ADVICE
+    r3, jpegcodec encode AC path)."""
+    img = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    blob = encode_jpeg(img, quality=100)
+    out = decode_jpeg(blob)
+    assert out.shape == img.shape

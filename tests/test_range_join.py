@@ -109,3 +109,20 @@ def test_null_points_never_match(spark):
     right = spark.createDataFrame([(1, 0.0, 10.0)], "rid long, lo double, hi double")
     got = range_join(left, right, "point", "lo", "hi", 10.0)
     assert [r["lid"] for r in got.collect()] == [2]
+
+
+def test_rejects_reserved_bin_column_on_either_side(spark):
+    """A caller's __bin column used to be silently overwritten when it
+    existed on only one side (ADVICE r3) — now a loud ValueError."""
+    left = spark.createDataFrame([(1, 5.0)], "lid long, point double")
+    right = spark.createDataFrame(
+        [(1, 0.0, 10.0)], "rid long, lo double, hi double"
+    )
+    with pytest.raises(ValueError, match="__bin"):
+        range_join(
+            left.withColumn("__bin", F.lit(9)), right, "point", "lo", "hi", 5.0
+        )
+    with pytest.raises(ValueError, match="__bin"):
+        range_join(
+            left, right.withColumn("__bin", F.lit(9)), "point", "lo", "hi", 5.0
+        )
