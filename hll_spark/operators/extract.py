@@ -239,7 +239,9 @@ def extract_sketch_agg(
     ``sketch_aggregate``. Returns the standard one-row sketch frame
     (``sketch binary, rows_seen long``).
     """
+    import numpy as np
     import pandas as pd
+    import pyarrow as pa
     from pyspark.sql.types import (
         BinaryType,
         LongType,
@@ -249,7 +251,7 @@ def extract_sketch_agg(
     from pyspark import TaskContext
 
     from .agg import hll_spec, merge_sketch_partials
-    from .extractkernel import extract_text_batch
+    from .extractkernel import extract_text_flat
     from ..sketchlib.hashing import murmur3_x64_128_low64
 
     spec = hll_spec(cfg)
@@ -258,6 +260,13 @@ def extract_sketch_agg(
             StructField("bucket", LongType()),
             StructField("sketch", BinaryType()),
             StructField("rows_seen", LongType()),
+        ]
+    )
+    arrow_out = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("sketch", pa.binary()),
+            ("rows_seen", pa.int64()),
         ]
     )
 
@@ -269,12 +278,37 @@ def extract_sketch_agg(
     hash_chunk = 16384
 
     def build(batches):
+        # mapInArrow: the html bytes feed the extraction kernel ZERO-
+        # COPY from the Arrow binary buffers (the kernel's flat layout
+        # IS Arrow's data+offsets layout and it never writes to the
+        # input), and the extracted texts are hashed as utf-8 bytes
+        # without ever decoding to str — no pandas objects anywhere.
         state = spec.zero_fn()
         rows = 0
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            texts = extract_text_batch(pdf[html_col])
+            arr = rb.column(0)
+            if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(
+                arr.type
+            ):
+                off_dtype = np.int64
+            else:
+                off_dtype = np.int32
+            bufs = arr.buffers()
+            raw_off = np.frombuffer(bufs[1], dtype=off_dtype)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            base = int(raw_off[0])
+            flat = data[base : int(raw_off[-1])]
+            offs = raw_off - base
+            null_mask = (
+                np.asarray(arr.is_null())
+                if arr.null_count
+                else np.zeros(len(arr), dtype=bool)
+            )
+            texts = extract_text_flat(flat, offs, null_mask, as_bytes=True)
             texts = [t for t in texts if t is not None]
             for i in range(0, len(texts), hash_chunk):
                 chunk = pd.Series(texts[i:i + hash_chunk])
@@ -286,13 +320,14 @@ def extract_sketch_agg(
             rows += len(texts)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
                 "bucket": [pid % merge_buckets],
                 "sketch": [spec.to_bytes_fn(state)],
                 "rows_seen": [rows],
-            }
+            },
+            schema=arrow_out,
         )
 
-    partials = df.select(html_col).mapInPandas(build, out_schema)
+    partials = df.select(html_col).mapInArrow(build, out_schema)
     return merge_sketch_partials(partials, spec, by=None)

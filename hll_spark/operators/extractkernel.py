@@ -48,6 +48,15 @@ _WS_LUT = np.zeros(256, dtype=bool)
 for _b in _WS_BYTES:
     _WS_LUT[_b] = True
 
+# byte-translation table: \s -> ' ', identity otherwise. A single LUT
+# gather (out = _TRANS_LUT[buf]) replaces the old mutate-in-place pair
+# (bool-mask materialization + masked assignment) — one full-buffer
+# pass less on a DRAM-bound box — and produces a fresh writable array,
+# so the input buffer itself is never mutated (zero-copy Arrow input).
+_TRANS_LUT = np.arange(256, dtype=np.uint8)
+for _b in _WS_BYTES:
+    _TRANS_LUT[_b] = 0x20
+
 _SPACE = 0x20
 _LT, _GT, _AMP, _DASH = 0x3C, 0x3E, 0x26, 0x2D
 
@@ -104,12 +113,17 @@ def _within_doc(cand: np.ndarray, patlen: int, offs: np.ndarray) -> np.ndarray:
     return cand[cand + patlen <= dend]
 
 
-def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) -> list:
+def extract_text_batch(
+    docs: Iterable[bytes | bytearray | memoryview | None],
+    as_bytes: bool = False,
+) -> list:
     """Extract visible text from a batch of HTML byte strings.
 
     Returns a list of ``str`` (or ``None`` for null inputs) equal
     element-wise to the JVM ``extract_text`` chain (see module
-    docstring for the parity contract).
+    docstring for the parity contract). ``as_bytes=True`` returns the
+    utf-8 bytes instead of decoded str (the fused sketch path hashes
+    those bytes directly, so decoding would be pure overhead).
     """
     doc_list = list(docs)
     null_mask = [d is None for d in doc_list]
@@ -125,7 +139,25 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
     lens = np.fromiter((len(d) for d in byte_docs), dtype=np.int64, count=ndoc)
     offs = np.zeros(ndoc + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
-    buf = np.frombuffer(b"".join(byte_docs), dtype=np.uint8).copy()
+    buf = np.frombuffer(b"".join(byte_docs), dtype=np.uint8)
+    return extract_text_flat(buf, offs, null_mask, as_bytes)
+
+
+def extract_text_flat(
+    buf: np.ndarray,
+    offs: np.ndarray,
+    null_mask,
+    as_bytes: bool = False,
+) -> list:
+    """Kernel entry over an already-flat corpus: ``buf`` is the
+    back-to-back utf-8/byte content of ``len(offs)-1`` documents with
+    ``offs`` boundaries (exactly an Arrow binary/string array's
+    data+offsets layout, so Arrow batches feed this zero-copy — the
+    kernel never writes to ``buf``).
+    """
+    ndoc = len(offs) - 1
+    if ndoc <= 0:
+        return []
     n = len(buf)
 
     # candidate first bytes are all symbols, so positions come straight
@@ -242,8 +274,7 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
     #    One fused delta: slice bounds add +1/-1, spans subtract — kept
     #    bytes are exactly level==1 (active block spans are disjoint, so
     #    the level never goes below 0 inside bounds).
-    out = buf
-    out[_WS_LUT[buf]] = _SPACE
+    out = _TRANS_LUT[buf]  # \s -> ' ' + writable copy, one gather pass
     live = end > start  # empty slices contribute nothing (and would
     # otherwise pile +1/-1 deltas onto one shared index)
     delta = np.zeros(n + 1, dtype=np.int8)
@@ -360,11 +391,11 @@ def extract_text_batch(docs: Iterable[bytes | bytearray | memoryview | None]) ->
             res.append(None)
             continue
         if force_empty[d] or not has_txt[d]:
-            res.append("")
+            res.append(b"" if as_bytes else "")
             continue
         b = big[s_fin[d]:e_fin[d]]
         for pat, rep in _DECODE_PASSES:
             if pat in b:
                 b = b.replace(pat, rep)
-        res.append(b.decode("utf-8", "replace"))
+        res.append(b if as_bytes else b.decode("utf-8", "replace"))
     return res

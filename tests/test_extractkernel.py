@@ -229,3 +229,37 @@ def test_kernel_accepts_str_inputs(spark):
     ).createOrReplaceTempView("strpages")
     got = spark.sql("SELECT extract_text(html) AS t FROM strpages").collect()
     assert got[0]["t"] == "s"
+
+
+def test_flat_entry_matches_batch_and_bytes_mode():
+    """extract_text_flat over an Arrow-layout flat corpus (zero-copy,
+    read-only buffer) must equal extract_text_batch element-wise, and
+    as_bytes=True must return exactly the utf-8 encoding of the str
+    results (the fused sketch path hashes those bytes)."""
+    import numpy as np
+
+    from hll_spark.operators.extractkernel import (
+        extract_text_batch,
+        extract_text_flat,
+    )
+
+    docs = [
+        b"<html><body>Hello &amp; welcome</body></html>",
+        None,
+        b"<body>a<script>x</script>b</body>",
+        b"no body tag at all",
+        b"",
+        b"<body  class=x>sp\t\nace   runs</body>trailing<body>ignored</body>",
+    ]
+    want = extract_text_batch(docs)
+    byte_docs = [d if d is not None else b"" for d in docs]
+    lens = np.array([len(d) for d in byte_docs], dtype=np.int64)
+    offs = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.frombuffer(b"".join(byte_docs), dtype=np.uint8)  # read-only
+    null_mask = [d is None for d in docs]
+    got = extract_text_flat(flat, offs, null_mask)
+    assert got == want
+    got_b = extract_text_flat(flat, offs, null_mask, as_bytes=True)
+    assert got_b == [None if s is None else s.encode("utf-8") for s in want]
+    assert extract_text_flat(flat[:0], offs[:1], [], True) == []
