@@ -35,4 +35,4 @@ __all__ = [
     "normalize_url",
     "url_host",
 ]
-__version__ = "0.3.0"
+__version__ = "0.4.0"
