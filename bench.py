@@ -213,12 +213,9 @@ def extract_docs_per_sec(
 
 # round-2 additions, timed identically but reported under
 # "queries_extra" so the original 16-query total stays comparable
-# across rounds
-# embedding_dup_pairs is excluded: the driver query's loose threshold
-# (0.46) is below the regime where hyperplane LSH can prune (random-
-# pair band collision ~ target-pair collision), so its cost is
-# quadratic-by-construction there — see the operator docstring; it
-# stays correctness-gated in CORRECTNESS/pytest.
+# across rounds. (embedding_dup_pairs was excluded here in r2/r3 while
+# its plan was the quadratic LSH bucket join; since r4 it runs the
+# blocked-GEMM exact plan and is timed under EXTRA_QUERIES_R4.)
 EXTRA_QUERIES = [
     "ngram_jaccard_pairs",
     "theta_intersect_partkeys",
@@ -445,13 +442,10 @@ def summarize_scaling_runs() -> dict | None:
     if not ref_files:
         return None
 
+    import statistics
+
     def _med(xs):
-        xs = sorted(xs)
-        n = len(xs)
-        if not n:
-            return None
-        mid = xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
-        return round(mid, 3)
+        return round(statistics.median(xs), 3) if xs else None
 
     runs: dict[str, dict] = {}
     per_mode: dict[str, dict[str, list]] = {}
@@ -580,14 +574,24 @@ def main() -> None:
             json.dump(record, fh, indent=1)
     except OSError:
         pass
+    # victims are generic so the contract survives future rounds: the
+    # io detail first, then every queries_extra_rN map oldest-first
+    # (each folds into a _total), and as a last resort the per-query
+    # values are rounded harder. "queries" and "scaling" never drop.
+    victims = ["flagship_io_per_run"] + sorted(
+        k for k in record if k.startswith("queries_extra_")
+    )
     line = json.dumps(record, separators=(",", ":"))
-    for victim in ("flagship_io_per_run", "queries_extra_r2", "queries_extra_r3"):
+    for victim in victims:
         if len(line) <= 1900:
             break
         dropped = record.pop(victim, None)
         if isinstance(dropped, dict) and victim.startswith("queries"):
             record[victim + "_total"] = round(sum(dropped.values()), 3)
         record["full_record"] = "BENCH/bench_full.json"
+        line = json.dumps(record, separators=(",", ":"))
+    if len(line) > 1900:
+        record["queries"] = {k: round(v, 1) for k, v in record["queries"].items()}
         line = json.dumps(record, separators=(",", ":"))
     spark.stop()
     print(line, flush=True)

@@ -255,10 +255,12 @@ def sketch_partials(
             for rb in batches:
                 if not rb.num_rows:
                     continue
-                state = spec.update_fn(
-                    state, _arrow_values(rb.column(0), hash_mode)
-                )
-                rows += rb.num_rows
+                vals = _arrow_values(rb.column(0), hash_mode)
+                state = spec.update_fn(state, vals)
+                # count sketched values, not batch rows: the projection
+                # filters nulls JVM-side, but a direct caller may feed
+                # batches with nulls that _arrow_values drops
+                rows += len(vals)
             tc = TaskContext.get()
             pid = tc.partitionId() if tc is not None else 0
             yield pa.RecordBatch.from_pydict(

@@ -283,6 +283,11 @@ def extract_sketch_agg(
         # IS Arrow's data+offsets layout and it never writes to the
         # input), and the extracted texts are hashed as utf-8 bytes
         # without ever decoding to str — no pandas objects anywhere.
+        # SEMANTICS: distinctness is over the extracted BYTES (the
+        # input-hint's byte-identity invariant). On malformed-UTF-8
+        # documents this differs from a decode-then-hash engine, where
+        # distinct byte sequences can collapse into the same U+FFFD-
+        # replaced string — byte distinctness is the intended contract.
         state = spec.zero_fn()
         rows = 0
         for rb in batches:

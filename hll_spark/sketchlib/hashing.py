@@ -341,13 +341,17 @@ def murmur3_low64_from_buffers(
     slens = lens[order]
     max16 = max(16, int(-(-int(slens[0]) // 16) * 16)) if int(slens[0]) else 16
     padded = _padded_workspace(n, max16)
+    # int32 index matrices when the data buffer allows it: the gather
+    # index is transient traffic on a DRAM-bound box, so halving its
+    # width matters for long rows (int64 only beyond 2 GB buffers)
+    idx_dtype = np.int32 if len(data) < 2**31 else np.int64
     pos = 0
     while pos < n:
         length = int(slens[pos])
         end = int(np.searchsorted(-slens, -length, side="right"))
         if length > 0:
-            src = starts[order[pos:end]]
-            idx = src[:, None] + np.arange(length, dtype=np.int64)[None, :]
+            src = starts[order[pos:end]].astype(idx_dtype, copy=False)
+            idx = src[:, None] + np.arange(length, dtype=idx_dtype)[None, :]
             padded[pos:end, :length] = data[idx]
         pos = end
     out = np.empty(n, dtype=np.uint64)

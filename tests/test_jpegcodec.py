@@ -222,7 +222,6 @@ def test_jpeg_roundtrip_property(h, w, seed, quality, subsample, gray):
     # designed to carry faithfully
     shape = (4, 4) if gray else (4, 4, 3)
     coarse = rng.integers(0, 256, size=shape).astype(np.float64)
-    reps = (h // 4 + 1, w // 4 + 1) if gray else (h // 4 + 1, w // 4 + 1, 1)
     img = np.kron(coarse, np.ones((8, 8) if gray else (8, 8, 1)))[
         :h, :w
     ].astype(np.uint8)
