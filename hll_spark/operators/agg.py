@@ -302,9 +302,13 @@ def sketch_partials(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # hash/project the whole batch ONCE (one vectorized kernel
+            # call), then slice per group — the per-group work is a
+            # numpy take, not a murmur invocation
+            batch_vals = _batch_values(pdf, hash_mode)
             for key, idx in pdf.groupby(by, sort=False, dropna=False).indices.items():
                 key = key if isinstance(key, tuple) else (key,)
-                vals = _batch_values(pdf.iloc[idx], hash_mode)
+                vals = batch_vals[idx]
                 if key in states:
                     states[key] = spec.update_fn(states[key], vals)
                     counts[key] += len(idx)
