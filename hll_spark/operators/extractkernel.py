@@ -60,6 +60,29 @@ for _b in _WS_BYTES:
 _SPACE = 0x20
 _LT, _GT, _AMP, _DASH = 0x3C, 0x3E, 0x26, 0x2D
 
+# one-pass candidate classifier: a LUT gather + single nonzero replaces
+# per-symbol `buf == X` compare+nonzero passes (each of those costs
+# read-n + write-n-bool + read-n; the fused form costs one gather and
+# one scan for ALL symbol classes — the symbol positions themselves are
+# sparse, so the per-class split is cheap index math)
+_CAND_LUT = np.zeros(256, dtype=np.uint8)
+_CAND_LUT[_LT] = 1
+_CAND_LUT[_GT] = 2
+_CAND_LUT[_DASH] = 3
+_CAND2_LUT = np.zeros(256, dtype=np.uint8)
+_CAND2_LUT[_LT] = 1
+_CAND2_LUT[_GT] = 2
+_CAND2_LUT[_AMP] = 3
+
+
+def _classify(buf: np.ndarray, lut: np.ndarray):
+    """Positions of the three symbol classes in ``lut``, via ONE
+    full-buffer gather + ONE nonzero scan."""
+    cls = lut[buf]
+    idx = np.nonzero(cls)[0]
+    c = cls[idx]
+    return idx[c == 1], idx[c == 2], idx[c == 3]
+
 # entity decode passes in the exact order of the JVM chain
 # (extract.py: '&#39;', '&apos;', then reversed(_ESCAPES))
 _DECODE_PASSES = [
@@ -162,9 +185,7 @@ def extract_text_flat(
 
     # candidate first bytes are all symbols, so positions come straight
     # off the raw buffer; tails are case-folded sparsely in _match_at
-    lt = np.nonzero(buf == _LT)[0]
-    gt = np.nonzero(buf == _GT)[0]
-    dash = np.nonzero(buf == _DASH)[0]
+    lt, gt, dash = _classify(buf, _CAND_LUT)
 
     body_s = _within_doc(_match_at(buf, lt, b"<body"), 5, offs)
     body_e = _within_doc(_match_at(buf, lt, b"</body>"), 7, offs)
@@ -309,9 +330,7 @@ def extract_text_flat(
     #    exactly like the JVM chain's second regexp_replace). Every
     #    replacement is ' ' and the collapse normalizes runs, so
     #    overlapping matches need no consumption ordering here.
-    lt1 = np.nonzero(out == _LT)[0]
-    gt1 = np.nonzero(out == _GT)[0]
-    amp1 = np.nonzero(out == _AMP)[0]
+    lt1, gt1, amp1 = _classify(out, _CAND2_LUT)
     dend1 = noffs[np.searchsorted(noffs, lt1, "right")] if len(lt1) else lt1
     j = _next_in(gt1, lt1 + 1, dend1)
     tag_ok = (j >= 0) & (j >= lt1 + 2)
@@ -383,7 +402,17 @@ def extract_text_flat(
     s_fin[~has_txt] = 0
     e_fin[~has_txt] = 0
 
-    # 7. entity decode (sequential literal passes, JVM order) + utf-8
+    # 7. entity decode (sequential literal passes, JVM order) + utf-8.
+    # Every decode pattern starts with '&', so docs whose final span has
+    # no '&' byte skip all six substring scans — one vectorized compare
+    # over the (smallest) collapsed buffer replaces 6 C-level scans per
+    # entity-free doc.
+    amp2 = np.nonzero(out == _AMP)[0]
+    has_amp = np.zeros(ndoc, dtype=bool)
+    if len(amp2):
+        ad = np.searchsorted(noffs2, amp2, "right") - 1
+        inside = (amp2 >= s_fin[ad]) & (amp2 < e_fin[ad])
+        has_amp[ad[inside]] = True
     big = out.tobytes()
     res: list = []
     for d in range(ndoc):
@@ -394,8 +423,9 @@ def extract_text_flat(
             res.append(b"" if as_bytes else "")
             continue
         b = big[s_fin[d]:e_fin[d]]
-        for pat, rep in _DECODE_PASSES:
-            if pat in b:
-                b = b.replace(pat, rep)
+        if has_amp[d]:
+            for pat, rep in _DECODE_PASSES:
+                if pat in b:
+                    b = b.replace(pat, rep)
         res.append(b if as_bytes else b.decode("utf-8", "replace"))
     return res
