@@ -267,6 +267,9 @@ EXTRA_QUERIES_R4 = [
     "asof_last_order",
     "session_counts",
     "rollup_user_counts",
+    "paragraph_dedup_parity",
+    "decontaminate_documents",
+    "decontaminate_ngrams",
 ]
 
 
@@ -313,6 +316,40 @@ EXTRACT_SCALING_ROWS = 1_000_000  # extraction is ~40x costlier per row
 # the local[2] leg to ~15 s per run while staying >>JIT/startup noise
 
 
+def _box_health(seconds: float = 1.0) -> dict:
+    """Independent box-health gauge, measured INSIDE each scaling leg:
+    (a) single-process DRAM streaming bandwidth (numpy right_shift over
+    a 256 MB buffer — the same instrument as BENCH/BASELINE.md §2's
+    ~1.7 GB/s ceiling measurement), and (b) the hypervisor steal
+    fraction over the gauge window (/proc/stat col 8). Carried per-leg
+    in the run JSON so a contended measurement window is recorded as
+    data alongside the throughput it distorted, instead of being
+    narrated after the fact."""
+    import numpy as np
+
+    def _stat():
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+    buf = np.empty(32 * 1024 * 1024, dtype=np.uint64)  # 256 MB
+    buf[:] = 0x9E3779B97F4A7C15
+    np.right_shift(buf, 1, out=buf)  # warm: fault the pages in
+    total0, steal0 = _stat()
+    t0 = time.perf_counter()
+    iters = 0
+    while time.perf_counter() - t0 < seconds:
+        np.right_shift(buf, 1, out=buf)
+        iters += 1
+    dt = time.perf_counter() - t0
+    total1, steal1 = _stat()
+    return {
+        # read + write traffic per pass
+        "dram_gbps": round(iters * buf.nbytes * 2 / dt / 1e9, 2),
+        "steal_frac": round((steal1 - steal0) / max(total1 - total0, 1), 3),
+    }
+
+
 def scaling_child(cpus: int, shuffle: int) -> None:
     spark = make_spark(cpus, shuffle, ui=True)
     spark.sparkContext.setLogLevel("ERROR")
@@ -321,7 +358,7 @@ def scaling_child(cpus: int, shuffle: int) -> None:
         spark, EXTRACT_SCALING_ROWS,
         os.path.join(REPO, "_bench_cache", f"pages_{EXTRACT_SCALING_ROWS}"),
     )
-    out = {"cpus": cpus}
+    out = {"cpus": cpus, "health": _box_health()}
     for mode in ("xxhash64", "murmur3"):
         # one warm-up pass (JIT/arrow init), then the measured passes
         flagship_docs_per_sec(spark, path, mode)
@@ -373,10 +410,16 @@ def run_scaling(rounds: int = 2) -> dict:
                 cwd=REPO,
                 timeout=1800,
             )
-            line = [
+            jlines = [
                 l for l in out.stdout.strip().splitlines() if l.startswith("{")
-            ][-1]
-            rec = json.loads(line)
+            ]
+            if out.returncode != 0 or not jlines:
+                tail = "\n".join(out.stderr.strip().splitlines()[-15:])
+                raise RuntimeError(
+                    f"scaling child local[{cpus}] rc={out.returncode}, "
+                    f"no JSON line; stderr tail:\n{tail}"
+                )
+            rec = json.loads(jlines[-1])
             samples[cpus].append(rec)
             rows = rec["rows"]
 
@@ -385,6 +428,10 @@ def run_scaling(rounds: int = 2) -> dict:
         return xs[len(xs) // 2]
 
     result = {"rows": rows}
+    for level in (lo, hi):
+        hs = [rec["health"] for rec in samples[level] if rec.get("health")]
+        if hs:
+            result[f"health_{level}"] = hs
     for mode in ("xxhash64", "murmur3", "extract"):
         mode_lo = [x for rec in samples[lo] for x in rec.get(mode, [])]
         mode_hi = [x for rec in samples[hi] for x in rec.get(mode, [])]
@@ -472,6 +519,12 @@ def summarize_scaling_runs() -> dict | None:
                 acc["eff"].append(rec[mode]["scaling_efficiency"])
             if rec[mode].get("cpu_parity") is not None:
                 acc["parity"].append(rec[mode]["cpu_parity"])
+        for hk in ("health_2", "health_8"):
+            if rec.get(hk):
+                # per-leg box-health gauges (dram_gbps / steal_frac),
+                # present from r4e on — lets a reader weight contended
+                # windows when reading the per-run spread
+                summary[hk] = rec[hk]
         runs[os.path.basename(rf)] = summary
     medians = {
         mode: {
