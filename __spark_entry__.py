@@ -36,11 +36,14 @@ from hll_spark.operators.agg import (  # noqa: E402
     hll_union_udf,
 )
 from hll_spark.operators.dedup import (  # noqa: E402
+    decontaminate_contains,
+    decontaminate_ngrams,
     duplicate_groups,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_pairs,
 )
 from hll_spark.operators.multimodal import extract_media_features  # noqa: E402
@@ -758,6 +761,55 @@ def q_simhash_pairs_parity(spark, sf):
     return simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
 
 
+def q_paragraph_dedup_parity(spark, sf):
+    # Corpus-wide paragraph dedup (CCNet-style keep-first) under a full
+    # value oracle. Constructed 3-paragraph corpus: each doc = its own
+    # 100-char prefix + its successor's prefix + one corpus-wide shared
+    # paragraph — so keep-first must elect doc d's prefix at (d-1, pos 1)
+    # (the predecessor carries it first), doc 0 keeps everything, and
+    # the shared paragraph survives only in doc 0.
+    docs = _t(spark, sf, "documents")
+    total = docs.count()  # bounded scalar (row count of the docs table)
+    right = docs.select(
+        F.col("doc_id").alias("__nid"),
+        F.substring("text", 1, 100).alias("__ntext"),
+    )
+    shared = docs.where(F.col("doc_id") == 0).select(
+        F.substring("text", 1, 60).alias("__shared")
+    )
+    corpus = (
+        docs.select("doc_id", F.substring("text", 1, 100).alias("__own"))
+        .withColumn("__nid", (F.col("doc_id") + 1) % total)
+        .join(right, "__nid")
+        .crossJoin(F.broadcast(shared))
+        .select(
+            "doc_id",
+            F.concat_ws("\n", "__own", "__ntext", "__shared").alias("text"),
+        )
+    )
+    return paragraph_dedup(corpus, "text", "doc_id")
+
+
+def q_decontaminate_documents(spark, sf):
+    # exact-substring benchmark decontamination: snippets are 80-char
+    # windows of every doc_id % 100 == 7 document; the flagged set is
+    # exactly those source docs (word-soup texts make an 80-char window
+    # unique at any sf), exercising the broadcast-array contains scan
+    docs = _t(spark, sf, "documents")
+    snips = docs.where(F.col("doc_id") % 100 == 7).select(
+        F.substring("text", 10, 80).alias("snippet")
+    )
+    return decontaminate_contains(docs, snips)
+
+
+def q_decontaminate_ngrams(spark, sf):
+    # word-7-gram overlap decontamination (the GPT-3/Llama recipe) vs
+    # the same benchmark subset; n_hits counts distinct leaked grams
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 7)
+    return decontaminate_ngrams(docs, bench, n=7)
+
+
 def q_ngram_jaccard_pairs(spark, sf):
     # EXACT word-3-gram Jaccard near-dup pairs — oracle-checkable
     # (dedup.py ngram_jaccard_pairs; the MinHash query is the scale path)
@@ -1264,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_pairs_parity": q_minhash_pairs_parity,
         "simhash_pairs_parity": q_simhash_pairs_parity,
+        "paragraph_dedup_parity": q_paragraph_dedup_parity,
+        "decontaminate_documents": q_decontaminate_documents,
+        "decontaminate_ngrams": q_decontaminate_ngrams,
         # -- rest of the active window -----------------------------------
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "hll_users_salted": q_hll_users_salted,
@@ -1288,15 +1343,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_parity": q_minhash_dedup_parity,
         "clean_corpus_rep_parity": q_clean_corpus_rep_parity,
         "ivf_ann_top3": q_ivf_ann_top3,
-        "minhash_pairs_documents": q_minhash_pairs_documents,
         "minhash_dedup_keep_documents": q_minhash_dedup_keep_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "lsh_ann_top3": q_lsh_ann_top3,
-        "lang_id_documents": q_lang_id_documents,
-        "fingerprint_documents": q_fingerprint_documents,
         "clean_corpus_stats": q_clean_corpus_stats,
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
         # -- rotation tail: green in BOTH r2 and r3, code untouched ------
+        # (plus three rows-only queries rotated out in r4 to make room
+        # for the new ORACLE queries: lang_id/fingerprint are rows-only
+        # by nature, and minhash_pairs_documents' semantics are now
+        # oracle-covered by minhash_pairs_parity)
+        "lang_id_documents": q_lang_id_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "minhash_pairs_documents": q_minhash_pairs_documents,
         "hll_users_by_event_type": q_hll_users_by_event_type,
         "hll_custkey_by_month": q_hll_custkey_by_month,
         "hll_union_en_de": q_hll_union_en_de,
@@ -1560,6 +1619,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT i * 2 AS doc_id FROM range(400) t(i)
             UNION ALL
             SELECT 800 + i AS doc_id FROM range(250) t(i)
+        """,
+        "paragraph_dedup_parity": """
+            WITH corpus AS (
+              SELECT d.doc_id,
+                     substr(d.text, 1, 100) || chr(10) ||
+                     substr(n.text, 1, 100) || chr(10) || z.shared AS text
+              FROM documents d
+              JOIN documents n
+                ON n.doc_id = (d.doc_id + 1) % (SELECT COUNT(*) FROM documents)
+              CROSS JOIN (
+                SELECT substr(text, 1, 60) AS shared
+                FROM documents WHERE doc_id = 0
+              ) z
+            ),
+            split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS arr FROM corpus
+            ),
+            paras AS (
+              SELECT doc_id, unnest(arr) AS para,
+                     generate_subscripts(arr, 1) AS pos
+              FROM split
+            ),
+            firsts AS (
+              SELECT para, min(struct_pack(doc_id := doc_id, pos := pos)) AS f
+              FROM paras WHERE length(trim(para)) > 0 GROUP BY para
+            ),
+            kept AS (
+              SELECT p.doc_id, p.pos, p.para
+              FROM paras p JOIN firsts f
+                ON p.para = f.para AND p.doc_id = f.f.doc_id
+               AND p.pos = f.f.pos
+              UNION ALL
+              SELECT doc_id, pos, para FROM paras
+              WHERE length(trim(para)) = 0
+            )
+            SELECT c.doc_id, coalesce(k.text, '') AS text
+            FROM corpus c LEFT JOIN (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+              FROM kept GROUP BY doc_id
+            ) k USING (doc_id)
+        """,
+        "decontaminate_documents": """
+            WITH snippets AS (
+              SELECT substr(text, 10, 80) AS snippet
+              FROM documents WHERE doc_id % 100 = 7
+            )
+            SELECT d.doc_id,
+                   (SELECT COUNT(*) FROM snippets s
+                    WHERE position(s.snippet IN d.text) > 0) AS n_hits,
+                   (SELECT COUNT(*) FROM snippets s
+                    WHERE position(s.snippet IN d.text) > 0) > 0 AS contaminated
+            FROM documents d
+        """,
+        "decontaminate_ngrams": """
+            WITH bench AS (
+              SELECT text FROM documents WHERE doc_id % 100 = 7
+            ),
+            bsplit AS (SELECT string_split_regex(text, ' +') AS w FROM bench),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(w[i:i+6], ' ') AS gram
+              FROM (SELECT w, unnest(range(1, greatest(len(w) - 6, 0) + 1)) AS i
+                    FROM bsplit)
+            ),
+            dsplit AS (
+              SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+            ),
+            dgrams AS (
+              SELECT doc_id, array_to_string(w[i:i+6], ' ') AS gram
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 6, 0) + 1)) AS i
+                    FROM dsplit)
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(DISTINCT g.gram) AS n_hits
+              FROM dgrams g JOIN bgrams b USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "ann_top3": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -776,3 +776,173 @@ def embedding_dup_pairs_blocked(
     return exploded.groupBy("__gi", "__gj").applyInPandas(
         gemm_block_pair, schema=out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide paragraph-level dedup (CCNet-style)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove REPEATED paragraphs corpus-wide, keeping only the first
+    occurrence (ordered by (id, position)) of each distinct paragraph —
+    the CCNet/CC-Net paragraph dedup step, which strips quoted reposts,
+    syndicated blocks and template chrome while keeping one canonical
+    copy (unlike :func:`~.text.strip_boilerplate_lines`, which drops
+    ubiquitous lines from EVERY document including the first).
+
+    Returns (id, text) with the same row count as the input: a document
+    whose every paragraph was seen earlier comes back with empty text.
+    Blank paragraphs are structural (formatting), not content, and are
+    always kept.
+
+    Plan (pure JVM built-ins, no Python rows): split -> posexplode ->
+    first-occurrence election as ``min(struct(id, pos))`` per paragraph
+    — a hash aggregate with map-side partial combine, NOT a window sort
+    (a row_number() window over the paragraph key would sort every
+    shuffle partition; min(struct) streams) -> left-semi join back ->
+    order-preserving reassembly. Shuffles are keyed by paragraph (the
+    aggregate + the semi join, which AQE plans as one exchange reuse)
+    and by id (the reassembly) — each key-bounded, no n^2 anywhere.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + delim + "\\E")
+        ).alias("pos", "para"),
+    )
+    content = paras.where(F.length(F.trim("para")) > 0)
+    firsts = (
+        content.groupBy("para")
+        .agg(F.min(F.struct(id_col, "pos")).alias("__f"))
+        .select(
+            "para",
+            F.col(f"__f.{id_col}").alias(id_col),
+            F.col("__f.pos").alias("pos"),
+        )
+    )
+    kept = content.join(firsts, ["para", id_col, "pos"], "left_semi").unionByName(
+        paras.where(F.length(F.trim("para")) == 0)
+    )
+    cleaned = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias(text_col)
+    )
+    return (
+        df.select(id_col)
+        .join(cleaned, id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontaminate_contains(
+    df: DataFrame,
+    snippets: DataFrame,
+    text_col: str = "text",
+    snippet_col: str = "snippet",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents containing any benchmark snippet as a
+    literal substring (the exact-match half of GPT-3-style test-set
+    decontamination; see :func:`decontaminate_ngrams` for the n-gram
+    half). Returns (id, n_hits, contaminated) for EVERY input row — the
+    caller filters or audits.
+
+    Plan: the snippet set is collapsed to a single array row and
+    cross-joined (1-row broadcast — no row blowup, unlike exploding a
+    doc x snippet pair table) so the per-doc scan is one codegen'd
+    higher-order ``filter(snips, s -> contains(text, s))``. Right shape
+    for benchmark-sized snippet sets (10^2-10^5 short strings, a few MB
+    broadcast); corpus-scale contamination sets belong in
+    :func:`decontaminate_ngrams`' join instead.
+    """
+    snips = snippets.select(
+        F.array_sort(F.collect_list(snippet_col)).alias("__snips")
+    )
+    hits = F.size(
+        F.filter(
+            F.col("__snips"), lambda s: F.col(text_col).contains(s)
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(snips))
+        .withColumn("n_hits", hits.cast("long"))
+        .select(
+            id_col,
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_ngrams(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram overlap decontamination (the GPT-3/Llama recipe): a
+    training document is contaminated iff it shares at least one
+    word-level ``n``-gram with any benchmark document. Returns
+    (id, n_hits, contaminated) per input row, where ``n_hits`` counts
+    the DISTINCT benchmark n-grams present in the document.
+
+    Plan: both sides explode to (gram) via a codegen'd
+    transform(sequence)/slice/array_join chain — no Python; the
+    benchmark side is distinct-ed (small: benchmarks are ~10^3-10^6
+    grams) and broadcast into an equality join against training grams,
+    so the only shuffle is the per-doc hit count aggregate. Documents
+    shorter than ``n`` words produce no grams and come back clean.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def grams(col):
+        words = F.split(F.col(col), " +")
+        # guard the short-doc case explicitly: Spark's sequence(1, 0)
+        # DESCENDS ([1, 0]) instead of returning empty, which would
+        # fabricate a gram (and a slice-at-0 error) for docs < n words
+        return F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(bench_text_col)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.explode_outer(grams(text_col)).alias("gram")
+    )
+    hit_counts = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hit_counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Unit tests for paragraph-level dedup and benchmark decontamination
+(operators/dedup.py round-4 additions). Driver-level value parity vs
+DuckDB is covered by test_entry_contract.py (paragraph_dedup_parity,
+decontaminate_documents, decontaminate_ngrams); these tests pin the
+operator edge cases the constructed driver corpora cannot reach."""
+
+import pytest
+
+from hll_spark.operators.dedup import (
+    decontaminate_contains,
+    decontaminate_ngrams,
+    paragraph_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# paragraph_dedup
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha\nbeta"),
+            (2, "beta\ngamma"),  # beta first seen in doc 1
+            (3, "alpha\ngamma\ndelta"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(df, "text", "doc_id").collect()
+    }
+    assert out == {1: "alpha\nbeta", 2: "gamma", 3: "delta"}
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    # a paragraph repeated INSIDE one document keeps only its first copy
+    df = _docs(spark, [(1, "x\ny\nx\nx")])
+    out = paragraph_dedup(df, "text", "doc_id").collect()[0]["text"]
+    assert out == "x\ny"
+
+
+def test_paragraph_dedup_blank_paragraphs_survive(spark):
+    # blank paragraphs are structure, not content: never deduped, and
+    # reassembly preserves their positions
+    df = _docs(spark, [(1, "a\n\nb"), (2, "a\n\nc")])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(df, "text", "doc_id").collect()
+    }
+    assert out == {1: "a\n\nb", 2: "\nc"}
+
+
+def test_paragraph_dedup_fully_deduped_doc_stays(spark):
+    # a doc whose every paragraph was seen earlier comes back as an
+    # empty-text row, not a dropped row
+    df = _docs(spark, [(1, "p\nq"), (2, "p\nq")])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(df, "text", "doc_id").collect()
+    }
+    assert out == {1: "p\nq", 2: ""}
+
+
+def test_paragraph_dedup_metachar_delimiter(spark):
+    # the delimiter is literal, not a regex ('|' must not split
+    # between every character)
+    df = _docs(spark, [(1, "aa|bb"), (2, "bb|cc")])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(df, "text", "doc_id", delim="|").collect()
+    }
+    assert out == {1: "aa|bb", 2: "cc"}
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_contains
+
+
+def test_contains_counts_and_flags(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox"),
+            (2, "lazy dog sleeps"),
+            (3, "quick brown and lazy dog both"),
+        ],
+    )
+    snips = spark.createDataFrame(
+        [("quick brown",), ("lazy dog",)], ["snippet"]
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate_contains(docs, snips).collect()
+    }
+    assert out == {1: (1, True), 2: (1, True), 3: (2, True)}
+
+
+def test_contains_empty_snippet_set(spark):
+    docs = _docs(spark, [(1, "anything")])
+    snips = spark.createDataFrame([("x",)], ["snippet"]).where("snippet <> 'x'")
+    out = decontaminate_contains(docs, snips).collect()
+    assert [(r["n_hits"], r["contaminated"]) for r in out] == [(0, False)]
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngrams
+
+
+def test_ngrams_overlap_counts_distinct(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e"),  # shares "a b c" and "b c d" with bench
+            (2, "x y z w v"),
+            (3, "a b c a b c d"),  # repeated gram counts once
+        ],
+    )
+    bench = _docs(spark, [(100, "a b c d")])
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate_ngrams(docs, bench, n=3).collect()
+    }
+    assert out == {1: (2, True), 2: (0, False), 3: (2, True)}
+
+
+def test_ngrams_short_doc_is_clean(spark):
+    # docs (and bench docs) shorter than n words produce NO grams —
+    # guards the sequence(1, 0)-descends Spark pitfall
+    docs = _docs(spark, [(1, "a b"), (2, "")])
+    bench = _docs(spark, [(100, "a b c d e")])
+    out = decontaminate_ngrams(docs, bench, n=4).collect()
+    assert all(r["n_hits"] == 0 and not r["contaminated"] for r in out)
+
+
+def test_ngrams_invalid_n_raises(spark):
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        decontaminate_ngrams(docs, docs, n=0)

@@ -63,6 +63,12 @@ GATED = [
     # round-4 additions
     "minhash_pairs_parity",
     "simhash_pairs_parity",
+    # (paragraph_dedup_parity and decontaminate_documents are excluded
+    # like cms/bloom: each cross-joins ONE deliberately-1-row broadcast
+    # frame — the shared-paragraph / collected-snippet-array scaffold —
+    # where a broadcast NLJ of one row is the correct plan; the
+    # underlying operators are join-free / hash-join only)
+    "decontaminate_ngrams",
 ]
 
 
