@@ -251,8 +251,11 @@ def extract_sketch_agg(
     from pyspark import TaskContext
 
     from .agg import hll_spec, merge_sketch_partials
-    from .extractkernel import extract_text_flat
-    from ..sketchlib.hashing import murmur3_x64_128_low64
+    from .extractkernel import _DECODE_PASSES, extract_text_spans
+    from ..sketchlib.hashing import (
+        murmur3_low64_from_buffers,
+        murmur3_x64_128_low64,
+    )
 
     spec = hll_spec(cfg)
     out_schema = StructType(
@@ -269,13 +272,6 @@ def extract_sketch_agg(
             ("rows_seen", pa.int64()),
         ]
     )
-
-    # hash in sub-batches: the murmur kernel's padded row matrix only
-    # stays in its cached per-worker workspace below ~32 MB
-    # (hashing._WS_MAX_BYTES); Arrow batches can be 128k rows of ~KB
-    # texts, and a fresh 80+ MB np.zeros per batch page-faults in the
-    # kernel and serializes under multi-worker load (the r1 alloc storm)
-    hash_chunk = 16384
 
     def build(batches):
         # mapInArrow: the html bytes feed the extraction kernel ZERO-
@@ -313,16 +309,37 @@ def extract_sketch_agg(
                 if arr.null_count
                 else np.zeros(len(arr), dtype=bool)
             )
-            texts = extract_text_flat(flat, offs, null_mask, as_bytes=True)
-            texts = [t for t in texts if t is not None]
-            for i in range(0, len(texts), hash_chunk):
-                chunk = pd.Series(texts[i:i + hash_chunk])
+            out, s_fin, e_fin, empty, has_amp = extract_text_spans(flat, offs)
+            nonnull = ~null_mask
+            # span fast path: every non-null doc WITHOUT an '&' in its
+            # extracted span (entity decode is a provable no-op) hashes
+            # straight from the kernel's collapsed buffer — zero per-doc
+            # Python objects; empty docs ride along as zero-length spans
+            plain = nonnull & ~has_amp
+            if plain.any():
+                hashes = murmur3_low64_from_buffers(
+                    out, s_fin[plain], (e_fin - s_fin)[plain]
+                )
+                state = spec.update_fn(state, hashes.view("int64"))
+            # entity-bearing minority: per-doc decode passes, then the
+            # object-Series hash kernel (same bytes the flat path emits)
+            amp_docs = np.nonzero(nonnull & has_amp)[0]
+            if len(amp_docs):
+                big = out.tobytes()
+                decoded = []
+                for d in amp_docs:
+                    b = big[s_fin[d]:e_fin[d]]
+                    for pat, rep in _DECODE_PASSES:
+                        if pat in b:
+                            b = b.replace(pat, rep)
+                    decoded.append(b)
                 state = spec.update_fn(
-                    state, murmur3_x64_128_low64(chunk).view("int64")
+                    state,
+                    murmur3_x64_128_low64(pd.Series(decoded)).view("int64"),
                 )
             # null html rows don't contribute a text; rows_seen counts
             # sketched values, matching sketch_partials' null filter
-            rows += len(texts)
+            rows += int(nonnull.sum())
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         yield pa.RecordBatch.from_pydict(

@@ -166,6 +166,33 @@ def extract_text_batch(
     return extract_text_flat(buf, offs, null_mask, as_bytes)
 
 
+def extract_text_spans(buf: np.ndarray, offs: np.ndarray):
+    """Span-level kernel entry for fused pipelines: same extraction as
+    :func:`extract_text_flat`, but instead of materializing one Python
+    bytes/str object per document it returns
+
+    ``(out, starts, ends, empty, has_amp)``
+
+    where ``out`` is the collapsed output buffer (uint8) and
+    ``starts``/``ends`` delimit each doc's extracted text inside it
+    (``starts[d] == ends[d]`` for empty docs). ``empty`` marks docs
+    that extract to '' (body-mismatch or whitespace-only); ``has_amp``
+    marks docs whose span still contains an '&' byte — ONLY those can
+    change under entity decode, so a caller hashing extracted bytes
+    can consume every other doc straight from ``out`` with zero
+    per-doc allocation (hashing.murmur3_low64_from_buffers takes
+    exactly this data+spans shape) and run the sequential decode
+    passes on the has_amp minority alone. Null docs are the caller's
+    to exclude via its own null mask; their spans are empty here.
+    """
+    ndoc = len(offs) - 1
+    if ndoc <= 0:
+        z = np.zeros(0, dtype=np.int64)
+        b = np.zeros(0, dtype=bool)
+        return np.zeros(0, dtype=np.uint8), z, z, b, b
+    return _extract_core(buf, offs)
+
+
 def extract_text_flat(
     buf: np.ndarray,
     offs: np.ndarray,
@@ -181,6 +208,27 @@ def extract_text_flat(
     ndoc = len(offs) - 1
     if ndoc <= 0:
         return []
+    out, s_fin, e_fin, empty, has_amp = _extract_core(buf, offs)
+    big = out.tobytes()
+    res: list = []
+    for d in range(ndoc):
+        if null_mask[d]:
+            res.append(None)
+            continue
+        if empty[d]:
+            res.append(b"" if as_bytes else "")
+            continue
+        b = big[s_fin[d]:e_fin[d]]
+        if has_amp[d]:
+            for pat, rep in _DECODE_PASSES:
+                if pat in b:
+                    b = b.replace(pat, rep)
+        res.append(b if as_bytes else b.decode("utf-8", "replace"))
+    return res
+
+
+def _extract_core(buf: np.ndarray, offs: np.ndarray):
+    ndoc = len(offs) - 1
     n = len(buf)
 
     # candidate first bytes are all symbols, so positions come straight
@@ -402,30 +450,17 @@ def extract_text_flat(
     s_fin[~has_txt] = 0
     e_fin[~has_txt] = 0
 
-    # 7. entity decode (sequential literal passes, JVM order) + utf-8.
-    # Every decode pattern starts with '&', so docs whose final span has
-    # no '&' byte skip all six substring scans — one vectorized compare
-    # over the (smallest) collapsed buffer replaces 6 C-level scans per
-    # entity-free doc.
+    # 7. has-'&' mask: every entity-decode pattern starts with '&', so
+    # only docs whose final span holds an '&' byte can change under the
+    # decode passes — one vectorized compare over the (smallest)
+    # collapsed buffer lets callers skip the 6 per-doc substring scans
+    # for every other doc (and lets the span consumer skip per-doc
+    # materialization entirely).
     amp2 = np.nonzero(out == _AMP)[0]
     has_amp = np.zeros(ndoc, dtype=bool)
     if len(amp2):
         ad = np.searchsorted(noffs2, amp2, "right") - 1
         inside = (amp2 >= s_fin[ad]) & (amp2 < e_fin[ad])
         has_amp[ad[inside]] = True
-    big = out.tobytes()
-    res: list = []
-    for d in range(ndoc):
-        if null_mask[d]:
-            res.append(None)
-            continue
-        if force_empty[d] or not has_txt[d]:
-            res.append(b"" if as_bytes else "")
-            continue
-        b = big[s_fin[d]:e_fin[d]]
-        if has_amp[d]:
-            for pat, rep in _DECODE_PASSES:
-                if pat in b:
-                    b = b.replace(pat, rep)
-        res.append(b if as_bytes else b.decode("utf-8", "replace"))
-    return res
+    empty = force_empty | ~has_txt
+    return out, s_fin, e_fin, empty, has_amp

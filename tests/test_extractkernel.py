@@ -263,3 +263,72 @@ def test_flat_entry_matches_batch_and_bytes_mode():
     got_b = extract_text_flat(flat, offs, null_mask, as_bytes=True)
     assert got_b == [None if s is None else s.encode("utf-8") for s in want]
     assert extract_text_flat(flat[:0], offs[:1], [], True) == []
+
+
+def test_spans_reconstruct_flat_output():
+    """extract_text_spans is the zero-materialization view of the same
+    extraction: slicing its (out, starts, ends) and running the decode
+    passes on has_amp docs must reproduce extract_text_flat exactly."""
+    from hll_spark.operators.extractkernel import (
+        _DECODE_PASSES,
+        extract_text_flat,
+        extract_text_spans,
+    )
+
+    docs = [
+        b"<body>plain text</body>",
+        b"<body>fish &amp; chips &lt;now&gt;</body>",
+        b"<body>it&#39;s &apos;quoted&apos;</body>",
+        b"<body>&amp;amp; stays entity-text</body>",
+        b"<body>bare & ampersand</body>",  # has_amp but decode no-op
+        b"",
+        b"<body></body>",
+        b"<p>no body tag</p>",
+        b"<body><script>x</script>  </body>",  # whitespace-only -> ''
+    ]
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    offs = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    buf = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    null_mask = [False] * len(docs)
+
+    flat = extract_text_flat(buf, offs, null_mask, as_bytes=True)
+    out, starts, ends, empty, has_amp = extract_text_spans(buf, offs)
+    big = out.tobytes()
+    rebuilt = []
+    for d in range(len(docs)):
+        b = b"" if empty[d] else big[starts[d]:ends[d]]
+        if has_amp[d]:
+            for pat, rep in _DECODE_PASSES:
+                if pat in b:
+                    b = b.replace(pat, rep)
+        rebuilt.append(b)
+    assert rebuilt == flat
+    # the docs constructed with entities must actually take the amp path
+    assert list(has_amp[:5]) == [False, True, True, True, True]
+
+
+def test_extract_sketch_agg_entity_docs(spark):
+    """Entity-bearing docs route through the fused agg's per-doc decode
+    branch; the estimate must still equal the exact distinct count of
+    the (decoded) extracted texts."""
+    from hll_spark.operators.agg import hll_estimate_udf
+
+    htmls = [
+        f"<body>doc {i} fish &amp; chips &#39;n &lt;mushy&gt; peas</body>".encode()
+        for i in range(40)
+    ] + [
+        f"<body>plain doc {i}</body>".encode() for i in range(40)
+    ] + [
+        b"<body>fish &amp; chips &#39;n &lt;mushy&gt; peas dup</body>",
+        b"<body>fish &amp; chips &#39;n &lt;mushy&gt; peas dup</body>",
+    ]
+    df = spark.createDataFrame([(h,) for h in htmls], "html binary")
+    row = (
+        extract_sketch_agg(df, "html")
+        .withColumn("est", hll_estimate_udf()(F.col("sketch")))
+        .collect()[0]
+    )
+    exact = len(set(extract_text_batch(htmls, as_bytes=True)))
+    assert row["rows_seen"] == len(htmls)
+    assert row["est"] == exact == 81
