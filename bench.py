@@ -502,6 +502,19 @@ def summarize_scaling_runs() -> dict | None:
                 rec = json.load(fh)
         except (OSError, ValueError):
             continue
+        # gauge-healthy = every measured leg saw >=8 GB/s single-process
+        # DRAM streaming and <=10% steal (gauges exist from r4e on;
+        # older runs are None = unknown). Feeds ONLY the disclosed
+        # secondary medians below — never the criterion number.
+        healths = [h for hk in ("health_2", "health_8") for h in rec.get(hk, [])]
+        healthy = (
+            all(
+                h.get("dram_gbps", 0) >= 8 and h.get("steal_frac", 1) <= 0.10
+                for h in healths
+            )
+            if healths
+            else None
+        )
         summary = {}
         for mode in ("murmur3", "xxhash64", "extract"):
             if mode not in rec:
@@ -514,11 +527,17 @@ def summarize_scaling_runs() -> dict | None:
                 )
                 if rec[mode].get(k) is not None
             }
-            acc = per_mode.setdefault(mode, {"eff": [], "parity": []})
+            acc = per_mode.setdefault(
+                mode, {"eff": [], "parity": [], "eff_h": [], "parity_h": []}
+            )
             if rec[mode].get("scaling_efficiency") is not None:
                 acc["eff"].append(rec[mode]["scaling_efficiency"])
+                if healthy:
+                    acc["eff_h"].append(rec[mode]["scaling_efficiency"])
             if rec[mode].get("cpu_parity") is not None:
                 acc["parity"].append(rec[mode]["cpu_parity"])
+                if healthy:
+                    acc["parity_h"].append(rec[mode]["cpu_parity"])
         for hk in ("health_2", "health_8"):
             if rec.get(hk):
                 # per-leg box-health gauges (dram_gbps / steal_frac),
@@ -531,6 +550,12 @@ def summarize_scaling_runs() -> dict | None:
             "eff_median": _med(acc["eff"]),
             "cpu_parity_median": _med(acc["parity"]),
             "n_runs": len(acc["eff"]),
+            # secondary diagnostic only (criterion stays the all-runs
+            # median above): same medians over runs whose in-leg health
+            # gauges were clean — available from r4e on
+            "eff_median_gauge_healthy": _med(acc["eff_h"]),
+            "cpu_parity_median_gauge_healthy": _med(acc["parity_h"]),
+            "n_gauge_healthy": len(acc["eff_h"]),
         }
         for mode, acc in per_mode.items()
     }
