@@ -28,6 +28,12 @@ from pyspark.sql.window import Window
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hll_spark.session import apply_malloc_tunables  # noqa: E402
+
+# before the JVM (and thus the Python worker pool) starts, keep numpy
+# batch temporaries heap-resident — see hll_spark/session.py
+apply_malloc_tunables()
+
 from hll_spark.operators.agg import (  # noqa: E402
     hll_distinct,
     hll_estimate_udf,
@@ -46,6 +52,7 @@ from hll_spark.operators.dedup import (  # noqa: E402
     paragraph_dedup,
     simhash_pairs,
 )
+from hll_spark.operators.components import node_components  # noqa: E402
 from hll_spark.operators.multimodal import extract_media_features  # noqa: E402
 from hll_spark.operators.relational import asof_join, session_counts  # noqa: E402
 from hll_spark.operators.similarity import (  # noqa: E402
@@ -827,6 +834,93 @@ def q_lsh_ann_top3(spark, sf):
     )
 
 
+def q_ivf_ann_parity(spark, sf):
+    # ORACLE form of the IVF machinery (VERDICT r3 #6 pattern): probing
+    # EVERY centroid cell (nprobe == n_centroids) makes the candidate
+    # set the full corpus by construction, so centroid training, cell
+    # assignment, the cell join, and the distributed top-k merge must
+    # reproduce brute force exactly — same oracle as ann_top3. The
+    # rows-only ivf_ann_top3 keeps measuring the real nprobe<cells
+    # regime (recall tested in pytest).
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_ann_topk(emb, queries, k=3, n_centroids=8, nprobe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_lsh_ann_parity(spark, sf):
+    # ORACLE form of hyperplane-LSH ANN on a constructed corpus where
+    # recall is provably 1: each query vector gets 3 EXACT copies
+    # (ids +100k/+200k/+300k). Identical vectors produce identical
+    # plane signs, so every copy shares the query's bucket and is
+    # always a candidate; copies tie at the engine's maximal cosine
+    # (bit-identical arrays hash to the same score within each engine)
+    # and the shared (score DESC, id ASC) tie-break makes top-3 =
+    # (query_id, +100k, +200k) in Spark and DuckDB alike.
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") < 5)
+    corpus = emb
+    for off in (100_000, 200_000, 300_000):
+        corpus = corpus.unionByName(
+            base.select(
+                (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
+            )
+        )
+    return lsh_ann_topk(corpus, base, k=3, n_planes=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_dup_connected_components(spark, sf):
+    # Transitive-closure dedup clustering under a FULL value oracle.
+    # Chain corpus: doc d belongs to chain c=d//6 at position r=d%6 and
+    # holds the 60 tokens w{c}_{5r+j}, j=0..59 — adjacent positions
+    # share 55 of 65 distinct tokens (J=0.846 >= 0.8), positions two
+    # apart 50 of 70 (0.714 < 0.8), chains are token-disjoint. The
+    # EXACT 1-gram Jaccard graph at threshold 0.8 is therefore exactly
+    # the chain adjacency: a PATH graph per chain, where near-dup
+    # similarity is non-transitive and the one-round star rule
+    # mislabels — large-star/small-star connected components
+    # (operators/components.py) must close the chains. Oracle: the
+    # same adjacency edges fed to a recursive-CTE min-label closure.
+    n_docs, chain = 300, 6
+    ids = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    c = F.floor(F.col("doc_id") / chain).cast("long")
+    r = (F.col("doc_id") % chain).cast("long")
+    txt = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda j: F.format_string("w%d_%d", c, r * 5 + j),
+        ),
+        " ",
+    )
+    corpus = ids.select("doc_id", txt.alias("text"))
+    pairs = ngram_jaccard_pairs(
+        corpus, "text", "doc_id", threshold=0.8, shingle_n=1
+    )
+    return node_components(
+        pairs, corpus, node_col="doc_id", src="id_a", dst="id_b"
+    ).select(F.col("node").alias("doc_id"), "component")
+
+
+def q_kll_quantiles_exact(spark, sf):
+    # KLL in its exact regime under a FULL value oracle: k >= n keeps
+    # every partial sketch and the merged sketch below the compaction
+    # threshold (kll.py:_compress), so quantile(q) is the exact order
+    # statistic at 1-based rank max(1, ceil(q*n)) — mirrored literally
+    # in SQL. q values are binary-exact (eighths) so q*n is computed
+    # identically under double and decimal arithmetic. The k=200
+    # kll_quantiles_price query keeps measuring the real compacting
+    # regime (rank-error bounds asserted in pytest).
+    return kll_quantiles(
+        _t(spark, sf, "part"),
+        "p_retailprice",
+        [0.125, 0.25, 0.5, 0.75, 0.875],
+        k=65536,
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — text analysis / multimodal plumbing
 
@@ -1319,6 +1413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_parity": q_paragraph_dedup_parity,
         "decontaminate_documents": q_decontaminate_documents,
         "decontaminate_ngrams": q_decontaminate_ngrams,
+        "dup_connected_components": q_dup_connected_components,
+        "ivf_ann_parity": q_ivf_ann_parity,
+        "lsh_ann_parity": q_lsh_ann_parity,
+        "kll_quantiles_exact": q_kll_quantiles_exact,
         # -- rest of the active window -----------------------------------
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "hll_users_salted": q_hll_users_salted,
@@ -1342,17 +1440,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_tight": q_embedding_dup_pairs_tight,
         "minhash_dedup_parity": q_minhash_dedup_parity,
         "clean_corpus_rep_parity": q_clean_corpus_rep_parity,
+        "clean_corpus_stats": q_clean_corpus_stats,
+        "strip_boilerplate_docs": q_strip_boilerplate_docs,
+        # -- rotation tail: green in BOTH r2 and r3, code untouched ------
+        # (plus rows-only queries rotated out in r4 to make room for
+        # new ORACLE queries: lang_id/fingerprint are rows-only by
+        # nature; minhash_pairs/simhash_pairs/ivf_ann/lsh_ann/
+        # minhash_dedup_keep semantics are now oracle-covered by their
+        # *_parity siblings in the front window)
         "ivf_ann_top3": q_ivf_ann_top3,
         "minhash_dedup_keep_documents": q_minhash_dedup_keep_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "lsh_ann_top3": q_lsh_ann_top3,
-        "clean_corpus_stats": q_clean_corpus_stats,
-        "strip_boilerplate_docs": q_strip_boilerplate_docs,
-        # -- rotation tail: green in BOTH r2 and r3, code untouched ------
-        # (plus three rows-only queries rotated out in r4 to make room
-        # for the new ORACLE queries: lang_id/fingerprint are rows-only
-        # by nature, and minhash_pairs_documents' semantics are now
-        # oracle-covered by minhash_pairs_parity)
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "minhash_pairs_documents": q_minhash_pairs_documents,
@@ -1710,6 +1809,87 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a CROSS JOIN embeddings b
                 WHERE a.vec_id < 5
             ) WHERE rank <= 3
+        """,
+        "ivf_ann_parity": """
+            -- probing every IVF cell is exhaustive search: brute force
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                    b.vec_id ASC
+                       ) AS rank
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id < 5
+            ) WHERE rank <= 3
+        """,
+        "lsh_ann_parity": """
+            -- corpus = embeddings plus 3 exact copies of each query
+            -- vector; copies tie at maximal cosine, (score DESC, id
+            -- ASC) makes top-3 = (q, q+100k, q+200k) in both engines
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5
+                UNION ALL
+                SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id < 5
+                UNION ALL
+                SELECT vec_id + 300000, embedding FROM embeddings WHERE vec_id < 5
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                    c.vec_id ASC
+                       ) AS rank
+                FROM embeddings q CROSS JOIN corpus c
+                WHERE q.vec_id < 5
+            ) WHERE rank <= 3
+        """,
+        "dup_connected_components": """
+            -- same chain corpus derivation as the Spark side (docs
+            -- d//6 alike form a path via adjacent-position Jaccard
+            -- 0.846 >= 0.8; see q_dup_connected_components), closed
+            -- into components by recursive min-label propagation
+            WITH RECURSIVE
+            nodes AS (
+                SELECT CAST(i AS BIGINT) AS node FROM range(0, 300) t(i)
+            ),
+            edges AS (
+                SELECT CAST(i AS BIGINT) AS src, CAST(i + 1 AS BIGINT) AS dst
+                FROM range(0, 300) t(i) WHERE i % 6 < 5
+            ),
+            sym AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT dst, src FROM edges
+            ),
+            reach(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+            )
+            SELECT node AS doc_id, MIN(comp) AS component
+            FROM reach GROUP BY node
+        """,
+        "kll_quantiles_exact": """
+            -- KLL exact regime (k >= n): quantile(q) is the order
+            -- statistic at 1-based rank max(1, ceil(q*n)) — the
+            -- searchsorted('left') convention of kll.py:quantile
+            WITH s AS (
+                SELECT p_retailprice AS v,
+                       ROW_NUMBER() OVER (ORDER BY p_retailprice) AS r,
+                       COUNT(*) OVER () AS n
+                FROM part
+            )
+            SELECT
+                MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.125 * n) AS BIGINT)) THEN v END) AS q0_125,
+                MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.25  * n) AS BIGINT)) THEN v END) AS q0_25,
+                MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.5   * n) AS BIGINT)) THEN v END) AS q0_5,
+                MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.75  * n) AS BIGINT)) THEN v END) AS q0_75,
+                MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.875 * n) AS BIGINT)) THEN v END) AS q0_875
+            FROM s
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

@@ -37,8 +37,11 @@ PAGES_PATH = os.path.join(REPO, "_bench_cache", f"pages_{PAGES_ROWS}")
 def make_spark(cpus: int, shuffle_partitions: int | None = None, ui: bool = False):
     from pyspark.sql import SparkSession
 
+    from hll_spark.session import apply_malloc_tunables
+
+    builder = apply_malloc_tunables(SparkSession.builder)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder.master(f"local[{cpus}]")
         .appName("hll_spark-bench")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")

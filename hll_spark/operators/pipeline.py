@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .components import dedup_by_components
 from .dedup import exact_dedup, minhash_dedup_keep, ngram_jaccard_pairs
 from .text import (
     duplicate_line_fraction,
@@ -47,6 +48,7 @@ def clean_corpus(
     neardup_threshold: float = 0.8,
     exact_neardup: bool = True,
     max_shingle_df: int | None = None,
+    cluster_dedup: bool = False,
 ) -> DataFrame:
     """Return the cleaned corpus (all original columns preserved).
 
@@ -56,6 +58,13 @@ def clean_corpus(
     shingle document-frequency cap through to the exact pair finder
     (None = truly exact, the default here — the cap is opt-in for this
     path precisely because this docstring promises oracle parity).
+
+    ``cluster_dedup=True`` (exact path only) replaces the pairwise
+    drop rule with connected-components clustering: near-dup
+    similarity is not transitive, and the pairwise rule can keep two
+    mutually-similar-via-a-chain survivors (edges (1,2),(0,2) keep
+    both 0 and 1); components guarantee exactly ONE survivor — the
+    minimum id — per duplicate cluster (components.py).
     """
     lo, hi = word_len_bounds
     kept = exact_dedup(df, [text_col], id_col)
@@ -70,8 +79,18 @@ def clean_corpus(
             kept, text_col, id_col, threshold=neardup_threshold,
             max_shingle_df=max_shingle_df,
         )
+        if cluster_dedup:
+            return dedup_by_components(
+                kept, pairs, id_col, left_col="id_a", right_col="id_b"
+            )
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return kept.join(drop, id_col, "left_anti")
+    if cluster_dedup:
+        raise ValueError(
+            "cluster_dedup requires the exact pair finder "
+            "(exact_neardup=True); the rep-based LSH path never "
+            "enumerates pairs to cluster"
+        )
     # at-scale path: representative-based LSH dedup — never enumerates
     # pairs, so boilerplate clusters (quadratic pair counts) cannot
     # blow it up; see minhash_dedup_keep for the exact drop rule

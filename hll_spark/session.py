@@ -1,0 +1,52 @@
+"""Session-level runtime tuning shared by every entry surface (bench,
+tests, spark-submit scripts).
+
+Why malloc tunables: the numpy batch kernels (extraction, hashing,
+codecs) allocate multi-MB temporaries per Arrow batch. glibc serves
+allocations above its mmap threshold (default 128 KB, dynamic cap
+32 MB) with a fresh ``mmap`` and returns them with ``munmap`` — so a
+long-running Python worker pays first-touch page faults plus TLB
+shootdowns for the SAME buffers on EVERY batch. Raising the mmap and
+trim thresholds keeps those buffers on the heap, where glibc reuses
+already-faulted pages: steady-state batch cost drops to pure compute.
+
+On a healthy box this removes per-batch soft-fault overhead (a few
+percent); on virtualized hosts with a slow fault path (hypervisor
+overcommit — this sandbox intermittently serves first-touch faults at
+~400 us/page, measured in BENCH/BASELINE.md's box-health gauge) it is
+the difference between DRAM-speed batches and a ~40x crawl, because
+every full-buffer temporary refaults its pages each call.
+
+The tunables must be in the environment BEFORE the Python worker
+processes start. In local mode workers inherit the driver's
+environment, so ``apply_malloc_tunables()`` sets ``os.environ`` (call
+it before ``SparkSession`` creation); for cluster deployments it also
+tags the builder with ``spark.executorEnv.*`` so executors export the
+same values to their Python workers.
+"""
+
+from __future__ import annotations
+
+import os
+
+MALLOC_TUNABLES = {
+    # keep numpy-sized temporaries on the reusable heap (1 GiB)
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    # never trim the heap back to the OS between batches
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+}
+
+
+def apply_malloc_tunables(builder=None):
+    """Export the allocator tunables into this process's environment
+    (inherited by local-mode Python workers) and, when a
+    ``SparkSession.Builder`` is given, tag it with the matching
+    ``spark.executorEnv.*`` entries for cluster mode. Returns the
+    (possibly augmented) builder. Existing environment values win —
+    operators can override per-deployment."""
+    for k, v in MALLOC_TUNABLES.items():
+        os.environ.setdefault(k, v)
+    if builder is not None:
+        for k, v in MALLOC_TUNABLES.items():
+            builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
+    return builder

@@ -42,7 +42,13 @@ def main() -> None:
     ap.add_argument("--regwidth", type=int, default=5)
     args = ap.parse_args()
 
-    spark = SparkSession.builder.appName("hll-flagship").getOrCreate()
+    from hll_spark.session import apply_malloc_tunables
+
+    spark = (
+        apply_malloc_tunables(SparkSession.builder)
+        .appName("hll-flagship")
+        .getOrCreate()
+    )
     try:
         # catalog table unless it looks like a filesystem path
         if "/" in args.input or args.input.endswith(".parquet"):

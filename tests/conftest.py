@@ -14,8 +14,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from pyspark.sql import SparkSession
 
+    from hll_spark.session import apply_malloc_tunables
+
     spark = (
-        SparkSession.builder.master("local[4]")
+        apply_malloc_tunables(SparkSession.builder).master("local[4]")
         .appName("hll_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
