@@ -921,6 +921,26 @@ def q_kll_quantiles_exact(spark, sf):
     )
 
 
+def q_skew_report_orders(spark, sf):
+    # Shuffle-skew diagnostics under a FULL value oracle: the top-10
+    # heaviest o_custkey groups with corpus share and uniform-spread
+    # ratio (operators/diagnostics.key_skew_report) — the measurement
+    # that gates salting / AQE-skew decisions before a 100 TB shuffle.
+    # Deterministic (count DESC, key ASC) ordering in both engines;
+    # rank column pins the order through the driver's sorted compare.
+    from hll_spark.operators.diagnostics import key_skew_report
+
+    out = key_skew_report(_t(spark, sf, "orders"), "o_custkey", top_n=10)
+    w = Window.orderBy(F.desc("n_rows"), F.asc("o_custkey"))
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "o_custkey",
+        "n_rows",
+        F.round("share", 9).alias("share"),
+        F.round("skew", 9).alias("skew"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — text analysis / multimodal plumbing
 
@@ -1435,7 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders_semi": q_customers_with_orders_semi,
         "distinct_urls_by_host": q_distinct_urls_by_host,
         "distinct_sample_sources": q_distinct_sample_sources,
-        "kll_quantiles_price": q_kll_quantiles_price,
+        "skew_report_orders": q_skew_report_orders,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         "embedding_dup_pairs_tight": q_embedding_dup_pairs_tight,
         "minhash_dedup_parity": q_minhash_dedup_parity,
@@ -1448,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # nature; minhash_pairs/simhash_pairs/ivf_ann/lsh_ann/
         # minhash_dedup_keep semantics are now oracle-covered by their
         # *_parity siblings in the front window)
+        "kll_quantiles_price": q_kll_quantiles_price,
         "ivf_ann_top3": q_ivf_ann_top3,
         "minhash_dedup_keep_documents": q_minhash_dedup_keep_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
@@ -1872,6 +1893,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(comp) AS component
             FROM reach GROUP BY node
+        """,
+        "skew_report_orders": """
+            -- top-10 heaviest o_custkey groups: count, corpus share,
+            -- and ratio to a perfectly uniform key spread
+            WITH counts AS (
+                SELECT o_custkey, COUNT(*) AS n_rows
+                FROM orders GROUP BY o_custkey
+            ),
+            totals AS (
+                SELECT SUM(n_rows) AS total,
+                       COUNT(*) AS n_distinct
+                FROM counts
+            )
+            SELECT
+                CAST(ROW_NUMBER() OVER (
+                    ORDER BY n_rows DESC, o_custkey ASC
+                ) AS INTEGER) AS rank,
+                o_custkey,
+                n_rows,
+                ROUND(n_rows / CAST(total AS DOUBLE), 9) AS share,
+                ROUND(n_rows / (CAST(total AS DOUBLE) / n_distinct), 9)
+                    AS skew
+            FROM counts, totals
+            ORDER BY n_rows DESC, o_custkey ASC
+            LIMIT 10
         """,
         "kll_quantiles_exact": """
             -- KLL exact regime (k >= n): quantile(q) is the order
