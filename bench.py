@@ -273,6 +273,11 @@ EXTRA_QUERIES_R4 = [
     "paragraph_dedup_parity",
     "decontaminate_documents",
     "decontaminate_ngrams",
+    "dup_connected_components",
+    "ivf_ann_parity",
+    "lsh_ann_parity",
+    "kll_quantiles_exact",
+    "skew_report_orders",
 ]
 
 
@@ -388,6 +393,10 @@ def scaling_child(cpus: int, shuffle: int) -> None:
     cpu1 = _tree_cpu_seconds()
     out["extract"] = [r[0] for r in eruns]
     out["extract_per_cpu"] = eruns[0][1] * len(eruns) / max(cpu1 - cpu0, 1e-9)
+    # second gauge AFTER the measured region: r4g degraded mid-leg
+    # (healthy start gauges, extract eff 0.242) — bracketing the leg
+    # lets the healthy classifier catch a collapse that starts late
+    out["health_end"] = _box_health()
     print(json.dumps(out))
     spark.stop()
 
@@ -432,7 +441,12 @@ def run_scaling(rounds: int = 2) -> dict:
 
     result = {"rows": rows}
     for level in (lo, hi):
-        hs = [rec["health"] for rec in samples[level] if rec.get("health")]
+        hs = [
+            h
+            for rec in samples[level]
+            for h in (rec.get("health"), rec.get("health_end"))
+            if h
+        ]
         if hs:
             result[f"health_{level}"] = hs
     for mode in ("xxhash64", "murmur3", "extract"):
