@@ -30,8 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hll_spark.session import apply_malloc_tunables  # noqa: E402
 
-# before the JVM (and thus the Python worker pool) starts, keep numpy
-# batch temporaries heap-resident — see hll_spark/session.py
+# env route for the case where this import precedes JVM launch; when
+# the harness created the session first, the worker-side kernels apply
+# the same policy in-process via mallopt (see hll_spark/session.py)
 apply_malloc_tunables()
 
 from hll_spark.operators.agg import (  # noqa: E402

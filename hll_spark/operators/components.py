@@ -14,11 +14,14 @@ Algorithm: alternating large-star / small-star label propagation
 SoCC'14). Both steps are a groupBy(min) + join per round — plain
 shuffles on the node id, no driver-side graph state — and the edge
 set provably converges to stars (node -> component-min) in
-O(log^2 n) rounds; in practice a handful. At 100 TB scale each round
-is two hash shuffles of the CURRENT edge list (which only shrinks),
-every aggregation is map-side combinable, and per-round
-``localCheckpoint`` truncates the lineage so the plan does not grow
-with the iteration count (the classic iterative-Spark failure mode).
+O(log^2 n) rounds; in practice a handful. At 100 TB scale every
+shuffle in a round keys on a node id of the CURRENT edge list (which
+only shrinks): per round that is two groupBy-min aggregates, two
+joins, two distincts and the union inside large-star's symmetrize —
+roughly 6-8 key-hash shuffles, all map-side combinable, plus one tiny
+digest aggregate. Per-round ``localCheckpoint`` truncates the lineage
+so the plan does not grow with the iteration count (the classic
+iterative-Spark failure mode).
 
 Spark-first notes: the per-round convergence test compares a
 commutative edge-set digest (count + xor of xxhash64) computed
@@ -108,9 +111,11 @@ def connected_components(
     Edges may be in any orientation, with duplicates and self-loops;
     node ids must be integral (the min-label order is the id order).
     """
-    e = _symmetrize(
-        edges.select(F.col(src).cast("long").alias("src"),
-                     F.col(dst).cast("long").alias("dst"))
+    # no up-front symmetrize: _large_star symmetrizes internally every
+    # round, so a pre-pass would only add a full-edge-list shuffle
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
     ).localCheckpoint()
     digest = _edge_digest(e)
     for _ in range(max_iter):
@@ -160,10 +165,16 @@ def dedup_by_components(
     right_col: str = "right_id",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Keep exactly one row (the minimum id) per duplicate CLUSTER,
-    where clusters are the connected components of the near-duplicate
-    pair graph — the transitive-closure-correct generalization of
-    ``minhash_dedup_keep``'s one-round star rule.
+    """Keep exactly one row per duplicate CLUSTER — the minimum id
+    AMONG ``df``'s rows — where clusters are the connected components
+    of the near-duplicate pair graph: the transitive-closure-correct
+    generalization of ``minhash_dedup_keep``'s one-round star rule.
+
+    ``pairs`` may reference ids absent from ``df`` (e.g. pairs were
+    enumerated on a superset corpus before a quality filter): the
+    representative is elected per component among the ids ``df``
+    actually holds, so every cluster with at least one ``df`` row
+    keeps exactly one survivor.
 
     Output: the surviving rows of ``df`` (all original columns).
     """
@@ -171,7 +182,7 @@ def dedup_by_components(
         pairs, df.select(id_col), node_col=id_col,
         src=left_col, dst=right_col, max_iter=max_iter,
     )
-    keep = comp.where(F.col("node") == F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    keep = comp.groupBy("component").agg(
+        F.min("node").alias(id_col)
+    ).select(id_col)
     return df.join(keep, id_col, "left_semi")

@@ -37,6 +37,37 @@ MALLOC_TUNABLES = {
 }
 
 
+_MALLOPT_DONE = False
+
+
+def mallopt_heap_reuse() -> bool:
+    """Apply the same allocator policy to the CURRENT process via
+    ``mallopt(3)`` (ctypes), for worker processes whose environment we
+    do not control — e.g. when a harness creates the SparkSession
+    before importing this package, so ``spark.executorEnv.*`` was
+    never tagged and the env-var route (which only works if set before
+    the worker forks) is unavailable. Idempotent; returns True when
+    the thresholds were (or already had been) applied. Imported for
+    side effect by the numpy-hot kernel modules (extractkernel,
+    hashing), which execute on the workers."""
+    global _MALLOPT_DONE
+    if _MALLOPT_DONE:
+        return True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        m_trim_threshold, m_mmap_threshold = -1, -3
+        one_gib = 1 << 30
+        ok = libc.mallopt(m_mmap_threshold, one_gib) and libc.mallopt(
+            m_trim_threshold, one_gib
+        )
+        _MALLOPT_DONE = bool(ok)
+    except (OSError, AttributeError, ValueError):
+        return False  # non-glibc platform: nothing to tune
+    return _MALLOPT_DONE
+
+
 def apply_malloc_tunables(builder=None):
     """Export the allocator tunables into this process's environment
     (inherited by local-mode Python workers) and, when a

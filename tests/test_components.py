@@ -147,3 +147,19 @@ def test_clean_corpus_cluster_dedup_requires_exact_path(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="hello world")])
     with pytest.raises(ValueError, match="exact_neardup"):
         clean_corpus(df, exact_neardup=False, cluster_dedup=True)
+
+
+def test_dedup_by_components_pairs_from_superset_corpus(spark):
+    # pairs reference id 0 which is NOT in df (e.g. dropped by a
+    # quality gate before dedup): the cluster {0,1,2}'s minimum inside
+    # df is 1, and exactly one of {1,2} must survive — previously both
+    # were dropped because the component root (0) had no df row.
+    df = spark.createDataFrame([Row(doc_id=1), Row(doc_id=2), Row(doc_id=9)])
+    pairs = spark.createDataFrame(
+        [Row(left_id=0, right_id=1), Row(left_id=1, right_id=2)]
+    )
+    out = {
+        r["doc_id"]
+        for r in dedup_by_components(df, pairs, "doc_id").collect()
+    }
+    assert out == {1, 9}

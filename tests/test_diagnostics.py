@@ -60,3 +60,7 @@ def test_plan_has_no_collect_or_cartesian(skewed):
     # join, not a cartesian product over data-sized inputs
     plan = key_skew_report(skewed, "k")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    # the 1-row totals frame must arrive via a broadcast (without the
+    # hint this compiles to a BroadcastNestedLoopJoin too, but assert
+    # positively so losing the broadcast entirely cannot pass)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
