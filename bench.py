@@ -34,24 +34,38 @@ PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "16000000"))
 PAGES_PATH = os.path.join(REPO, "_bench_cache", f"pages_{PAGES_ROWS}")
 
 
-def make_spark(cpus: int, shuffle_partitions: int | None = None, ui: bool = False):
+def make_spark(
+    cpus: int,
+    shuffle_partitions: int | None = None,
+    ui: bool = False,
+    arrow_batch: int = 131072,
+):
     from pyspark.sql import SparkSession
 
-    from hll_spark.session import apply_malloc_tunables
+    from hll_spark.session import apply_malloc_tunables, pin_jvm_heap
 
-    builder = apply_malloc_tunables(SparkSession.builder)
+    # 12g pinned (Xms==Xmx, see pin_jvm_heap): big enough for every
+    # suite query at sf0.1 with headroom, small enough that the one-off
+    # first-touch cost stays bounded in degraded-fault windows
+    builder = pin_jvm_heap(apply_malloc_tunables(SparkSession.builder), "12g")
     return (
         builder.master(f"local[{cpus}]")
         .appName("hll_spark-bench")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "48g")
         # the UI is enabled only in scaling children, where its REST API
         # provides the measured scan/shuffle byte volumes
         .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.sql.files.maxPartitionBytes", "64m")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+        # default 128k rows/batch: measured best for the suite — an
+        # attempted global 16k (8x more Python round-trips) slowed every
+        # Arrow-UDF suite query 2-14x. The scaling child alone overrides
+        # to 16k, where it was A/B-measured ~7% faster on the extraction
+        # kernel (aligned with the hashing kernels' _CHUNK=16384) and
+        # shrinks per-batch fresh-allocation exposure ~8x (free-page-
+        # reporting host — see session.pin_jvm_heap)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .getOrCreate()
     )
 
@@ -329,11 +343,29 @@ def _box_health(seconds: float = 1.0) -> dict:
     (a) single-process DRAM streaming bandwidth (numpy right_shift over
     a 256 MB buffer — the same instrument as BENCH/BASELINE.md §2's
     ~1.7 GB/s ceiling measurement), and (b) the hypervisor steal
-    fraction over the gauge window (/proc/stat col 8). Carried per-leg
-    in the run JSON so a contended measurement window is recorded as
-    data alongside the throughput it distorted, instead of being
-    narrated after the fact."""
+    fraction over the gauge window (/proc/stat col 8), and (c) the
+    first-touch page-fault latency on a FRESH 64 MB mapping — streaming
+    over an already-faulted buffer is blind to the hypervisor fault
+    pathology that collapsed the r4g/r4h 8-thread legs while (a)+(b)
+    read healthy (~520 us/page measured vs ~1 us healthy). Carried
+    per-leg in the run JSON so a contended measurement window is
+    recorded as data alongside the throughput it distorted, instead of
+    being narrated after the fact."""
+    import mmap as _mmap
+
     import numpy as np
+
+    # (c) first: a fresh private anonymous mapping, touched once per
+    # 4 KB page — mmap/munmap directly so the measurement is immune to
+    # the heap-reuse allocator policy the engine itself runs under
+    fault_bytes = 64 * 1024 * 1024
+    mm = _mmap.mmap(-1, fault_bytes)
+    t0 = time.perf_counter()
+    for pos in range(0, fault_bytes, 4096):
+        mm[pos] = 1
+    fault_dt = time.perf_counter() - t0
+    mm.close()
+    fault_us = fault_dt / (fault_bytes // 4096) * 1e6
 
     def _stat():
         with open("/proc/stat") as f:
@@ -355,11 +387,12 @@ def _box_health(seconds: float = 1.0) -> dict:
         # read + write traffic per pass
         "dram_gbps": round(iters * buf.nbytes * 2 / dt / 1e9, 2),
         "steal_frac": round((steal1 - steal0) / max(total1 - total0, 1), 3),
+        "fault_us_per_page": round(fault_us, 2),
     }
 
 
 def scaling_child(cpus: int, shuffle: int) -> None:
-    spark = make_spark(cpus, shuffle, ui=True)
+    spark = make_spark(cpus, shuffle, ui=True, arrow_batch=16384)
     spark.sparkContext.setLogLevel("ERROR")
     path = ensure_pages(spark)
     epath = ensure_pages(
@@ -520,16 +553,21 @@ def summarize_scaling_runs() -> dict | None:
         except (OSError, ValueError):
             continue
         # gauge-healthy = every measured leg saw >=8 GB/s single-process
-        # DRAM streaming and <=10% steal (gauges exist from r4e on;
-        # older runs are None = unknown). Feeds ONLY the disclosed
+        # DRAM streaming, <=10% steal, and (where the gauge exists,
+        # r4i on) <=40 us/page first-touch fault latency on a fresh
+        # mapping — the instrument the r4g/r4h collapses showed the
+        # DRAM gauge is blind to (free-page-reporting host: ~1-10 us
+        # healthy, ~400+ us degraded). Feeds ONLY the disclosed
         # secondary medians below — never the criterion number.
         healths = [h for hk in ("health_2", "health_8") for h in rec.get(hk, [])]
         healthy = (
             all(
-                h.get("dram_gbps", 0) >= 8 and h.get("steal_frac", 1) <= 0.10
+                h.get("dram_gbps", 0) >= 8
+                and h.get("steal_frac", 1) <= 0.10
+                and h.get("fault_us_per_page", 0) <= 40
                 for h in healths
             )
-            if healths
+            if healths and any("fault_us_per_page" in h for h in healths)
             else None
         )
         summary = {}
@@ -613,6 +651,7 @@ def main() -> None:
 
     spark = make_spark(CPUS, ui=True)
     spark.sparkContext.setLogLevel("ERROR")
+    health_start = _box_health()
     pages_path = ensure_pages(spark)
     # warm-up: python worker pool + arrow codepaths + page cache
     flagship_docs_per_sec(spark, pages_path)
@@ -624,12 +663,21 @@ def main() -> None:
     # extraction flagship: 1 warm + 3 measured fused-kernel runs,
     # MEDIAN-of-3 (same policy as the url flagship — ADVICE r3), plus
     # one JVM-chain run for the engine comparison (each run is cold —
-    # fresh lineage per call, no shuffle-stage reuse)
-    extract_docs_per_sec(spark, pages_path)
-    ext_runs = [extract_docs_per_sec(spark, pages_path) for _ in range(3)]
+    # fresh lineage per call, no shuffle-stage reuse). Measured on its
+    # own 4M-row pages table: extraction is ~40x costlier per row than
+    # the url flagship, and the reported number is a THROUGHPUT
+    # (docs/s, table-size independent) — at 16M rows a degraded-fault
+    # window (BASELINE.md §2) could stall the suite past the driver's
+    # window without changing the number it reports
+    ext_rows = min(PAGES_ROWS, 4_000_000)
+    ext_path = ensure_pages(
+        spark, ext_rows, os.path.join(REPO, "_bench_cache", f"pages_{ext_rows}")
+    )
+    extract_docs_per_sec(spark, ext_path)
+    ext_runs = [extract_docs_per_sec(spark, ext_path) for _ in range(3)]
     ext_docs_per_sec, _, ext_est = sorted(ext_runs)[1]
     ext_jvm_docs_per_sec, _, _ = extract_docs_per_sec(
-        spark, pages_path, engine="jvm"
+        spark, ext_path, engine="jvm"
     )
     scaling_headline = summarize_scaling_runs()
     all_timings = run_queries(spark, SF_DIR)
@@ -660,6 +708,10 @@ def main() -> None:
         "extract_distinct_text_estimate": ext_est,
         "flagship_io_per_run": flagship_io,
         "scaling": scaling_headline,
+        # box-health gauges bracketing the suite (dram_gbps/steal_frac/
+        # fault_us_per_page) — classify the measurement window exactly
+        # like the scaling legs do (BENCH/BASELINE.md §2)
+        "health": [health_start, _box_health()],
     }
     # The untrimmed record always lands in BENCH/bench_full.json; the
     # stdout line is trimmed (oldest-stable detail first) to fit the
@@ -673,7 +725,7 @@ def main() -> None:
     # io detail first, then every queries_extra_rN map oldest-first
     # (each folds into a _total), and as a last resort the per-query
     # values are rounded harder. "queries" and "scaling" never drop.
-    victims = ["flagship_io_per_run"] + sorted(
+    victims = ["flagship_io_per_run", "health"] + sorted(
         k for k in record if k.startswith("queries_extra_")
     )
     line = json.dumps(record, separators=(",", ":"))

@@ -81,3 +81,35 @@ def apply_malloc_tunables(builder=None):
         for k, v in MALLOC_TUNABLES.items():
             builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
     return builder
+
+
+def pin_jvm_heap(builder, heap: str):
+    """Pin the driver JVM heap: ``spark.driver.memory = heap`` AND
+    ``-Xms = heap`` via ``spark.driver.extraJavaOptions``.
+
+    Why: Spark sets only ``-Xmx``, so the heap grows lazily and G1
+    uncommits idle regions back to the OS (JEP 346). On hosts with
+    free-page reporting (this sandbox boots with
+    ``page_reporting.page_reporting_order=11`` — every >=8 MiB block
+    on the guest free list is continuously returned to the
+    hypervisor), each uncommit/recommit cycle turns already-warm heap
+    pages back into ~400 us/page host-serviced faults, which is the
+    measured mechanism behind the 8-thread throughput collapses in
+    BENCH/BASELINE.md §2. ``-Xms == -Xmx`` commits the mapping once
+    and G1 never shrinks below ``-Xms``, so heap pages faulted by the
+    warm-up run stay host-resident for the process lifetime. Pages are
+    still faulted on first touch (no ``AlwaysPreTouch`` — pre-touching
+    tens of GB through a degraded fault path would stall startup for
+    minutes); the existing warm-up runs absorb first-touch for the
+    actual working set. On a real cluster the same policy is the
+    stock ``spark.executor.memory`` contract (executors run with
+    Xms==Xmx by default via ``spark.executor.extraJavaOptions``)."""
+    existing = ""
+    try:
+        existing = builder._options.get("spark.driver.extraJavaOptions", "")
+    except AttributeError:
+        pass
+    opts = f"-Xms{heap} {existing}".strip()
+    return builder.config("spark.driver.memory", heap).config(
+        "spark.driver.extraJavaOptions", opts
+    )
