@@ -769,6 +769,68 @@ def q_simhash_pairs_parity(spark, sf):
     return simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
 
 
+def q_lang_id_parity(spark, sf):
+    # Oracle-visible language-ID (VERDICT r3 #6 family): constructed
+    # corpus where every label is provable — doc_id%4 cycles through
+    # (a) dense English trigram carriers, (b) dense German carriers,
+    # (c) Cyrillic text (script-range rule fires at >25% codepoints),
+    # (d) digits (every trigram score 0 -> 'other'). Scores are
+    # lopsided by construction (zero cross-language gram hits), so the
+    # classifier output is exactly CASE doc_id%4.
+    from hll_spark.operators.text import detect_language
+
+    texts = [
+        "the and of to ing ion " * 5,
+        "und der ein ich sch cht " * 5,
+        "привет мир как дела сегодня " * 3,
+        "12345 67890 13579 ",
+    ]
+    corpus = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in texts]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("text"),
+    )
+    return detect_language(corpus, "text").select("doc_id", "lang_pred")
+
+
+def q_fingerprint_parity(spark, sf):
+    # Oracle-visible document fingerprinting: on the clone corpus the
+    # 8-gram min-hash fingerprint is equal within each clone pair and
+    # (deterministically, verified) distinct across all 600 texts, so
+    # grouping by fingerprint recovers exactly the pair structure:
+    # {(2i, 2i+1, 2)} for pairs, {(id, id, 1)} for singleton fillers.
+    from hll_spark.operators.text import fingerprint_documents
+
+    corpus = _parity_clone_corpus(spark, n_pairs=400, n_single=200)
+    return (
+        fingerprint_documents(corpus, "text")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("id_lo"),
+            F.max("doc_id").alias("id_hi"),
+            F.count("*").alias("n_docs"),
+        )
+        .select("id_lo", "id_hi", "n_docs")
+    )
+
+
+def q_pack_sequences_documents(spark, sf):
+    # GPT-style training-sequence packing (concatenate in doc_id order,
+    # cut every 512 tokens): the manifest is deterministic arithmetic
+    # over the token-count cumsum, so it gets a FULL value oracle (the
+    # DuckDB mirror is a window cumsum + generate_series explode). The
+    # Spark side is the two-phase distributed scan in operators/packing
+    # — no global-window single-task collapse.
+    from hll_spark.operators.packing import pack_sequences
+    from hll_spark.operators.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    sized = docs.select("doc_id", token_count("text").alias("n_tok"))
+    return pack_sequences(sized, "doc_id", "n_tok", 512)
+
+
 def q_paragraph_dedup_parity(spark, sf):
     # Corpus-wide paragraph dedup (CCNet-style keep-first) under a full
     # value oracle. Constructed 3-paragraph corpus: each doc = its own
@@ -1431,6 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_pairs_parity": q_minhash_pairs_parity,
         "simhash_pairs_parity": q_simhash_pairs_parity,
+        "lang_id_parity": q_lang_id_parity,
+        "fingerprint_parity": q_fingerprint_parity,
+        "pack_sequences_documents": q_pack_sequences_documents,
         "paragraph_dedup_parity": q_paragraph_dedup_parity,
         "decontaminate_documents": q_decontaminate_documents,
         "decontaminate_ngrams": q_decontaminate_ngrams,
@@ -1440,11 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles_exact": q_kll_quantiles_exact,
         # -- rest of the active window -----------------------------------
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
-        "hll_users_salted": q_hll_users_salted,
-        "checkpoint_resume_estimate": q_checkpoint_resume_estimate,
         "streaming_sink_distinct": q_streaming_sink_distinct,
         "theta_estimate_orderkeys": q_theta_estimate_orderkeys,
-        "sketch_cube_slice": q_sketch_cube_slice,
         "mg_top_sources": q_mg_top_sources,
         "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
         "extract_text_pages": q_extract_text_pages,
@@ -1464,11 +1526,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_stats": q_clean_corpus_stats,
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
         # -- rotation tail: green in BOTH r2 and r3, code untouched ------
-        # (plus rows-only queries rotated out in r4 to make room for
-        # new ORACLE queries: lang_id/fingerprint are rows-only by
-        # nature; minhash_pairs/simhash_pairs/ivf_ann/lsh_ann/
-        # minhash_dedup_keep semantics are now oracle-covered by their
-        # *_parity siblings in the front window)
+        # (hll_users_salted / checkpoint_resume_estimate rotated here
+        # late in r4 — double-green — to window the new lang_id /
+        # fingerprint parity oracles; plus rows-only queries rotated
+        # out in r4 to make room for new ORACLE queries:
+        # minhash_pairs/simhash_pairs/ivf_ann/lsh_ann/
+        # minhash_dedup_keep/lang_id/fingerprint semantics are now
+        # oracle-covered by their *_parity siblings in the front window)
+        "hll_users_salted": q_hll_users_salted,
+        "checkpoint_resume_estimate": q_checkpoint_resume_estimate,
+        "sketch_cube_slice": q_sketch_cube_slice,
         "kll_quantiles_price": q_kll_quantiles_price,
         "ivf_ann_top3": q_ivf_ann_top3,
         "minhash_dedup_keep_documents": q_minhash_dedup_keep_documents,
@@ -1735,6 +1802,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT i * 2 AS id_a, i * 2 + 1 AS id_b,
                    CAST(0 AS INTEGER) AS hamming
             FROM range(400) t(i)
+        """,
+        "pack_sequences_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS t
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, CAST(t AS BIGINT) AS t,
+                     CAST(COALESCE(SUM(t) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS s
+              FROM toks WHERE t > 0
+            )
+            SELECT nz.doc_id AS doc_id, p.pack_id AS pack_id,
+                   GREATEST(s, p.pack_id * 512) - s AS doc_offset,
+                   GREATEST(s, p.pack_id * 512) - p.pack_id * 512
+                       AS pack_offset,
+                   LEAST(s + t, (p.pack_id + 1) * 512)
+                       - GREATEST(s, p.pack_id * 512) AS slice_len
+            FROM nz, LATERAL (
+              SELECT unnest(generate_series(s // 512, (s + t - 1) // 512))
+                     AS pack_id
+            ) p
+        """,
+        "lang_id_parity": """
+            SELECT i AS doc_id,
+                   CASE CAST(i % 4 AS INTEGER)
+                        WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                        WHEN 2 THEN 'ru' ELSE 'other' END AS lang_pred
+            FROM range(800) t(i)
+        """,
+        "fingerprint_parity": """
+            SELECT i * 2 AS id_lo, i * 2 + 1 AS id_hi,
+                   CAST(2 AS BIGINT) AS n_docs
+            FROM range(400) t(i)
+            UNION ALL
+            SELECT 800 + i AS id_lo, 800 + i AS id_hi,
+                   CAST(1 AS BIGINT) AS n_docs
+            FROM range(200) t(i)
         """,
         "clean_corpus_rep_parity": """
             SELECT i * 2 AS doc_id FROM range(400) t(i)

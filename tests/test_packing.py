@@ -1,0 +1,107 @@
+"""pack_sequences: GPT-style fixed-size training-sequence packing.
+
+Reference model: lay the documents end-to-end in order and cut every
+``max_tokens`` — computed here with a plain sequential Python loop and
+compared row-for-row against the distributed two-phase scan.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+
+from hll_spark.operators.packing import pack_sequences
+
+COLS = ["doc_id", "pack_id", "doc_offset", "pack_offset", "slice_len"]
+
+
+def ref_manifest(rows, cap):
+    out, pos = [], 0
+    for i, t in sorted(rows):
+        if t <= 0:
+            continue
+        s, e = pos, pos + t
+        pos = e
+        p = s // cap
+        while p * cap < e:
+            lo, hi = max(s, p * cap), min(e, (p + 1) * cap)
+            out.append((i, p, lo - s, lo - p * cap, hi - lo))
+            p += 1
+    return pd.DataFrame(out, columns=COLS)
+
+
+def run(spark, rows, cap, n_parts=7):
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long").repartition(
+        n_parts
+    )
+    got = (
+        pack_sequences(df, "doc_id", "n_tok", cap)
+        .toPandas()
+        .sort_values(["pack_id", "pack_offset"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    return got
+
+
+def test_matches_sequential_reference(spark):
+    random.seed(11)
+    rows = [
+        (i, random.choice([0, 1, 3, 17, 250, 1024, 2500])) for i in range(500)
+    ]
+    got = run(spark, rows, 1024)
+    want = (
+        ref_manifest(rows, 1024)
+        .sort_values(["pack_id", "pack_offset"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_invariants(spark):
+    random.seed(3)
+    rows = [(i, random.randint(1, 700)) for i in range(400)]
+    got = run(spark, rows, 256)
+    sums = got.groupby("pack_id")["slice_len"].sum()
+    # every pack except the last is exactly full; nothing exceeds cap
+    assert (sums.iloc[:-1] == 256).all() and sums.iloc[-1] <= 256
+    # pack ids are dense from 0
+    assert sums.index.min() == 0
+    assert sums.index.max() == len(sums) - 1
+    # per-doc slices tile the doc exactly
+    per_doc = got.groupby("doc_id")["slice_len"].sum()
+    want = {i: t for i, t in rows}
+    assert all(per_doc[i] == want[i] for i in per_doc.index)
+    # slices never empty
+    assert (got["slice_len"] > 0).all()
+
+
+def test_partitioning_invariance(spark):
+    random.seed(5)
+    rows = [(i, random.randint(0, 90)) for i in range(300)]
+    a = run(spark, rows, 64, n_parts=2)
+    b = run(spark, rows, 64, n_parts=13)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_long_doc_spans_many_packs(spark):
+    rows = [(0, 10), (1, 1000), (2, 5)]
+    got = run(spark, rows, 100)
+    doc1 = got[got.doc_id == 1]
+    # 1000 tokens starting at offset 10 -> packs 0..10 (11 spans)
+    assert len(doc1) == 11
+    assert doc1["slice_len"].sum() == 1000
+    assert got["slice_len"].sum() == 1015
+
+
+def test_zero_token_docs_emit_nothing(spark):
+    rows = [(0, 0), (1, 7), (2, 0)]
+    got = run(spark, rows, 16)
+    assert got["doc_id"].tolist() == [1]
+
+
+def test_bad_cap_rejected(spark):
+    df = spark.createDataFrame([(0, 3)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", 0)
