@@ -39,6 +39,7 @@ def make_spark(
     shuffle_partitions: int | None = None,
     ui: bool = False,
     arrow_batch: int = 131072,
+    file_part_bytes: str = "64m",
 ):
     from pyspark.sql import SparkSession
 
@@ -57,7 +58,7 @@ def make_spark(
         # the UI is enabled only in scaling children, where its REST API
         # provides the measured scan/shuffle byte volumes
         .config("spark.ui.enabled", "true" if ui else "false")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.sql.files.maxPartitionBytes", file_part_bytes)
         # default 128k rows/batch: measured best for the suite — an
         # attempted global 16k (8x more Python round-trips) slowed every
         # Arrow-UDF suite query 2-14x. The scaling child alone overrides
@@ -392,7 +393,15 @@ def _box_health(seconds: float = 1.0) -> dict:
 
 
 def scaling_child(cpus: int, shuffle: int) -> None:
-    spark = make_spark(cpus, shuffle, ui=True, arrow_batch=16384)
+    # 16 MB scan splits: the 1M-row extract table is ~1 GB, so the
+    # default 64 MB splits give only ~16 scan tasks — 2 waves of 8 with
+    # a straggler half-wave idling 7 threads (r4i measured wall eff
+    # 0.653 vs cpu_parity 0.927, the signature of scheduling-granularity
+    # waste, with every box-health gauge clean). ~64 splits pack both
+    # levels evenly; identical config at both levels keeps the ratio fair.
+    spark = make_spark(
+        cpus, shuffle, ui=True, arrow_batch=16384, file_part_bytes="16m"
+    )
     spark.sparkContext.setLogLevel("ERROR")
     path = ensure_pages(spark)
     epath = ensure_pages(
