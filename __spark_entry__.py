@@ -1443,6 +1443,38 @@ def q_consistent_sample_events(spark, sf):
     )
 
 
+def q_consistent_sample_parity(spark, sf):
+    # the PORTABLE deterministic sampler (md5-prefix threshold,
+    # sampling.consistent_sample_portable): same key-consistency
+    # contract as consistent_sample_events, but the membership
+    # predicate is engine-portable, so the EXACT kept row set is
+    # driver-verified against DuckDB — closing the rows-only gap the
+    # xxhash64 variant can't (that one stays registered for the
+    # faster Spark-only path)
+    from hll_spark.operators.sampling import consistent_sample_portable
+
+    ev = _t(spark, sf, "events")
+    return consistent_sample_portable(ev, "user_id", 0.1).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_temperature_resample_docs(spark, sf):
+    # domain-mixture temperature resampling (alpha=0.5, overall rate
+    # 0.5) over the skewed lang column: rare langs upweighted, en
+    # downweighted, per-domain keep rates + the exact kept row set
+    # both reproduced by the DuckDB oracle
+    from hll_spark.operators.sampling import temperature_resample
+
+    docs = _t(spark, sf, "documents")
+    out = temperature_resample(
+        docs, "lang", "doc_id", alpha=0.5, target_frac=0.5
+    )
+    return out.select(
+        "doc_id", "lang", "source", "sample_rate", "domain_rows"
+    )
+
+
 def q_rollup_user_counts(spark, sf):
     # grouping-sets coverage: per-type + grand-total distinct users
     events = _t(spark, sf, "events")
@@ -1467,9 +1499,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 51-66 last round — decoded_media_stats, range_join_value_bands
     # and pivot_event_type_by_cohort had never had a row in ANY round)
     # plus queries changed or added this round. Tail (past the cap):
-    # 18 queries whose driver rows were fully green in BOTH r2 and r3
-    # and whose code is untouched this round; each stays covered by
-    # tests/test_entry_contract.py at sf0.01 every pytest run.
+    # queries whose driver rows were fully green in r3 (most also in
+    # r2) and whose code is untouched this round; each stays covered
+    # by tests/test_entry_contract.py at sf0.01 every pytest run.
     return {
         # -- never driver-checked before r4 ------------------------------
         "decoded_media_stats": q_decoded_media_stats,
@@ -1503,6 +1535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_parity": q_ivf_ann_parity,
         "lsh_ann_parity": q_lsh_ann_parity,
         "kll_quantiles_exact": q_kll_quantiles_exact,
+        "consistent_sample_parity": q_consistent_sample_parity,
+        "temperature_resample_docs": q_temperature_resample_docs,
         # -- rest of the active window -----------------------------------
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
@@ -2046,6 +2080,44 @@ def oracle_sql() -> dict[str, str]:
                 MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.75  * n) AS BIGINT)) THEN v END) AS q0_75,
                 MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.875 * n) AS BIGINT)) THEN v END) AS q0_875
             FROM s
+        """,
+        "consistent_sample_parity": """
+            -- portable deterministic sampler: keep iff the first 15
+            -- hex chars of md5(key || ':seed') sort below
+            -- floor(fraction * 2^60) as fixed-width lowercase hex
+            -- (lexicographic order on fixed-width hex == numeric
+            -- order, so the predicate is engine-independent)
+            SELECT event_id, user_id, event_type
+            FROM events
+            WHERE substr(md5(cast(user_id AS varchar) || ':42'), 1, 15)
+                < lpad(lower(to_hex(cast(floor(0.1 * 1152921504606846976.0)
+                                         AS bigint))), 15, '0')
+        """,
+        "temperature_resample_docs": """
+            -- temperature mixture: rate_d = min(1, target * N *
+            -- c_d^alpha / (sum(c^alpha) * c_d)), rounded to 1e-6 so
+            -- double summation order can't flip a membership bit;
+            -- membership via the same md5-prefix threshold
+            WITH c AS (
+                SELECT lang, count(*) AS domain_rows
+                FROM documents GROUP BY lang
+            ),
+            r AS (
+                SELECT lang, domain_rows,
+                       round(least(1.0,
+                           0.5 * (sum(domain_rows) OVER ())
+                               * power(domain_rows, 0.5)
+                               / ((sum(power(domain_rows, 0.5)) OVER ())
+                                  * domain_rows)), 6) AS sample_rate
+                FROM c
+            )
+            SELECT d.doc_id, d.lang, d.source, r.sample_rate, r.domain_rows
+            FROM documents d JOIN r USING (lang)
+            WHERE r.sample_rate >= 1.0
+               OR substr(md5(cast(d.doc_id AS varchar) || ':0'), 1, 15)
+                < lpad(lower(to_hex(cast(floor(r.sample_rate
+                                               * 1152921504606846976.0)
+                                         AS bigint))), 15, '0')
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

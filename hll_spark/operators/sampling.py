@@ -1,0 +1,143 @@
+"""Deterministic corpus sampling: portable hash sampling and
+temperature-based domain-mixture resampling.
+
+Training-data pipelines sample twice: once to cut a reproducible
+corpus subset (the "keep 10% of users, with ALL their rows" shape),
+and once to rebalance the domain mixture (upweight rare languages /
+sources, downweight the head — the temperature-sampling recipe used
+by multilingual pretraining: p(domain) ∝ count(domain)^alpha, alpha
+in [0, 1]).
+
+Both operators here decide membership from an md5-hex prefix of the
+row KEY, never from Spark's RNG, so the sample is
+
+* a pure function of the key — reproducible across runs, partition
+  layouts, and cluster sizes;
+* consistent across tables — sampling users here and events by the
+  same key there keeps complete per-user histories;
+* portable — md5 of a UTF-8 string is engine-independent, so any
+  other SQL engine (the DuckDB oracle included) reproduces the exact
+  row set, unlike ``xxhash64``, which only Spark exposes
+  (relational.consistent_sample keeps the faster xxhash64 variant for
+  Spark-only callers).
+
+The membership test compares the first 15 hex chars of
+``md5(key || ':' || seed)`` against ``floor(rate * 2^60)`` rendered
+as a zero-padded 15-char hex literal: lexicographic order on
+fixed-width lowercase hex equals numeric order, so the comparison is
+a pure string predicate that every engine evaluates identically (no
+engine-specific hex→int casts needed). 60 bits of the digest give a
+rate granularity of 2^-60 — far below any sampling tolerance.
+
+100 TB design: the membership predicate is a JVM-side expression
+chain (md5 + substring + comparison, whole-stage codegen) — a
+parallel filter scan with no shuffle. temperature_resample adds one
+tiny aggregation (one row per domain; partial aggregation makes the
+shuffle KB-sized regardless of corpus size) whose result is
+broadcast back, so the big table is still touched by exactly one
+scan + filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^60 as an exact double (60 < 53 bits is false, but 2^60 itself is a
+# power of two, hence exactly representable)
+_SCALE = float(1 << 60)
+
+
+def _hex_threshold(rate):
+    """``floor(rate * 2^60)`` as a 15-char lowercase hex string column.
+
+    Valid for rate < 1 (floor then fits in 15 hex digits); callers
+    must short-circuit rate >= 1 separately.
+    """
+    return F.lower(
+        F.lpad(F.hex(F.floor(rate * F.lit(_SCALE))), 15, "0")
+    )
+
+
+def _key_hex(key_col: str, seed: int):
+    """First 15 hex chars of md5(key || ':' || seed), lowercase."""
+    tagged = F.concat(
+        F.col(key_col).cast("string"), F.lit(f":{seed}")
+    )
+    return F.substring(F.md5(tagged.cast("binary")), 1, 15)
+
+
+def consistent_sample_portable(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a row iff ``md5(key:seed)`` lands under ``fraction``.
+
+    Same contract as relational.consistent_sample (deterministic,
+    key-consistent across tables) but engine-portable: any SQL engine
+    with md5 reproduces the identical row set, which is what makes
+    the sample auditable outside Spark.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        return df
+    return df.where(_key_hex(key_col, seed) < _hex_threshold(F.lit(fraction)))
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Resample ``df`` so domain d's share of the output follows
+    ``count(d)^alpha`` (normalized), at overall rate ``target_frac``.
+
+    alpha=1 reproduces the input mixture (every domain sampled at
+    target_frac); alpha=0 aims at a uniform mixture (equal expected
+    rows per domain); 0<alpha<1 interpolates — the standard
+    temperature-sampling recipe for flattening a skewed language /
+    source distribution. Per-domain keep rates are capped at 1 (this
+    operator never upsamples), so tail domains whose implied rate
+    exceeds 1 are kept whole and the realized total can undershoot
+    target_frac — by design, matching the usual "cap, don't
+    replicate" pretraining practice.
+
+    Returns the input rows that survive, with two extra columns:
+    ``sample_rate`` (the domain's keep rate, rounded to 1e-6 so the
+    float is reproducible across engines/summation orders) and the
+    domain count ``domain_rows``.
+
+    Plan shape: groupBy(domain) → one tiny rates frame (window over
+    the handful of domain rows) → broadcast hash join back → JVM
+    filter. The corpus is scanned once; nothing but per-domain counts
+    ever moves.
+    """
+    if not 0.0 <= target_frac <= 1.0:
+        raise ValueError("target_frac must be in [0, 1]")
+    if alpha < 0.0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("domain_rows"))
+    w = Window.partitionBy()  # the rates frame is one row per domain
+    weight = F.pow(F.col("domain_rows").cast("double"), F.lit(float(alpha)))
+    implied = (
+        F.lit(float(target_frac))
+        * F.sum("domain_rows").over(w).cast("double")
+        * weight
+        / (F.sum(weight).over(w) * F.col("domain_rows"))
+    )
+    rates = counts.select(
+        domain_col,
+        "domain_rows",
+        F.round(F.least(F.lit(1.0), implied), 6).alias("sample_rate"),
+    )
+    keyed = df.join(F.broadcast(rates), domain_col)
+    keep = (F.col("sample_rate") >= 1.0) | (
+        _key_hex(key_col, seed) < _hex_threshold(F.col("sample_rate"))
+    )
+    return keyed.where(keep)

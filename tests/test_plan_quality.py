@@ -69,6 +69,8 @@ GATED = [
     # where a broadcast NLJ of one row is the correct plan; the
     # underlying operators are join-free / hash-join only)
     "decontaminate_ngrams",
+    "consistent_sample_parity",  # pure codegen filter scan
+    "temperature_resample_docs",  # tiny-agg + broadcast hash join back
 ]
 
 

@@ -1,0 +1,136 @@
+"""sampling.py: portable deterministic sampling + temperature
+domain-mixture resampling.
+
+The engine-parity of the md5-prefix membership predicate is driver-
+checked (consistent_sample_parity / temperature_resample_docs
+oracles); these tests pin the operator-level contracts: determinism,
+key-consistency across tables, the temperature math at its analytic
+anchor points (alpha=1 -> input mixture, alpha=0 -> uniform mixture),
+and the rate cap.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hll_spark.operators.sampling import (
+    consistent_sample_portable,
+    temperature_resample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_portable_sample_deterministic_and_layout_invariant(spark):
+    ev = _events(spark)
+    a = {r.event_id for r in consistent_sample_portable(ev, "user_id", 0.1).collect()}
+    b = {
+        r.event_id
+        for r in consistent_sample_portable(ev.repartition(13), "user_id", 0.1).collect()
+    }
+    assert a == b and a  # same set under a different partitioning
+
+
+def test_portable_sample_fraction_tolerance(spark):
+    ev = _events(spark)
+    users = ev.select("user_id").distinct()
+    n_users = users.count()
+    kept_users = consistent_sample_portable(users, "user_id", 0.2).count()
+    # binomial: sd = sqrt(n p (1-p)); allow 5 sd
+    sd = math.sqrt(n_users * 0.2 * 0.8)
+    assert abs(kept_users - 0.2 * n_users) < 5 * sd
+
+
+def test_portable_sample_key_consistency_across_tables(spark):
+    # sampling the user DIM at 10% and the events FACT by the same key
+    # must select exactly the events of the sampled users
+    ev = _events(spark)
+    dim_kept = {
+        r.user_id
+        for r in consistent_sample_portable(
+            ev.select("user_id").distinct(), "user_id", 0.1
+        ).collect()
+    }
+    fact_users = {
+        r.user_id
+        for r in consistent_sample_portable(ev, "user_id", 0.1)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert fact_users == dim_kept
+
+
+def test_portable_sample_edges(spark):
+    ev = _events(spark)
+    assert consistent_sample_portable(ev, "user_id", 0.0).count() == 0
+    assert consistent_sample_portable(ev, "user_id", 1.0).count() == ev.count()
+    with pytest.raises(ValueError):
+        consistent_sample_portable(ev, "user_id", 1.5)
+
+
+def test_temperature_alpha1_reproduces_input_mixture(spark):
+    # alpha=1: every domain sampled at exactly target_frac
+    out = temperature_resample(_docs(spark), "lang", "doc_id", alpha=1.0, target_frac=0.4)
+    rates = {r.lang: r.sample_rate for r in out.select("lang", "sample_rate").distinct().collect()}
+    assert rates and all(v == pytest.approx(0.4, abs=1e-6) for v in rates.values())
+
+
+def test_temperature_alpha0_equalizes_expected_counts(spark):
+    # alpha=0: rate_d * count_d constant across domains (uniform mixture)
+    out = temperature_resample(_docs(spark), "lang", "doc_id", alpha=0.0, target_frac=0.5)
+    rows = out.select("lang", "sample_rate", "domain_rows").distinct().collect()
+    expected = {r.sample_rate * r.domain_rows for r in rows}
+    lo, hi = min(expected), max(expected)
+    assert hi - lo < 1e-2  # equal up to the 1e-6 rate rounding * counts
+
+
+def test_temperature_rare_domains_upweighted(spark):
+    out = temperature_resample(_docs(spark), "lang", "doc_id", alpha=0.5, target_frac=0.5)
+    rows = out.select("lang", "sample_rate", "domain_rows").distinct().collect()
+    by_count = sorted(rows, key=lambda r: r.domain_rows)
+    rates = [r.sample_rate for r in by_count]
+    assert rates == sorted(rates, reverse=True)  # rarer -> higher keep rate
+
+
+def test_temperature_rate_cap_keeps_tiny_domain_whole(spark):
+    # drive the implied tail rate past 1: alpha=0 with a high target on
+    # a frame where one domain is tiny
+    docs = _docs(spark)
+    tiny = docs.limit(3).withColumn("lang", F.lit("xx"))
+    df = docs.unionByName(tiny)
+    out = temperature_resample(df, "lang", "doc_id", alpha=0.0, target_frac=0.8)
+    xx = out.where(F.col("lang") == "xx")
+    assert xx.count() == 3
+    assert {r.sample_rate for r in xx.select("sample_rate").collect()} == {1.0}
+
+
+def test_temperature_realized_rates_match_declared(spark):
+    # the md5 membership realizes each domain's declared rate (binomial)
+    out = temperature_resample(_docs(spark), "lang", "doc_id", alpha=0.5, target_frac=0.5)
+    got = {
+        (r.lang): (r.kept, r.sample_rate, r.domain_rows)
+        for r in out.groupBy("lang", "sample_rate", "domain_rows")
+        .agg(F.count("*").alias("kept"))
+        .collect()
+    }
+    for lang, (kept, rate, n) in got.items():
+        sd = math.sqrt(n * rate * (1 - rate)) or 1.0
+        assert abs(kept - rate * n) < 5 * sd, (lang, kept, rate, n)
+
+
+def test_temperature_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        temperature_resample(docs, "lang", "doc_id", alpha=-0.1)
+    with pytest.raises(ValueError):
+        temperature_resample(docs, "lang", "doc_id", target_frac=1.2)
