@@ -334,9 +334,20 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-EXTRACT_SCALING_ROWS = 1_000_000  # extraction is ~40x costlier per row
-# than the url flagship (wide html scan + kernel); a smaller table keeps
-# the local[2] leg to ~15 s per run while staying >>JIT/startup noise
+EXTRACT_SCALING_ROWS = 4_000_000  # extraction is ~40x costlier per row
+# than the url flagship (wide html scan + kernel). Raised 1M -> 4M after
+# the fixed-overhead probe (scripts/probe_job_overhead.py, recorded in
+# BENCH/job_overhead.json): each extract_docs_per_sec call pays a
+# ~1.9-2.2 s constant (job submit + stage scheduling + serial 1-task
+# merge + estimate collect) that does not shrink with rows. At 1M rows
+# the 8-thread pass lasted ~7 s, so that constant alone deflated the
+# wall ratio by ~10-15 points (cpu_parity, overhead-insensitive, read
+# 0.93-0.94 in the same healthy runs). 4M rows puts the 8-thread pass
+# at ~28 s (constant ~6% -> ~2% of wall) — the regime the 100 TB rule
+# actually targets, where cluster jobs run minutes and fixed scheduling
+# cost is noise. Identical table at BOTH levels keeps the ratio fair;
+# runs before/after the change are distinguished by "extract_rows" in
+# each run JSON.
 
 
 def _box_health(seconds: float = 1.0) -> dict:
@@ -408,7 +419,8 @@ def scaling_child(cpus: int, shuffle: int) -> None:
         spark, EXTRACT_SCALING_ROWS,
         os.path.join(REPO, "_bench_cache", f"pages_{EXTRACT_SCALING_ROWS}"),
     )
-    out = {"cpus": cpus, "health": _box_health()}
+    out = {"cpus": cpus, "health": _box_health(),
+           "extract_rows": EXTRACT_SCALING_ROWS}
     for mode in ("xxhash64", "murmur3"):
         # one warm-up pass (JIT/arrow init), then the measured passes
         flagship_docs_per_sec(spark, path, mode)
@@ -455,6 +467,7 @@ def run_scaling(rounds: int = 2) -> dict:
     lo, hi = SCALING_LEVELS
     samples: dict[int, list[float]] = {lo: [], hi: []}
     rows = 0
+    extract_rows = None
     for _ in range(rounds):
         for cpus in (lo, hi):
             out = subprocess.run(
@@ -476,12 +489,13 @@ def run_scaling(rounds: int = 2) -> dict:
             rec = json.loads(jlines[-1])
             samples[cpus].append(rec)
             rows = rec["rows"]
+            extract_rows = rec.get("extract_rows")
 
     def median(xs):
         xs = sorted(xs)
         return xs[len(xs) // 2]
 
-    result = {"rows": rows}
+    result = {"rows": rows, "extract_rows": extract_rows}
     for level in (lo, hi):
         hs = [
             h
