@@ -594,6 +594,8 @@ def summarize_scaling_runs() -> dict | None:
             else None
         )
         summary = {}
+        if rec.get("extract_rows") is not None:
+            summary["extract_rows"] = rec["extract_rows"]
         for mode in ("murmur3", "xxhash64", "extract"):
             if mode not in rec:
                 continue
@@ -606,16 +608,30 @@ def summarize_scaling_runs() -> dict | None:
                 if rec[mode].get(k) is not None
             }
             acc = per_mode.setdefault(
-                mode, {"eff": [], "parity": [], "eff_h": [], "parity_h": []}
+                mode, {"eff": [], "parity": [], "eff_h": [], "parity_h": [],
+                       "eff_cur": [], "parity_cur": []}
+            )
+            # current-job era: the criterion job was lengthened 1M -> 4M
+            # rows once the fixed-overhead probe showed the short job
+            # measured the scheduler (BENCH/job_overhead.json). Runs of
+            # the two jobs are different measurements and cannot share a
+            # median; extract_rows in each run JSON marks the era.
+            is_current_job = (
+                mode != "extract"
+                or rec.get("extract_rows") == EXTRACT_SCALING_ROWS
             )
             if rec[mode].get("scaling_efficiency") is not None:
                 acc["eff"].append(rec[mode]["scaling_efficiency"])
                 if healthy:
                     acc["eff_h"].append(rec[mode]["scaling_efficiency"])
+                if is_current_job:
+                    acc["eff_cur"].append(rec[mode]["scaling_efficiency"])
             if rec[mode].get("cpu_parity") is not None:
                 acc["parity"].append(rec[mode]["cpu_parity"])
                 if healthy:
                     acc["parity_h"].append(rec[mode]["cpu_parity"])
+                if is_current_job and rec[mode].get("scaling_efficiency") is not None:
+                    acc["parity_cur"].append(rec[mode]["cpu_parity"])
         for hk in ("health_2", "health_8"):
             if rec.get(hk):
                 # per-leg box-health gauges (dram_gbps / steal_frac),
@@ -634,6 +650,12 @@ def summarize_scaling_runs() -> dict | None:
             "eff_median_gauge_healthy": _med(acc["eff_h"]),
             "cpu_parity_median_gauge_healthy": _med(acc["parity_h"]),
             "n_gauge_healthy": len(acc["eff_h"]),
+            # same medians over runs of the CURRENT criterion job only
+            # (extract_rows == EXTRACT_SCALING_ROWS; always true for
+            # the hash modes, whose job never changed)
+            "eff_median_current_job": _med(acc["eff_cur"]),
+            "cpu_parity_median_current_job": _med(acc["parity_cur"]),
+            "n_current_job": len(acc["eff_cur"]),
         }
         for mode, acc in per_mode.items()
     }
@@ -645,11 +667,32 @@ def summarize_scaling_runs() -> dict | None:
         pass
     ex = medians.get("extract", {})
     mm = medians.get("murmur3", {})
+    # THE criterion number (pre-registered in BENCH/BASELINE.md §2):
+    # median extraction-flagship wall efficiency across committed runs
+    # of the CURRENT criterion job, once >=3 such runs exist (a median
+    # needs a sample; the threshold was fixed before any 4M-era
+    # efficiency had been measured). Until then the all-era median
+    # stands. The all-era and gauge-healthy medians are always carried
+    # alongside — nothing is dropped from the table.
+    n_cur = ex.get("n_current_job") or 0
+    if n_cur >= 3:
+        headline = ex.get("eff_median_current_job")
+        parity = ex.get("cpu_parity_median_current_job")
+        metric = (
+            "median extraction-flagship wall eff across committed runs "
+            f"of the current criterion job (extract_rows={EXTRACT_SCALING_ROWS}, "
+            f"n={n_cur}); all-era median carried in all_era_eff"
+        )
+    else:
+        headline = ex.get("eff_median")
+        parity = ex.get("cpu_parity_median")
+        metric = "median extraction-flagship wall eff across committed runs"
     return {
-        # THE criterion number (pre-registered in BENCH/BASELINE.md §2)
-        "scaling_efficiency": ex.get("eff_median"),
-        "metric": "median extraction-flagship wall eff across committed runs",
-        "cpu_parity": ex.get("cpu_parity_median"),
+        "scaling_efficiency": headline,
+        "metric": metric,
+        "cpu_parity": parity,
+        "all_era_eff": ex.get("eff_median"),
+        "all_era_cpu_parity": ex.get("cpu_parity_median"),
         "murmur3_eff": mm.get("eff_median"),
         "murmur3_cpu_parity": mm.get("cpu_parity_median"),
         "n_runs": ex.get("n_runs"),
