@@ -475,7 +475,10 @@ def run_scaling(rounds: int = 2) -> dict:
                 capture_output=True,
                 text=True,
                 cwd=REPO,
-                timeout=1800,
+                # 4M-row extraction legs run ~10 min healthy at local[2];
+                # a degraded-fault window can double that — let it record
+                # data rather than kill the whole interleaved run
+                timeout=3600,
             )
             jlines = [
                 l for l in out.stdout.strip().splitlines() if l.startswith("{")
