@@ -547,7 +547,7 @@ def run_scaling(rounds: int = 2) -> dict:
     return result
 
 
-def summarize_scaling_runs() -> dict | None:
+def summarize_scaling_runs(bench_dir: str | None = None) -> dict | None:
     """Fold every committed two-cluster-size run (BENCH/scaling_r*.json)
     into the pre-registered headline (BENCH/BASELINE.md §2): the
     criterion metric is the MEDIAN wall-clock scaling efficiency of the
@@ -561,7 +561,9 @@ def summarize_scaling_runs() -> dict | None:
     """
     import glob as _glob
 
-    ref_files = sorted(_glob.glob(os.path.join(REPO, "BENCH", "scaling_r*.json")))
+    if bench_dir is None:
+        bench_dir = os.path.join(REPO, "BENCH")
+    ref_files = sorted(_glob.glob(os.path.join(bench_dir, "scaling_r*.json")))
     if not ref_files:
         return None
 
@@ -662,7 +664,7 @@ def summarize_scaling_runs() -> dict | None:
         }
         for mode, acc in per_mode.items()
     }
-    detail_file = os.path.join(REPO, "BENCH", "scaling_summary.json")
+    detail_file = os.path.join(bench_dir, "scaling_summary.json")
     try:
         with open(detail_file, "w") as fh:
             json.dump({"medians": medians, "runs": runs}, fh, indent=1)
