@@ -1004,6 +1004,54 @@ def q_skew_report_orders(spark, sf):
     )
 
 
+def q_ams_join_size_orders(spark, sf):
+    # Fast-AMS join-size estimation (sketchlib/ams.py): price
+    # |orders JOIN customer ON custkey| WITHOUT running the join —
+    # inner product of the two sides' count-sketches; only KB-sized
+    # blobs ever shuffle. Registered rows-only (the estimator is
+    # probabilistic by construction — no exact regime exists);
+    # accuracy is bound-asserted in tests/test_ams.py (4-sigma on
+    # this exact shape: test_ams_join_size_spark) and the returned
+    # within_4_sigma flag re-checks it against the exact join size
+    # at driver SF.
+    from hll_spark.operators.sketches import ams_join_size
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    est = ams_join_size(
+        orders, "o_custkey", cust, "c_custkey", depth=7, width=1024
+    )
+    exact = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).count()
+    return est.select(
+        "rows_left",
+        "rows_right",
+        (F.abs(F.col("est_join_rows") - F.lit(float(exact)))
+         <= 4 * F.col("sigma")).alias("within_4_sigma"),
+    )
+
+
+def q_join_plan_orders_lineitem(spark, sf):
+    # sketch-driven join planning (diagnostics.join_plan_report): one
+    # row pricing lineitem JOIN orders from three sketch passes (AMS
+    # join size, MG heaviest-key shares) — the 100 TB pre-shuffle
+    # measurement. Estimate columns are probabilistic (rows-only;
+    # bounds in test_ams.py::test_join_plan_report_recommendations);
+    # the sizes/recommendation columns returned here are
+    # deterministic at driver SF (both sides under the broadcast
+    # threshold default -> 'broadcast_right' is stable).
+    from hll_spark.operators.diagnostics import join_plan_report
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    rep = join_plan_report(li, orders, "l_orderkey", "o_orderkey")
+    return rep.select(
+        "rows_left", "rows_right", "recommendation",
+        (F.col("est_join_rows") > 0).alias("est_positive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — text analysis / multimodal plumbing
 
@@ -1475,6 +1523,107 @@ def q_temperature_resample_docs(spark, sf):
     )
 
 
+def q_latest_crawl_parity(spark, sf):
+    # recrawl dedup (crawl.latest_crawl): ~3 synthetic crawl
+    # snapshots per url derived from documents, newest fetch wins,
+    # ties on warc_ts broken by fetch_id — via ONE map-side-combining
+    # max(struct) aggregate, deliberately not a row_number window, so
+    # a heavily recrawled url costs the shuffle one row. The exact
+    # surviving (url, warc_ts, fetch_id, lang) set is value-checked.
+    from hll_spark.operators.crawl import latest_crawl
+
+    docs = _t(spark, sf, "documents")
+    crawls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.floor(F.col("doc_id") / 3).cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 2).alias("warc_ts"),
+        F.col("doc_id").alias("fetch_id"),
+        F.col("lang"),
+    )
+    out = latest_crawl(crawls, "url", "warc_ts", tiebreak=["fetch_id"])
+    return out.select("url", "warc_ts", "fetch_id", "lang")
+
+
+def q_blocklist_filter_parity(spark, sf):
+    # UT1-style domain blocklist (crawl.domain_blocklist_filter):
+    # hosts synthesized from documents land under two TLD branches;
+    # the blocklist mixes a registrable-domain entry (must drop every
+    # subdomain) with an exact-host entry. Literal-array strategy:
+    # arrays_overlap(host_suffixes(host), blocked) — whole-stage
+    # codegen, zero shuffle. Exact kept row set value-checked under
+    # the same suffix rule in SQL.
+    from hll_spark.operators.crawl import domain_blocklist_filter
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("sub.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+    )
+    d = docs.select(F.col("doc_id"), host.alias("host"), F.col("lang"))
+    out = domain_blocklist_filter(d, BLOCKLIST_DOMAINS, host_col="host")
+    return out.select("doc_id", "host", "lang")
+
+
+# shared between q_blocklist_filter_parity and its oracle: one
+# registrable domain (drops the whole .org branch incl. sub.*) and one
+# exact host (drops only src7's even/non-sub docs)
+BLOCKLIST_DOMAINS = ["example.org", "src7.example.com"]
+
+
+def _duckdb_blocklist_sql() -> str:
+    from hll_spark.operators.crawl import duckdb_blocklist_verdict
+
+    return duckdb_blocklist_verdict("host", BLOCKLIST_DOMAINS)
+
+
+def q_cap_per_host_parity(spark, sf):
+    # per-host quota (crawl.cap_per_key, prefilter method): keep at
+    # most 5 docs per host, chosen by portable md5 order of (host,
+    # doc_id, seed). At oracle SF each host holds 25 docs > 4n=20, so
+    # every host takes the skew-proof hash-prefilter branch (candidate
+    # cut + shortfall check) — the branch a hot host takes at 100 TB —
+    # and the exact kept set is reproduced by the identical md5 rank
+    # in DuckDB.
+    from hll_spark.operators.crawl import cap_per_key
+
+    docs = _t(spark, sf, "documents")
+    d = docs.select(
+        F.col("doc_id"), F.col("source").alias("host"), F.col("lang")
+    )
+    out = cap_per_key(d, "host", 5, "doc_id", seed=1, method="prefilter")
+    return out.select("doc_id", "host", "lang")
+
+
+def q_repetition_metrics_documents(spark, sf):
+    # the remaining Gopher repetition battery (text.py): char-weighted
+    # duplicate-paragraph fraction + duplicate word-n-gram fractions
+    # (n=2, n=5) — all pure JVM higher-order array expressions, zero
+    # shuffle, value-checked against DuckDB list lambdas
+    from hll_spark.operators.text import (
+        duplicate_ngram_fraction,
+        duplicate_paragraph_fraction,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(duplicate_paragraph_fraction("text"), 6).alias(
+            "dup_para_frac"
+        ),
+        F.round(duplicate_ngram_fraction("text", 2), 6).alias(
+            "dup_2gram_frac"
+        ),
+        F.round(duplicate_ngram_fraction("text", 5), 6).alias(
+            "dup_5gram_frac"
+        ),
+    )
+
+
 def q_rollup_user_counts(spark, sf):
     # grouping-sets coverage: per-type + grand-total distinct users
     events = _t(spark, sf, "events")
@@ -1537,6 +1686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantiles_exact": q_kll_quantiles_exact,
         "consistent_sample_parity": q_consistent_sample_parity,
         "temperature_resample_docs": q_temperature_resample_docs,
+        "latest_crawl_parity": q_latest_crawl_parity,
+        "blocklist_filter_parity": q_blocklist_filter_parity,
+        "cap_per_host_parity": q_cap_per_host_parity,
+        "repetition_metrics_documents": q_repetition_metrics_documents,
+        "ams_join_size_orders": q_ams_join_size_orders,
+        "join_plan_orders_lineitem": q_join_plan_orders_lineitem,
         # -- rest of the active window -----------------------------------
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
@@ -1547,11 +1702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_pages_arrow": q_extract_text_pages_arrow,
         "normalize_urls_docs": q_normalize_urls_docs,
         "unpivot_doc_metrics": q_unpivot_doc_metrics,
-        "cube_event_stats": q_cube_event_stats,
-        "window_event_neighbors": q_window_event_neighbors,
-        "customers_with_orders_semi": q_customers_with_orders_semi,
-        "distinct_urls_by_host": q_distinct_urls_by_host,
-        "distinct_sample_sources": q_distinct_sample_sources,
         "skew_report_orders": q_skew_report_orders,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         "embedding_dup_pairs_tight": q_embedding_dup_pairs_tight,
@@ -1566,7 +1716,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out in r4 to make room for new ORACLE queries:
         # minhash_pairs/simhash_pairs/ivf_ann/lsh_ann/
         # minhash_dedup_keep/lang_id/fingerprint semantics are now
-        # oracle-covered by their *_parity siblings in the front window)
+        # oracle-covered by their *_parity siblings in the front
+        # window; cube_event_stats / window_event_neighbors /
+        # customers_with_orders_semi rotated here late in r4 — r3
+        # ORACLE green, code untouched — to window the crawl-ledger
+        # parity oracles)
+        "cube_event_stats": q_cube_event_stats,
+        "window_event_neighbors": q_window_event_neighbors,
+        "customers_with_orders_semi": q_customers_with_orders_semi,
+        "distinct_urls_by_host": q_distinct_urls_by_host,
+        "distinct_sample_sources": q_distinct_sample_sources,
         "hll_users_salted": q_hll_users_salted,
         "checkpoint_resume_estimate": q_checkpoint_resume_estimate,
         "sketch_cube_slice": q_sketch_cube_slice,
@@ -2118,6 +2277,94 @@ def oracle_sql() -> dict[str, str]:
                 < lpad(lower(to_hex(cast(floor(r.sample_rate
                                                * 1152921504606846976.0)
                                          AS bigint))), 15, '0')
+        """,
+        "latest_crawl_parity": """
+            -- newest fetch per url; ties on warc_ts broken by
+            -- fetch_id (largest wins) — mirrors max(struct(ts,
+            -- fetch_id, ...)) exactly
+            SELECT url, warc_ts, fetch_id, lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY url
+                    ORDER BY warc_ts DESC, fetch_id DESC) AS rn
+                FROM (
+                    SELECT 'https://' || source || '.example.com/doc/'
+                               || CAST(doc_id // 3 AS VARCHAR) AS url,
+                           doc_id % 2 AS warc_ts,
+                           doc_id AS fetch_id,
+                           lang
+                    FROM documents
+                )
+            ) WHERE rn = 1
+        """,
+        "blocklist_filter_parity": f"""
+            -- suffix-rule blocklist: drop iff host IS a blocked
+            -- domain or ends with '.' || domain (same rule as
+            -- host_suffixes membership)
+            SELECT doc_id, host, lang FROM (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END)
+                           || source || '.example.'
+                           || (CASE WHEN doc_id % 2 = 0
+                               THEN 'com' ELSE 'org' END) AS host,
+                       lang
+                FROM documents
+            ) WHERE NOT {_duckdb_blocklist_sql()}
+        """,
+        "cap_per_host_parity": """
+            -- deterministic per-host quota: md5(host|doc_id|seed)
+            -- rank, keep 5 — the identical portable hash order the
+            -- Spark operator uses
+            SELECT doc_id, host, lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY md5(host || '|' || CAST(doc_id AS VARCHAR)
+                                 || '|1') ASC,
+                             doc_id ASC) AS rn
+                FROM (
+                    SELECT doc_id, source AS host, lang FROM documents
+                )
+            ) WHERE rn <= 5
+        """,
+        "repetition_metrics_documents": r"""
+            -- Gopher repetition battery mirrored with DuckDB list
+            -- lambdas; whitespace class pinned to Java \s byte set
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\n{2,}'),
+                                   x -> x <> '') AS paras,
+                       string_split_regex(trim(text),
+                                          '[ \t\n\x0b\f\r]+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, paras,
+                       CASE WHEN len(toks) - 1 < 1 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(toks)),
+                                 i -> array_to_string(toks[i:i+1], ' '))
+                       END AS g2,
+                       CASE WHEN len(toks) - 4 < 1 THEN []::VARCHAR[]
+                            ELSE list_transform(range(1, len(toks) - 3),
+                                 i -> array_to_string(toks[i:i+4], ' '))
+                       END AS g5
+                FROM t
+            )
+            SELECT doc_id,
+                   ROUND(CASE WHEN coalesce(list_sum(list_transform(paras,
+                                  x -> length(x))), 0) = 0 THEN 0.0
+                        ELSE coalesce(list_sum(list_transform(
+                                 list_filter(paras, x ->
+                                     len(list_filter(paras, y -> y = x)) > 1),
+                                 x -> length(x))), 0) * 1.0
+                             / list_sum(list_transform(paras,
+                                                       x -> length(x)))
+                        END, 6) AS dup_para_frac,
+                   ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+                        ELSE (len(g2) - len(list_distinct(g2))) * 1.0
+                             / len(g2) END, 6) AS dup_2gram_frac,
+                   ROUND(CASE WHEN len(g5) = 0 THEN 0.0
+                        ELSE (len(g5) - len(list_distinct(g5))) * 1.0
+                             / len(g5) END, 6) AS dup_5gram_frac
+            FROM g
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

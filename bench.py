@@ -293,6 +293,12 @@ EXTRA_QUERIES_R4 = [
     "lsh_ann_parity",
     "kll_quantiles_exact",
     "skew_report_orders",
+    "latest_crawl_parity",
+    "blocklist_filter_parity",
+    "cap_per_host_parity",
+    "repetition_metrics_documents",
+    "ams_join_size_orders",
+    "join_plan_orders_lineitem",
 ]
 
 

@@ -10,8 +10,10 @@ scaffold (mapInPandas partial build -> two-level tree merge), plus
 HTML -> text extraction (JVM chain + Arrow kernel + fused
 extract-and-sketch), URL canonicalization, dedup (exact / MinHash-LSH /
 SimHash / n-gram Jaccard / embedding), similarity search (brute-force,
-LSH, IVF), text analysis, and multimodal binary columns with real
-PNG/GIF/JPEG/WAV/MJPEG-AVI decoding.
+LSH, IVF), text analysis, crawl-ledger front-end ops (recrawl dedup,
+domain blocklists, per-host quotas), sketch-driven join planning
+(Fast-AMS join-size estimation), and multimodal binary columns with
+real PNG/GIF/JPEG/WAV/MJPEG-AVI decoding.
 
 Checkpoint/resume (:mod:`hll_spark.plans`), Structured Streaming
 stateful sketches (:mod:`hll_spark.streaming`), sources and the
@@ -23,6 +25,13 @@ from .sketchlib.theta import ThetaSketch
 from .operators.agg import hll_distinct, hll_sketch_agg
 from .operators.extract import extract_pages, extract_sketch_agg
 from .operators.url import normalize_url, url_host
+from .operators.crawl import (
+    cap_per_key,
+    domain_blocklist_filter,
+    host_suffixes,
+    latest_crawl,
+)
+from .sketchlib.ams import AmsSketch
 
 __all__ = [
     "HllConfig",
@@ -34,5 +43,10 @@ __all__ = [
     "extract_sketch_agg",
     "normalize_url",
     "url_host",
+    "latest_crawl",
+    "domain_blocklist_filter",
+    "host_suffixes",
+    "cap_per_key",
+    "AmsSketch",
 ]
 __version__ = "0.4.0"

@@ -76,3 +76,81 @@ def skew_stats(df: DataFrame, cols: list[str] | str) -> DataFrame:
         F.avg("n_rows").alias("avg_key_rows"),
         (F.max("n_rows") / F.avg("n_rows")).alias("skew_factor"),
     )
+
+
+def join_plan_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str | None = None,
+    broadcast_threshold_rows: int = 10_000_000,
+    skew_share_threshold: float = 0.2,
+    ams_depth: int = 5,
+    ams_width: int = 1024,
+) -> DataFrame:
+    """Sketch-driven join planning: one row that prices
+    ``left JOIN right ON left_col = right_col`` BEFORE running it, from
+    three sketch passes that never shuffle anything but blobs.
+
+    Columns:
+
+    - ``rows_left`` / ``rows_right`` — input sizes (from the sketch
+      passes' rows_seen, no extra count job)
+    - ``est_join_rows`` / ``sigma`` — Fast-AMS inner-product estimate
+      of the join output size and its one-sigma scale
+    - ``top_share_left`` / ``top_share_right`` — the heaviest key's
+      share of each side (Misra-Gries top-1 lower bound / rows), the
+      skew signal
+    - ``recommendation`` — 'broadcast_right' / 'broadcast_left' when a
+      side is under ``broadcast_threshold_rows``; else 'salted_join'
+      when either side's heaviest key exceeds ``skew_share_threshold``
+      (one key owning >20% of a side makes a plain shuffle join one
+      straggler task); else 'shuffle_hash_join'.
+
+    The thresholds are heuristics the caller can tune; the measured
+    columns are the point. At 100 TB this costs three sketch scans and
+    moves only KB of blobs — the join it prices would move the corpus.
+    """
+    from .sketches import ams_join_size, mg_top_items
+
+    right_col = right_col or left_col
+    est = ams_join_size(
+        left, left_col, right, right_col,
+        depth=ams_depth, width=ams_width,
+    ).collect()[0]
+
+    def top_share(df: DataFrame, col: str, rows: int) -> float:
+        if rows <= 0:
+            return 0.0
+        top = (
+            mg_top_items(df, col, top_n=1, k=256)
+            .collect()
+        )
+        return float(top[0]["count_lb"]) / rows if top else 0.0
+
+    share_l = top_share(left, left_col, est["rows_left"])
+    share_r = top_share(right, right_col, est["rows_right"])
+    if est["rows_right"] <= broadcast_threshold_rows:
+        rec = "broadcast_right"
+    elif est["rows_left"] <= broadcast_threshold_rows:
+        rec = "broadcast_left"
+    elif max(share_l, share_r) > skew_share_threshold:
+        rec = "salted_join"
+    else:
+        rec = "shuffle_hash_join"
+    return left.sparkSession.createDataFrame(
+        [
+            (
+                est["rows_left"],
+                est["rows_right"],
+                est["est_join_rows"],
+                est["sigma"],
+                share_l,
+                share_r,
+                rec,
+            )
+        ],
+        "rows_left bigint, rows_right bigint, est_join_rows double, "
+        "sigma double, top_share_left double, top_share_right double, "
+        "recommendation string",
+    )

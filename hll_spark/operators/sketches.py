@@ -529,3 +529,117 @@ def distinct_sample(
         sketches.select(*keys, F.explode(expand(F.col("sketch"))).alias("__e"))
         .select(*keys, "__e.item", "__e.is_exact")
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Fast-AMS / count-sketch): F2 and join-size estimation
+
+
+def ams_spec(depth: int = 5, width: int = 1024, seed: int = 0) -> SketchSpec:
+    from ..sketchlib.ams import AmsSketch
+
+    def update(state: AmsSketch, values: np.ndarray) -> AmsSketch:
+        state.add_hashed(values)
+        return state
+
+    return SketchSpec(
+        name="ams",
+        zero_fn=lambda: AmsSketch(depth, width, seed),
+        update_fn=update,
+        merge_fn=lambda a, b: a.merge(b),
+        to_bytes_fn=lambda s: s.to_bytes(),
+        from_bytes_fn=AmsSketch.from_bytes,
+    )
+
+
+def ams_sketch_agg(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Aggregate a Fast-AMS sketch over ``col`` (columns: *by, sketch,
+    rows_seen). Hashing stays JVM-side (xxhash64); the Python crossing
+    is the O(depth)-per-item counter update over Arrow batches."""
+    return sketch_aggregate(
+        df, col, ams_spec(depth, width, seed), by, "xxhash64"
+    )
+
+
+def _ams_blob(df: DataFrame, col: str, depth: int, width: int, seed: int):
+    from ..sketchlib.ams import AmsSketch
+
+    row = ams_sketch_agg(df, col, depth=depth, width=width, seed=seed).collect()[0]
+    return AmsSketch.from_bytes(bytes(row["sketch"])), int(row["rows_seen"])
+
+
+def ams_self_join_size(
+    df: DataFrame,
+    col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """One-row frame: estimated self-equi-join output size (F2) of
+    ``col`` plus the one-sigma error scale — the skew statistic that
+    prices a groupBy/join on this key BEFORE shuffling 10^12 rows.
+
+    Plan: the standard two-level sketch tree (only blobs shuffle),
+    final estimate driver-side from one merged blob.
+    """
+    spark = df.sparkSession
+    s, rows = _ams_blob(df, col, depth, width, seed)
+    return spark.createDataFrame(
+        [(float(s.f2()), float(s.error_bound()), rows)],
+        "est_self_join_rows double, sigma double, rows_seen bigint",
+    )
+
+
+def ams_join_size(
+    left: DataFrame,
+    left_col: str,
+    right: DataFrame,
+    right_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """One-row frame: estimated equi-join output size
+    ``|left JOIN right ON left_col = right_col|`` without running the
+    join — inner product of the two sides' AMS sketches (identical
+    (depth, width, seed) so buckets/signs align).
+
+    Both key columns must have the SAME Spark type: the estimate rides
+    on xxhash64(key) agreeing across sides, exactly like the join
+    itself would on the raw values (a bigint 1 and a string '1' never
+    hash alike, and never join without a cast either — cast BEFORE
+    calling, as you would before the join).
+
+    Columns: est_join_rows (clamped at >= 0: the raw inner product is
+    unbiased and can go negative at tiny true sizes), sigma, rows_left,
+    rows_right.
+    """
+    lt = dict(left.dtypes)[left_col]
+    rt = dict(right.dtypes)[right_col]
+    if lt != rt:
+        raise ValueError(
+            f"join key types differ ({left_col}: {lt} vs {right_col}: "
+            f"{rt}); cast to a common type first, as the join itself "
+            "would"
+        )
+    a, rows_l = _ams_blob(left, left_col, depth, width, seed)
+    b, rows_r = _ams_blob(right, right_col, depth, width, seed)
+    return left.sparkSession.createDataFrame(
+        [
+            (
+                max(0.0, float(a.inner(b))),
+                float(a.error_bound(b)),
+                rows_l,
+                rows_r,
+            )
+        ],
+        "est_join_rows double, sigma double, rows_left bigint, "
+        "rows_right bigint",
+    )

@@ -1,0 +1,199 @@
+"""Crawl-ledger operators: host suffixes, domain blocklists, recrawl
+dedup, per-host quotas — plus the round-4 repetition metrics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hll_spark.operators.crawl import (
+    cap_per_key,
+    domain_blocklist_filter,
+    host_suffixes,
+    latest_crawl,
+)
+from hll_spark.operators.text import (
+    duplicate_ngram_fraction,
+    duplicate_paragraph_fraction,
+)
+
+
+def test_host_suffixes(spark):
+    rows = spark.createDataFrame(
+        [("a.b.example.com",), ("com",), ("",)], ["host"]
+    ).select(host_suffixes("host").alias("s")).collect()
+    assert rows[0].s == [
+        "a.b.example.com", "b.example.com", "example.com", "com",
+    ]
+    assert rows[1].s == ["com"]
+    assert rows[2].s == []
+
+
+HOSTS = [
+    "a.b.example.com", "example.com", "notexample.com", "cdn.net",
+    "example.com.evil.org", "sub.cdn.net", "", "example.org",
+]
+
+
+def _blocked_by_rule(host, domains):
+    return any(host == d or host.endswith("." + d) for d in domains)
+
+
+@pytest.mark.parametrize("keep_blocked", [False, True])
+def test_blocklist_literal_matches_rule(spark, keep_blocked):
+    df = spark.createDataFrame([(h,) for h in HOSTS], ["host"])
+    doms = ["example.com", "cdn.net"]
+    got = sorted(
+        r.host
+        for r in domain_blocklist_filter(
+            df, doms, host_col="host", keep_blocked=keep_blocked
+        ).collect()
+    )
+    want = sorted(
+        h for h in HOSTS if _blocked_by_rule(h, doms) == keep_blocked
+    )
+    assert got == want
+    # notexample.com survives: suffix rule is '.'-boundary, not substring
+    if not keep_blocked:
+        assert "notexample.com" in got
+        assert "example.com.evil.org" in got  # suffix, not containment
+
+
+def test_blocklist_join_strategy_parity(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(HOSTS)], ["id", "host"]
+    )
+    doms = ["example.com", "cdn.net"]
+    blk = spark.createDataFrame([(d,) for d in doms], ["domain"])
+    lit_kept = sorted(
+        r.id for r in domain_blocklist_filter(df, doms, host_col="host").collect()
+    )
+    join_kept = sorted(
+        r.id for r in domain_blocklist_filter(df, blk, host_col="host").collect()
+    )
+    assert lit_kept == join_kept
+    # audit view is the exact complement
+    aud = sorted(
+        r.id
+        for r in domain_blocklist_filter(
+            df, blk, host_col="host", keep_blocked=True
+        ).collect()
+    )
+    assert sorted(lit_kept + aud) == sorted(r.id for r in df.collect())
+
+
+def test_blocklist_join_reserves_rid(spark):
+    df = spark.createDataFrame([(1, "x.com")], ["__blk_rid", "host"])
+    blk = df.sparkSession.createDataFrame([("x.com",)], ["domain"])
+    with pytest.raises(ValueError, match="__blk_rid"):
+        domain_blocklist_filter(df, blk, host_col="host")
+
+
+def test_latest_crawl_newest_wins_with_ties(spark):
+    rows = [
+        ("u1", 3, 10, "a"), ("u1", 5, 11, "b"), ("u1", 5, 12, "c"),
+        ("u2", 1, 13, "d"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "fetch_id", "pay"])
+    got = {
+        r.url: (r.warc_ts, r.fetch_id, r.pay)
+        for r in latest_crawl(df, "url", "warc_ts", tiebreak=["fetch_id"]).collect()
+    }
+    assert got == {"u1": (5, 12, "c"), "u2": (1, 13, "d")}
+
+
+def test_latest_crawl_partition_invariant(spark):
+    rows = [(f"u{i % 7}", i % 13, i, f"p{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "fetch_id", "pay"])
+    a = sorted(map(tuple, latest_crawl(df, "url", "warc_ts").collect()))
+    b = sorted(
+        map(tuple, latest_crawl(df.repartition(13), "url", "warc_ts").collect())
+    )
+    assert a == b and len(a) == 7
+
+
+def test_latest_crawl_missing_ts_raises(spark):
+    df = spark.createDataFrame([("u", 1)], ["url", "x"])
+    with pytest.raises(ValueError, match="missing"):
+        latest_crawl(df, "url", "warc_ts")
+
+
+def _cap_sets(df, n, method, seed=0):
+    out = cap_per_key(df, "host", n, "id", seed=seed, method=method)
+    return sorted((r.host, r.id) for r in out.collect())
+
+
+def test_cap_per_key_methods_agree_small_and_big_keys(spark):
+    # one hot key (400 rows >> 4n) plus many small keys — exercises
+    # BOTH branches of the prefilter plan in one frame
+    rows = [("hot", i) for i in range(400)]
+    rows += [(f"h{i % 17}", 1000 + i) for i in range(120)]
+    df = spark.createDataFrame(rows, ["host", "id"])
+    for n in (1, 5):
+        w = _cap_sets(df, n, "window")
+        p = _cap_sets(df, n, "prefilter")
+        assert w == p
+        from collections import Counter
+
+        by_key = Counter(h for h, _ in p)
+        assert by_key["hot"] == n
+        assert all(c <= n for c in by_key.values())
+
+
+def test_cap_per_key_deterministic_and_seed_sensitive(spark):
+    rows = [("h", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["host", "id"])
+    a = _cap_sets(df, 10, "prefilter", seed=0)
+    b = _cap_sets(df.repartition(7), 10, "prefilter", seed=0)
+    c = _cap_sets(df, 10, "prefilter", seed=1)
+    assert a == b  # pure function of the data
+    assert a != c  # seed actually enters the rank
+
+
+def test_cap_per_key_keeps_under_quota_keys_whole(spark):
+    rows = [("small", i) for i in range(3)] + [("big", i) for i in range(50)]
+    df = spark.createDataFrame(rows, ["host", "id"])
+    got = _cap_sets(df, 5, "prefilter")
+    assert [i for h, i in got if h == "small"] == [0, 1, 2]
+    assert len([1 for h, _ in got if h == "big"]) == 5
+
+
+def test_cap_per_key_validation(spark):
+    df = spark.createDataFrame([("h", 1)], ["host", "id"])
+    with pytest.raises(ValueError):
+        cap_per_key(df, "host", 0, "id")
+    with pytest.raises(ValueError):
+        cap_per_key(df, "host", 1, "id", method="nope")
+
+
+def test_duplicate_paragraph_fraction_values(spark):
+    df = spark.createDataFrame(
+        [
+            ("aa\n\nbb\n\naa\n\ncc",),   # aa dup: 4 chars of 8
+            ("one\n\ntwo",),
+            ("",),
+            ("x\n\n\n\nx",),            # blank-para runs collapse
+        ],
+        ["text"],
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            F.round(duplicate_paragraph_fraction("text"), 6)
+        ).collect()
+    ]
+    assert got == [0.5, 0.0, 0.0, 1.0]
+
+
+def test_duplicate_ngram_fraction_values(spark):
+    df = spark.createDataFrame(
+        [("a b a b a",), ("a b c d",), ("a",), ("",)], ["text"]
+    )
+    # 2-grams of "a b a b a": ab ba ab ba -> 4 total, 2 distinct
+    got = [
+        r[0]
+        for r in df.select(
+            F.round(duplicate_ngram_fraction("text", 2), 6)
+        ).collect()
+    ]
+    assert got == [0.5, 0.0, 0.0, 0.0]
+    with pytest.raises(ValueError):
+        duplicate_ngram_fraction("text", 0)

@@ -71,6 +71,11 @@ GATED = [
     "decontaminate_ngrams",
     "consistent_sample_parity",  # pure codegen filter scan
     "temperature_resample_docs",  # tiny-agg + broadcast hash join back
+    # crawl-ledger ops (continuation session)
+    "latest_crawl_parity",  # one hash aggregate, no window sort
+    "blocklist_filter_parity",  # arrays_overlap codegen filter
+    "cap_per_host_parity",  # counts join + hash-prefilter + window
+    "repetition_metrics_documents",  # pure JVM array lambdas
 ]
 
 
