@@ -243,6 +243,39 @@ def q_theta_except_partkeys(spark, sf):
     )
 
 
+def q_theta_jaccard_partkeys(spark, sf):
+    # DIRECT Jaccard |A∩B|/|A∪B| between the early/late partkey sets —
+    # the set-similarity reading of the same sketch pair; k=65536
+    # keeps both sides exact at every driver SF, so the ratio is an
+    # exact rational mirrored literally in SQL (rounded to 9 dp on
+    # both sides)
+    from hll_spark.operators.sketches import theta_jaccard_udf
+
+    return _theta_early_late(spark, sf).select(
+        F.round(
+            theta_jaccard_udf()(F.col("sa"), F.col("sb")), 9
+        ).alias("jaccard_partkeys")
+    )
+
+
+def q_window_distinct_users_daily(spark, sf):
+    # event-time tumbling windows (F.window, 1 day) feeding the HLL
+    # scaffold: distinct users per UTC day, EXACT tier at driver SF —
+    # the batch shape of the streaming tumbling-window aggregation,
+    # value-checked against date_trunc in DuckDB
+    from hll_spark.operators.agg import hll_distinct
+
+    ev = _t(spark, sf, "events").select(
+        F.window(F.col("ts"), "1 day").alias("w"), F.col("user_id")
+    ).select(F.col("w.start").alias("day"), "user_id")
+    out = hll_distinct(
+        ev, "user_id", by=["day"], cfg=EXACT_CFG, alias="distinct_users"
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "distinct_users"
+    )
+
+
 def q_theta_estimate_orderkeys(spark, sf):
     # theta ESTIMATION tier: k=1024 << distinct l_orderkey (1.5k/15k/147k
     # at sf0.001/0.01/0.1) forces the KMV estimator (k-1)/theta — the
@@ -1692,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics_documents": q_repetition_metrics_documents,
         "ams_join_size_orders": q_ams_join_size_orders,
         "join_plan_orders_lineitem": q_join_plan_orders_lineitem,
+        "theta_jaccard_partkeys": q_theta_jaccard_partkeys,
+        "window_distinct_users_daily": q_window_distinct_users_daily,
         # -- rest of the active window -----------------------------------
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
@@ -1700,8 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
         "extract_text_pages": q_extract_text_pages,
         "extract_text_pages_arrow": q_extract_text_pages_arrow,
-        "normalize_urls_docs": q_normalize_urls_docs,
-        "unpivot_doc_metrics": q_unpivot_doc_metrics,
+
         "skew_report_orders": q_skew_report_orders,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         "embedding_dup_pairs_tight": q_embedding_dup_pairs_tight,
@@ -1726,6 +1760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders_semi": q_customers_with_orders_semi,
         "distinct_urls_by_host": q_distinct_urls_by_host,
         "distinct_sample_sources": q_distinct_sample_sources,
+        "normalize_urls_docs": q_normalize_urls_docs,
+        "unpivot_doc_metrics": q_unpivot_doc_metrics,
         "hll_users_salted": q_hll_users_salted,
         "checkpoint_resume_estimate": q_checkpoint_resume_estimate,
         "sketch_cube_slice": q_sketch_cube_slice,
@@ -2277,6 +2313,42 @@ def oracle_sql() -> dict[str, str]:
                 < lpad(lower(to_hex(cast(floor(r.sample_rate
                                                * 1152921504606846976.0)
                                          AS bigint))), 15, '0')
+        """,
+        "ams_join_size_orders": """
+            -- sizes are exact; within_4_sigma is the query's own
+            -- 4-sigma check of the AMS estimate against the exact
+            -- join size — deterministic (fixed hash seeds), so the
+            -- oracle pins it TRUE through the value hash; estimator
+            -- accuracy curves live in tests/test_ams.py
+            SELECT (SELECT COUNT(*) FROM orders)   AS rows_left,
+                   (SELECT COUNT(*) FROM customer) AS rows_right,
+                   TRUE AS within_4_sigma
+        """,
+        "join_plan_orders_lineitem": """
+            -- deterministic at driver SF: orders is far under the
+            -- default broadcast threshold -> 'broadcast_right';
+            -- est_positive pins the AMS inner product's sign
+            SELECT (SELECT COUNT(*) FROM lineitem) AS rows_left,
+                   (SELECT COUNT(*) FROM orders)   AS rows_right,
+                   'broadcast_right' AS recommendation,
+                   TRUE AS est_positive
+        """,
+        "theta_jaccard_partkeys": """
+            WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
+                       WHERE l_shipdate < TIMESTAMP '1998-06-01'),
+                 b AS (SELECT DISTINCT l_partkey FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1998-06-01')
+            SELECT ROUND(
+                (SELECT CAST(COUNT(*) AS DOUBLE) FROM
+                    (SELECT * FROM a INTERSECT SELECT * FROM b))
+              / (SELECT CAST(COUNT(*) AS DOUBLE) FROM
+                    (SELECT * FROM a UNION SELECT * FROM b)),
+              9) AS jaccard_partkeys
+        """,
+        "window_distinct_users_daily": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY 1
         """,
         "latest_crawl_parity": """
             -- newest fetch per url; ties on warc_ts broken by

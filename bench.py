@@ -299,6 +299,8 @@ EXTRA_QUERIES_R4 = [
     "repetition_metrics_documents",
     "ams_join_size_orders",
     "join_plan_orders_lineitem",
+    "theta_jaccard_partkeys",
+    "window_distinct_users_daily",
 ]
 
 

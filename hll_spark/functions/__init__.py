@@ -97,22 +97,16 @@ def bloom_might_contain_udf(bloom_bytes: bytes):
 
 def theta_jaccard_udf():
     """Set Jaccard |A∩B| / |A∪B| straight from two theta sketches —
-    the sketch-level analogue of the document-level MinHash estimate."""
-    from pyspark.sql.types import DoubleType as _D
+    the sketch-level analogue of the document-level MinHash estimate.
 
-    from ..sketchlib.theta import ThetaSketch
+    Delegates to :func:`hll_spark.operators.sketches.theta_jaccard_udf`
+    (the canonical implementation, whose denominator is the UNION
+    sketch's estimate rather than inclusion-exclusion, so numerator
+    and denominator ride the same common-theta sample in the
+    estimation tier; identical in the exact tier)."""
+    from ..operators.sketches import theta_jaccard_udf as _impl
 
-    def f(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(a, b):
-            sa = ThetaSketch.from_bytes(bytes(x))
-            sb = ThetaSketch.from_bytes(bytes(y))
-            inter = sa.intersect_estimate(sb)
-            union = sa.estimate_float() + sb.estimate_float() - inter
-            out.append(inter / union if union > 0 else 0.0)
-        return pd.Series(out, index=a.index)
-
-    return pandas_udf(f, _D())
+    return _impl()
 
 
 def register_sql_functions(spark) -> None:

@@ -643,3 +643,30 @@ def ams_join_size(
         "est_join_rows double, sigma double, rows_left bigint, "
         "rows_right bigint",
     )
+
+
+def theta_jaccard_udf():
+    """DIRECT Jaccard similarity estimate |A∩B| / |A∪B| between two
+    theta-sketch columns — the set-similarity companion to the
+    intersect/difference UDFs (audience-overlap, URL-set drift between
+    crawls, cross-partition key overlap). In the exact tier (k >= both
+    distinct counts) every term is exact, so the ratio is too; in the
+    estimation tier both numerator and denominator ride the same
+    common-theta sample, keeping the ratio stable. Empty-union pairs
+    return 0.0."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..sketchlib.theta import ThetaSketch
+
+    @pandas_udf(DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            sa = ThetaSketch.from_bytes(bytes(x))
+            sb = ThetaSketch.from_bytes(bytes(y))
+            inter = sa.intersect_estimate(sb)
+            union = sa.union(sb).estimate_float()
+            out.append(inter / union if union > 0 else 0.0)
+        return pd.Series(out, index=a.index, dtype=float)
+
+    return jac

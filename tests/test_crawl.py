@@ -197,3 +197,44 @@ def test_duplicate_ngram_fraction_values(spark):
     assert got == [0.5, 0.0, 0.0, 0.0]
     with pytest.raises(ValueError):
         duplicate_ngram_fraction("text", 0)
+
+
+# ---------------------------------------------------------------------------
+# property tests (reference implementations in pandas)
+
+
+def test_latest_crawl_matches_pandas_reference(spark):
+    import pandas as pd
+
+    rows = [
+        (f"u{(i * 7) % 23}", (i * 13) % 5, i, f"pay{i % 11}")
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "fetch_id", "pay"])
+    got = sorted(
+        map(tuple, latest_crawl(df, "url", "warc_ts").collect())
+    )
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "fetch_id", "pay"])
+    ref = (
+        pdf.sort_values(["warc_ts", "fetch_id", "pay"])
+        .groupby("url", as_index=False)
+        .last()
+    )
+    want = sorted(map(tuple, ref[["url", "warc_ts", "fetch_id", "pay"]].itertuples(index=False)))
+    assert got == want
+
+
+def test_cap_per_key_output_size_exact(spark):
+    # |kept per key| == min(n, count(key)) for every key, any n
+    from collections import Counter
+
+    rows = [(f"h{i % 11}", i) for i in range(313)]
+    df = spark.createDataFrame(rows, ["host", "id"])
+    counts = Counter(h for h, _ in rows)
+    for n in (1, 3, 29):
+        for method in ("window", "prefilter"):
+            got = Counter(
+                r.host
+                for r in cap_per_key(df, "host", n, "id", method=method).collect()
+            )
+            assert got == {h: min(n, c) for h, c in counts.items()}

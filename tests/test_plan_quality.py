@@ -76,6 +76,9 @@ GATED = [
     "blocklist_filter_parity",  # arrays_overlap codegen filter
     "cap_per_host_parity",  # counts join + hash-prefilter + window
     "repetition_metrics_documents",  # pure JVM array lambdas
+    "window_distinct_users_daily",  # window() bucketing + HLL scaffold
+    # (theta_jaccard_partkeys excluded like the other theta queries:
+    # the 1-row sketch-pair crossJoin is the correct plan)
 ]
 
 

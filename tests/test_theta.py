@@ -151,3 +151,40 @@ def test_kmv_bound_large_n_real_hashes():
         assert s.full
         rel = abs(s.estimate_float() / n - 1)
         assert rel <= 4 / np.sqrt(k - 2), (k, rel)
+
+
+def test_theta_jaccard_udf(spark):
+    import pyspark.sql.functions as F
+
+    from hll_spark.operators.sketches import theta_jaccard_udf, theta_sketch_agg
+
+    # exact tier: A = 0..99, B = 50..149 -> jaccard = 50/150
+    a = theta_sketch_agg(spark.range(0, 100), "id", k=4096).select(
+        F.col("sketch").alias("sa")
+    )
+    b = theta_sketch_agg(spark.range(50, 150), "id", k=4096).select(
+        F.col("sketch").alias("sb")
+    )
+    got = (
+        a.crossJoin(b)
+        .select(theta_jaccard_udf()(F.col("sa"), F.col("sb")).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert abs(got - 50 / 150) < 1e-12
+
+    # disjoint sets -> 0; identical sets -> 1
+    c = theta_sketch_agg(spark.range(1000, 1100), "id", k=4096).select(
+        F.col("sketch").alias("sb")
+    )
+    got0 = (
+        a.crossJoin(c)
+        .select(theta_jaccard_udf()(F.col("sa"), F.col("sb")).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert got0 == 0.0
+    got1 = (
+        a.crossJoin(a.select(F.col("sa").alias("sb")))
+        .select(theta_jaccard_udf()(F.col("sa"), F.col("sb")).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert got1 == 1.0
