@@ -1657,6 +1657,42 @@ def q_repetition_metrics_documents(spark, sf):
     )
 
 
+def q_crawl_ingest_parity(spark, sf):
+    # THE capstone composition: crawl ledger -> training corpus in one
+    # chain (pipeline.crawl_ingest = latest_crawl -> domain blocklist
+    # -> per-host cap -> clean_corpus), end-to-end against a single
+    # DuckDB re-implementation. Two fetches per synthetic url (ts tie
+    # impossible: fetch_id unique), blocklist drops the whole .org
+    # branch, cap 3 docs/host by portable md5 rank, then exact dedup +
+    # quality gates + 3-gram near-dup removal keyed by url.
+    from hll_spark.operators.pipeline import crawl_ingest
+
+    docs = _t(spark, sf, "documents")
+    k = F.floor(F.col("doc_id") / 2)
+    host = F.concat(
+        F.when(k % 3 == 0, F.lit("sub.")).otherwise(F.lit("")),
+        F.lit("h"), (k % 37).cast("string"), F.lit(".example."),
+        F.when(k % 2 == 0, F.lit("com")).otherwise(F.lit("org")),
+    )
+    crawls = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/doc/"),
+                 k.cast("string")).alias("url"),
+        (F.col("doc_id") % 2).alias("warc_ts"),
+        F.col("doc_id").alias("fetch_id"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    out = crawl_ingest(
+        crawls,
+        tiebreak=["fetch_id"],
+        blocklist=["example.org"],
+        host_cap=3,
+        cap_seed=0,
+        neardup_threshold=0.8,
+    )
+    return out.select("url", "warc_ts", "fetch_id", "lang")
+
+
 def q_rollup_user_counts(spark, sf):
     # grouping-sets coverage: per-type + grand-total distinct users
     events = _t(spark, sf, "events")
@@ -1727,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_plan_orders_lineitem": q_join_plan_orders_lineitem,
         "theta_jaccard_partkeys": q_theta_jaccard_partkeys,
         "window_distinct_users_daily": q_window_distinct_users_daily,
+        "crawl_ingest_parity": q_crawl_ingest_parity,
         # -- rest of the active window -----------------------------------
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
@@ -1738,7 +1775,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         "skew_report_orders": q_skew_report_orders,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
-        "embedding_dup_pairs_tight": q_embedding_dup_pairs_tight,
         "minhash_dedup_parity": q_minhash_dedup_parity,
         "clean_corpus_rep_parity": q_clean_corpus_rep_parity,
         "clean_corpus_stats": q_clean_corpus_stats,
@@ -1760,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders_semi": q_customers_with_orders_semi,
         "distinct_urls_by_host": q_distinct_urls_by_host,
         "distinct_sample_sources": q_distinct_sample_sources,
+        "embedding_dup_pairs_tight": q_embedding_dup_pairs_tight,
         "normalize_urls_docs": q_normalize_urls_docs,
         "unpivot_doc_metrics": q_unpivot_doc_metrics,
         "hll_users_salted": q_hll_users_salted,
@@ -2313,6 +2350,101 @@ def oracle_sql() -> dict[str, str]:
                 < lpad(lower(to_hex(cast(floor(r.sample_rate
                                                * 1152921504606846976.0)
                                          AS bigint))), 15, '0')
+        """,
+        "crawl_ingest_parity": r"""
+            WITH crawls AS (
+                SELECT 'https://'
+                       || CASE WHEN (doc_id // 2) % 3 = 0
+                          THEN 'sub.' ELSE '' END
+                       || 'h' || CAST((doc_id // 2) % 37 AS VARCHAR)
+                       || '.example.'
+                       || CASE WHEN (doc_id // 2) % 2 = 0
+                          THEN 'com' ELSE 'org' END
+                       || '/doc/' || CAST(doc_id // 2 AS VARCHAR) AS url,
+                       doc_id % 2 AS warc_ts,
+                       doc_id AS fetch_id,
+                       text, lang
+                FROM documents
+            ),
+            latest AS (
+                SELECT url, warc_ts, fetch_id, text, lang FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY url
+                        ORDER BY warc_ts DESC, fetch_id DESC) AS rn
+                    FROM crawls
+                ) WHERE rn = 1
+            ),
+            hosted AS (
+                SELECT *,
+                       lower(regexp_replace(
+                           regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                           ':[0-9]+$', '')) AS host
+                FROM latest
+            ),
+            unblocked AS (
+                SELECT * FROM hosted
+                WHERE NOT (host = 'example.org'
+                           OR host LIKE '%.example.org')
+            ),
+            capped AS (
+                SELECT url, warc_ts, fetch_id, text, lang FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY host
+                        ORDER BY md5(host || '|' || url || '|0') ASC,
+                                 url ASC) AS rn
+                    FROM unblocked
+                ) WHERE rn <= 3
+            ),
+            keepers AS (
+                SELECT MIN(url) AS url FROM capped GROUP BY text
+            ),
+            kept0 AS (
+                SELECT c.* FROM capped c JOIN keepers k ON c.url = k.url
+            ),
+            kept AS (
+                SELECT * FROM (
+                    SELECT url, warc_ts, fetch_id, text, lang,
+                        string_split(text, chr(10)) AS lines,
+                        string_split_regex(trim(text), '\s+') AS toks,
+                        length(text) AS n,
+                        length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                        length(text) - length(regexp_replace(text, '#|\.\.\.', '', 'g')) AS n_sym
+                    FROM kept0
+                )
+                WHERE (CASE WHEN len(lines) <= 0 THEN 0.0
+                       ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END) <= 0.30
+                  AND (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) <= 0 THEN 0.0
+                       ELSE CAST(n_sym AS DOUBLE) / len(toks) END) <= 0.10
+                  AND (CASE WHEN len(toks) <= 0 THEN 0.0
+                       ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END)
+                      BETWEEN 3.0 AND 10.0
+                  AND ROUND(
+                        0.4 * LEAST(CAST(n AS DOUBLE) / 500.0, 1.0)
+                      + 0.3 * (1.0 - LEAST((CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE)/n END) * 4.0, 1.0))
+                      + 0.3 * (1.0 - LEAST((CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE)/n END) * 4.0, 1.0)),
+                      6) >= 0.5
+            ),
+            grams AS (
+                SELECT DISTINCT url, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM kept, LATERAL UNNEST(range(1, len(toks) - 1)) AS u(i)
+                WHERE len(toks) >= 3
+                UNION
+                SELECT DISTINCT url, array_to_string(toks, ' ') AS g
+                FROM kept WHERE len(toks) < 3 AND len(toks) > 0
+            ),
+            sizes AS (SELECT url, COUNT(*) AS ng FROM grams GROUP BY url),
+            dropped AS (
+                SELECT DISTINCT b.url
+                FROM grams a JOIN grams b ON a.g = b.g AND a.url < b.url
+                JOIN sizes sa ON sa.url = a.url
+                JOIN sizes sb ON sb.url = b.url
+                GROUP BY a.url, b.url, sa.ng, sb.ng
+                HAVING CAST(COUNT(*) AS DOUBLE) / (sa.ng + sb.ng - COUNT(*)) >= 0.8
+            )
+            SELECT url, warc_ts, fetch_id, lang FROM kept
+            WHERE url NOT IN (SELECT url FROM dropped)
         """,
         "ams_join_size_orders": """
             -- sizes are exact; within_4_sigma is the query's own

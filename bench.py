@@ -301,6 +301,7 @@ EXTRA_QUERIES_R4 = [
     "join_plan_orders_lineitem",
     "theta_jaccard_partkeys",
     "window_distinct_users_daily",
+    "crawl_ingest_parity",
 ]
 
 

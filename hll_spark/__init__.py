@@ -32,6 +32,7 @@ from .operators.crawl import (
     latest_crawl,
 )
 from .sketchlib.ams import AmsSketch
+from .operators.pipeline import clean_corpus, crawl_ingest
 
 __all__ = [
     "HllConfig",
@@ -48,5 +49,7 @@ __all__ = [
     "host_suffixes",
     "cap_per_key",
     "AmsSketch",
+    "clean_corpus",
+    "crawl_ingest",
 ]
 __version__ = "0.4.0"

@@ -97,3 +97,65 @@ def clean_corpus(
     return minhash_dedup_keep(
         kept, text_col, id_col, threshold=neardup_threshold
     )
+
+
+def crawl_ingest(
+    crawls: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    tiebreak: "list[str] | None" = None,
+    blocklist: "list[str] | DataFrame | None" = None,
+    host_cap: int | None = None,
+    cap_seed: int = 0,
+    clean: bool = True,
+    **clean_kwargs,
+) -> DataFrame:
+    """The full ingest chain of a Common-Crawl-style corpus build —
+    crawl ledger in, training corpus out:
+
+    1. recrawl dedup   — newest fetch per url (crawl.latest_crawl)
+    2. domain blocklist— suffix-rule removal (crawl.domain_blocklist_filter)
+    3. per-host quota  — deterministic cap (crawl.cap_per_key)
+    4. clean_corpus    — exact dedup + quality gates + near-dup removal
+                         (keyed by url; all clean_corpus kwargs pass
+                         through, including exact_neardup=False for the
+                         at-scale LSH path)
+
+    Stages 2-3 run over a derived ``host`` column (url.url_host) that
+    is dropped again, so the output schema equals the input schema
+    (minus rows). Every stage is individually oracle-checked
+    elsewhere; the driver query over THIS composition
+    (`crawl_ingest_parity`) value-checks the chain end-to-end against
+    a single DuckDB re-implementation — the guarantee that the stages
+    compose without order bugs (e.g. capping before blocklisting
+    would silently shift quotas).
+
+    100 TB: one max-struct aggregate, one codegen filter (or exploded
+    broadcast semi-join), one count-join + hash-prefilter window over
+    O(cap) rows per host, then clean_corpus's shuffle-minimal stages —
+    no stage sorts the corpus or enumerates unbounded pairs.
+    """
+    from .crawl import cap_per_key, domain_blocklist_filter, latest_crawl
+    from .url import url_host
+
+    out = latest_crawl(crawls, url_col, ts_col, tiebreak)
+    need_host = blocklist is not None or host_cap is not None
+    if need_host:
+        if "host" in out.columns:
+            raise ValueError(
+                "crawl_ingest derives a 'host' column for the "
+                "blocklist/cap stages; rename the input's host column"
+            )
+        out = out.withColumn("host", url_host(F.col(url_col)))
+    if blocklist is not None:
+        out = domain_blocklist_filter(out, blocklist, host_col="host")
+    if host_cap is not None:
+        out = cap_per_key(out, "host", host_cap, url_col, seed=cap_seed)
+    if need_host:
+        out = out.drop("host")
+    if clean:
+        out = clean_corpus(
+            out, text_col=text_col, id_col=url_col, **clean_kwargs
+        )
+    return out

@@ -51,3 +51,59 @@ def test_clean_corpus_minhash_variant_agrees(spark, messy_corpus):
         .collect()
     )
     assert exact == scale  # the at-scale path keeps the same corpus here
+
+
+def test_crawl_ingest_composition(spark):
+    from hll_spark.operators.pipeline import crawl_ingest
+
+    rows = []
+    for k in range(30):
+        url = f"https://h{k % 4}.example.{'org' if k % 2 else 'com'}/d/{k}"
+        # two fetches per url; newest (ts=1) carries the kept text
+        rows.append((url, 0, 2 * k, f"old text for {k} old text", "en"))
+        rows.append((url, 1, 2 * k + 1, f"fresh words number {k} fresh words", "en"))
+    crawls = spark.createDataFrame(
+        rows, ["url", "warc_ts", "fetch_id", "text", "lang"]
+    )
+    out = crawl_ingest(
+        crawls,
+        tiebreak=["fetch_id"],
+        blocklist=["example.org"],
+        host_cap=5,
+        clean=False,
+    )
+    got = out.collect()
+    # schema preserved, host helper column dropped
+    assert out.columns == ["url", "warc_ts", "fetch_id", "text", "lang"]
+    # only the newest fetch of each url survives
+    assert all(r.warc_ts == 1 and "fresh" in r.text for r in got)
+    # .org branch gone; cap 5 per host on the two .com hosts
+    from collections import Counter
+
+    hosts = Counter(r.url.split("/")[2] for r in got)
+    assert set(hosts) == {"h0.example.com", "h2.example.com"}
+    assert all(c <= 5 for c in hosts.values())
+
+    # clean=True path still runs and only shrinks the row set
+    cleaned = crawl_ingest(
+        crawls,
+        tiebreak=["fetch_id"],
+        blocklist=["example.org"],
+        host_cap=5,
+        neardup_threshold=0.99,
+    )
+    kept_urls = {r.url for r in cleaned.collect()}
+    assert kept_urls <= {r.url for r in got}
+
+
+def test_crawl_ingest_reserved_host_column(spark):
+    import pytest as _pytest
+
+    from hll_spark.operators.pipeline import crawl_ingest
+
+    crawls = spark.createDataFrame(
+        [("https://a.com/x", 1, "t", "h")],
+        ["url", "warc_ts", "text", "host"],
+    )
+    with _pytest.raises(ValueError, match="host"):
+        crawl_ingest(crawls, blocklist=["a.com"], clean=False)
