@@ -246,9 +246,9 @@ def q_theta_except_partkeys(spark, sf):
 def q_theta_jaccard_partkeys(spark, sf):
     # DIRECT Jaccard |A∩B|/|A∪B| between the early/late partkey sets —
     # the set-similarity reading of the same sketch pair; k=65536
-    # keeps both sides exact at every driver SF, so the ratio is an
-    # exact rational mirrored literally in SQL (rounded to 9 dp on
-    # both sides)
+    # exceeds |A ∪ B| (= all distinct partkeys: 2e4 at sf0.1) so
+    # numerator AND denominator are exact — the ratio is an exact
+    # rational mirrored literally in SQL (rounded to 9 dp both sides)
     from hll_spark.operators.sketches import theta_jaccard_udf
 
     return _theta_early_late(spark, sf).select(

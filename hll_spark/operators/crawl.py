@@ -33,11 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .extract import _as_col
 from .sampling import _hex_threshold
-
-
-def _as_col(c: str | Column) -> Column:
-    return F.col(c) if isinstance(c, str) else c
 
 
 # ---------------------------------------------------------------------------
@@ -86,30 +83,33 @@ def domain_blocklist_filter(
       a parallel filter scan.  Right up to ~10k entries (plan-size
       bound, not correctness).
     * ``DataFrame`` with ``domain_col`` — the UT1-scale path (millions
-      of entries): explode each row's suffix array and broadcast-hash
-      semi-join against the blocklist.  The explode factor is the
-      label count (bounded, ~4), the join is map-side (blocklist
-      broadcast), and the verdict is re-aggregated per row with a
-      map-side-combining groupBy on a row id — so the only shuffle is
-      key-bounded at one row per input row.  Requires an
-      unambiguous row identity: uses ``monotonically_increasing_id``
-      internally, never exposed.
+      of entries): the verdict is a function of the HOST alone, so it
+      is computed once per DISTINCT host (distinct -> explode each
+      host's suffix array -> broadcast-hash semi-join against the
+      blocklist -> the blocked-hosts-actually-present set), then
+      applied to the corpus with one host-keyed semi/anti join.  No
+      synthetic row ids anywhere — a prior version keyed the verdict
+      on ``monotonically_increasing_id``, whose two evaluations in
+      one self-join plan can disagree after a shuffle or task retry.
 
-    100 TB: both paths touch the corpus exactly once; neither sorts;
-    the DataFrame path's single shuffle moves (id, verdict) pairs,
-    not documents.
+    Rows with a NULL host match no blocklist entry under either
+    strategy: kept by the filter view, absent from the audit view.
+
+    100 TB: the literal path is a single filter scan; the DataFrame
+    path adds one distinct over the host ledger (map-side combined,
+    shuffles hosts not documents) and one host-keyed join back.
     """
     sufs = host_suffixes(F.col(host_col))
     if isinstance(blocklist, DataFrame):
-        rid = "__blk_rid"
-        if rid in df.columns:
-            raise ValueError(
-                f"domain_blocklist_filter reserves the column name "
-                f"'{rid}'; rename it on the input"
+        hosts = (
+            df.select(host_col)
+            .where(F.col(host_col).isNotNull())
+            .distinct()
+        )
+        hit_hosts = (
+            hosts.select(
+                F.col(host_col), F.explode(host_suffixes(F.col(host_col))).alias("__suf")
             )
-        with_id = df.withColumn(rid, F.monotonically_increasing_id())
-        hit = (
-            with_id.select(rid, F.explode(sufs).alias("__suf"))
             .join(
                 F.broadcast(
                     blocklist.select(
@@ -119,25 +119,44 @@ def domain_blocklist_filter(
                 "__suf",
                 "left_semi",
             )
-            .select(rid)
+            .select(host_col)
             .distinct()
         )
         how = "left_semi" if keep_blocked else "left_anti"
-        return with_id.join(hit, rid, how).drop(rid)
+        return df.join(hit_hosts, host_col, how)
     blocked = F.lit(list(dict.fromkeys(blocklist))).cast("array<string>")
-    verdict = F.arrays_overlap(sufs, blocked)
+    # coalesce: a null host has a null suffix array; it matches no
+    # entry, it is not a match — mirror the DataFrame path exactly
+    verdict = F.coalesce(F.arrays_overlap(sufs, blocked), F.lit(False))
     return df.where(verdict if keep_blocked else ~verdict)
 
 
 # DuckDB mirror of the blocklist verdict for a host expression and a
 # literal domain list — suffix semantics pinned to the same rule
 # (exact match OR '.'-boundary suffix), kept beside the implementation
-# so driver oracles can't drift.
+# so driver oracles can't drift. Quotes are doubled and LIKE
+# metacharacters escaped (real hostnames contain '_', which would
+# otherwise wildcard-match) so the SQL verdict is byte-for-byte the
+# Spark rule, not a pattern approximation.
 def duckdb_blocklist_verdict(host_sql: str, domains: "list[str]") -> str:
-    terms = [
-        f"({host_sql} = '{d}' OR {host_sql} LIKE '%.{d}')" for d in domains
-    ]
-    return "(" + " OR ".join(terms) + ")" if terms else "FALSE"
+    terms = []
+    for d in domains:
+        lit = d.replace("'", "''")
+        pat = (
+            d.replace("\\", "\\\\")
+            .replace("%", "\\%")
+            .replace("_", "\\_")
+            .replace("'", "''")
+        )
+        terms.append(
+            f"({host_sql} = '{lit}' OR {host_sql} LIKE '%.{pat}' "
+            f"ESCAPE '\\')"
+        )
+    if not terms:
+        return "FALSE"
+    # null-safe: a NULL host is NOT blocked (matches the Spark rule),
+    # rather than yielding a NULL verdict that WHERE NOT would drop
+    return "COALESCE(" + " OR ".join(terms) + ", FALSE)"
 
 
 # ---------------------------------------------------------------------------
@@ -182,8 +201,14 @@ def latest_crawl(
     top = df.groupBy(url_col).agg(
         F.max(F.struct(*[F.col(c) for c in fields])).alias("__top")
     )
+    # re-emit in the INPUT column order (the struct's comparison order
+    # is internal; callers appending to existing tables rely on the
+    # schema coming back exactly as it went in)
     return top.select(
-        url_col, *[F.col("__top")[c].alias(c) for c in fields]
+        *[
+            F.col(c) if c == url_col else F.col("__top")[c].alias(c)
+            for c in df.columns
+        ]
     )
 
 
@@ -252,11 +277,16 @@ def cap_per_key(
     if method == "window":
         return windowed(df)
 
+    # null keys can't ride the equi-joins below (Spark equi-joins are
+    # not null-safe); they form one window group of their own, matching
+    # what method='window' does with them
+    nulls = df.where(F.col(key_col).isNull())
+    nn = df.where(F.col(key_col).isNotNull())
     # one row per key; NOT broadcast-hinted — at web scale the host
     # ledger itself is large, so this join shuffles on the key (AQE
     # may still broadcast it when it turns out small)
-    counts = df.groupBy(key_col).agg(F.count("*").alias("__key_rows"))
-    tagged = df.join(counts, key_col, "inner")
+    counts = nn.groupBy(key_col).agg(F.count("*").alias("__key_rows"))
+    tagged = nn.join(counts, key_col, "inner")
     small = tagged.where(F.col("__key_rows") <= 4 * n).select(*cols)
     big = tagged.where(F.col("__key_rows") > 4 * n)
     rate = F.least(
@@ -267,11 +297,18 @@ def cap_per_key(
     )
     # safety check: a key whose candidate cut came up short of n rows
     # re-runs its FULL group through the window (exactness guarantee;
-    # statistically ~never taken at the 4x margin)
+    # statistically ~never taken at the 4x margin). Derived from the
+    # BIG-KEY list left-joined against the candidate counts, NOT from
+    # the candidates alone: a key whose cut produced ZERO candidates
+    # must be caught too, and it has no row in cand to count
+    cand_counts = cand.groupBy(key_col).agg(
+        F.count("*").alias("__cand_rows")
+    )
     short_keys = (
-        cand.groupBy(key_col)
-        .agg(F.count("*").alias("__cand_rows"))
-        .where(F.col("__cand_rows") < n)
+        big.select(key_col)
+        .distinct()
+        .join(cand_counts, key_col, "left")
+        .where(F.coalesce(F.col("__cand_rows"), F.lit(0)) < n)
         .select(key_col)
     )
     cand_ok = cand.join(F.broadcast(short_keys), key_col, "left_anti")
@@ -279,4 +316,8 @@ def cap_per_key(
     capped_big = windowed(
         cand_ok.select(*cols).unionByName(redo.select(*cols))
     )
-    return windowed(small).unionByName(capped_big)
+    return (
+        windowed(small)
+        .unionByName(capped_big)
+        .unionByName(windowed(nulls))
+    )

@@ -67,6 +67,15 @@ def clean_corpus(
     minimum id — per duplicate cluster (components.py).
     """
     lo, hi = word_len_bounds
+    if cluster_dedup:
+        id_type = dict(df.dtypes).get(id_col, "")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"cluster_dedup requires an integral id column "
+                f"(components.py casts node ids to long); {id_col!r} "
+                f"is {id_type or 'missing'} — string ids would cast "
+                "to null and silently empty the corpus"
+            )
     kept = exact_dedup(df, [text_col], id_col)
     kept = (
         kept.where(duplicate_line_fraction(text_col) <= max_dup_line_fraction)

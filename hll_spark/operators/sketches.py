@@ -649,11 +649,12 @@ def theta_jaccard_udf():
     """DIRECT Jaccard similarity estimate |A∩B| / |A∪B| between two
     theta-sketch columns — the set-similarity companion to the
     intersect/difference UDFs (audience-overlap, URL-set drift between
-    crawls, cross-partition key overlap). In the exact tier (k >= both
-    distinct counts) every term is exact, so the ratio is too; in the
-    estimation tier both numerator and denominator ride the same
-    common-theta sample, keeping the ratio stable. Empty-union pairs
-    return 0.0."""
+    crawls, cross-partition key overlap). Exact when ``k >= |A ∪ B|``
+    (both inputs AND their union stay un-truncated — k >= each side
+    alone is NOT enough for the denominator); in the estimation tier
+    the denominator is the union sketch's KMV estimate and the
+    numerator the common-theta intersection — each within its own
+    published bound. Empty-union pairs return 0.0."""
     from pyspark.sql.functions import pandas_udf
 
     from ..sketchlib.theta import ThetaSketch

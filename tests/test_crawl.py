@@ -80,11 +80,49 @@ def test_blocklist_join_strategy_parity(spark):
     assert sorted(lit_kept + aud) == sorted(r.id for r in df.collect())
 
 
-def test_blocklist_join_reserves_rid(spark):
-    df = spark.createDataFrame([(1, "x.com")], ["__blk_rid", "host"])
-    blk = df.sparkSession.createDataFrame([("x.com",)], ["domain"])
-    with pytest.raises(ValueError, match="__blk_rid"):
-        domain_blocklist_filter(df, blk, host_col="host")
+def test_blocklist_null_host_consistent_across_strategies(spark):
+    # a NULL host matches nothing: kept by the filter view, absent
+    # from the audit view — identically under BOTH strategies
+    df = spark.createDataFrame(
+        [(1, "x.com"), (2, None), (3, "a.x.com")], ["id", "host"]
+    )
+    doms = ["x.com"]
+    blk = spark.createDataFrame([(d,) for d in doms], ["domain"])
+    for bl in (doms, blk):
+        kept = sorted(
+            r.id for r in domain_blocklist_filter(df, bl, host_col="host").collect()
+        )
+        aud = sorted(
+            r.id
+            for r in domain_blocklist_filter(
+                df, bl, host_col="host", keep_blocked=True
+            ).collect()
+        )
+        assert kept == [2] and aud == [1, 3]
+
+
+def test_blocklist_verdict_sql_escapes_like_metachars(spark):
+    # '_' in a real hostname must not wildcard-match in the oracle SQL
+    import duckdb
+
+    from hll_spark.operators.crawl import duckdb_blocklist_verdict
+
+    doms = ["foo_bar.com"]
+    hosts = ["a.foo_bar.com", "a.fooxbar.com", "foo_bar.com", None]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    spark_kept = sorted(
+        r.host or ""
+        for r in domain_blocklist_filter(df, doms, host_col="host").collect()
+    )
+    v = duckdb_blocklist_verdict("host", doms)
+    vals = ", ".join("(NULL)" if h is None else f"('{h}')" for h in hosts)
+    sql_kept = sorted(
+        r[0] or ""
+        for r in duckdb.connect()
+        .execute(f"SELECT host FROM (VALUES {vals}) t(host) WHERE NOT {v}")
+        .fetchall()
+    )
+    assert spark_kept == sql_kept == ["", "a.fooxbar.com"]
 
 
 def test_latest_crawl_newest_wins_with_ties(spark):
@@ -238,3 +276,47 @@ def test_cap_per_key_output_size_exact(spark):
                 for r in cap_per_key(df, "host", n, "id", method=method).collect()
             )
             assert got == {h: min(n, c) for h, c in counts.items()}
+
+
+def test_cap_per_key_zero_candidate_keys_not_dropped(spark):
+    # regression: with n=1 and many 100-row keys, ~1.7% of keys get
+    # ZERO rows through the hash-threshold cut (rate 0.04); the
+    # shortfall check must catch count==0, not just 1..n-1 — a
+    # version that derived short keys from the candidate frame alone
+    # silently dropped such keys entirely
+    rows = [(f"h{k}", k * 1000 + i) for k in range(300) for i in range(100)]
+    df = spark.createDataFrame(rows, ["host", "id"]).repartition(8)
+    got = cap_per_key(df, "host", 1, "id", seed=3, method="prefilter")
+    from collections import Counter
+
+    by_key = Counter(r.host for r in got.collect())
+    assert len(by_key) == 300
+    assert all(c == 1 for c in by_key.values())
+
+
+def test_cap_per_key_null_keys_consistent(spark):
+    rows = [("h", i) for i in range(30)] + [(None, 100 + i) for i in range(7)]
+    df = spark.createDataFrame(rows, ["host", "id"])
+    key = lambda t: (t[0] or "", t[1])  # noqa: E731
+    w = sorted(
+        ((r.host, r.id)
+         for r in cap_per_key(df, "host", 3, "id", method="window").collect()),
+        key=key,
+    )
+    p = sorted(
+        ((r.host, r.id)
+         for r in cap_per_key(df, "host", 3, "id", method="prefilter").collect()),
+        key=key,
+    )
+    assert w == p
+    assert len([1 for h, _ in p if h is None]) == 3
+
+
+def test_latest_crawl_preserves_column_order(spark):
+    df = spark.createDataFrame(
+        [(5, "u1", "t", "en"), (9, "u1", "s", "de")],
+        ["warc_ts", "url", "text", "lang"],
+    )
+    out = latest_crawl(df, "url", "warc_ts")
+    assert out.columns == ["warc_ts", "url", "text", "lang"]
+    assert out.collect()[0] == (9, "u1", "s", "de")

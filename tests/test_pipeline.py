@@ -107,3 +107,16 @@ def test_crawl_ingest_reserved_host_column(spark):
     )
     with _pytest.raises(ValueError, match="host"):
         crawl_ingest(crawls, blocklist=["a.com"], clean=False)
+
+
+def test_clean_corpus_cluster_dedup_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    from hll_spark.operators.pipeline import clean_corpus
+
+    df = spark.createDataFrame(
+        [("u1", "some quality text with words here ok")],
+        ["doc_id", "text"],
+    )
+    with _pytest.raises(ValueError, match="integral id"):
+        clean_corpus(df, id_col="doc_id", cluster_dedup=True)
