@@ -320,3 +320,46 @@ def test_latest_crawl_preserves_column_order(spark):
     out = latest_crawl(df, "url", "warc_ts")
     assert out.columns == ["warc_ts", "url", "text", "lang"]
     assert out.collect()[0] == (9, "u1", "s", "de")
+
+
+def test_duplicate_ngram_fraction_matches_python_reference(spark):
+    # Hypothesis over random token sequences: the zip_with fold must
+    # equal a plain-Python n-gram count for every (tokens, n)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.text(alphabet="abc", min_size=1, max_size=2)
+    cases = st.tuples(
+        st.lists(tok, min_size=0, max_size=12),
+        st.integers(min_value=1, max_value=4),
+    )
+
+    collected = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(cases)
+    def gen(case):
+        collected.append(case)
+
+    gen()
+    rows = [(" ".join(toks), n, i) for i, (toks, n) in enumerate(collected)]
+    df = spark.createDataFrame(rows, ["text", "n", "i"])
+    for n in sorted({n for _, n, _ in rows}):
+        sub = df.where(F.col("n") == n)
+        got = {
+            r.i: r.f
+            for r in sub.select(
+                "i", F.round(duplicate_ngram_fraction("text", n), 9).alias("f")
+            ).collect()
+        }
+        for text, nn, i in rows:
+            if nn != n:
+                continue
+            toks = text.split()
+            grams = [
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            ]
+            want = (
+                (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
+            )
+            assert abs(got[i] - round(want, 9)) < 1e-9, (text, n)
