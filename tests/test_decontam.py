@@ -141,3 +141,54 @@ def test_ngrams_invalid_n_raises(spark):
     docs = _docs(spark, [(1, "a b")])
     with pytest.raises(ValueError):
         decontaminate_ngrams(docs, docs, n=0)
+
+
+# ---------------------------------------------------------------------------
+# repeated_span_stats (ExactSubstr-style repeated-span coverage)
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.dedup import repeated_span_stats  # noqa: E402
+
+
+def test_repeated_span_stats_hand_corpus(spark):
+    # n=3 word grams; duplicates both ACROSS docs (d1/d2 share
+    # "a b c" + "b c d") and WITHIN one doc (d4 repeats its whole
+    # period twice); d5 is shorter than n (no grams at all)
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d y"),
+            (3, "unique tokens only here"),
+            (4, "p q r p q r p q"),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.total_tokens, r.dup_ngrams, r.covered_tokens, r.coverage_frac)
+        for r in repeated_span_stats(docs, n=3).collect()
+    }
+    # d1: grams [a b c][b c d][c d e][d e f]; first two duplicated ->
+    # covered token positions 0..3 (union, NOT 2*3=6: overlap counted once)
+    assert got[1] == (6, 2, 4, 4 / 6)
+    # d2: [x a b][a b c][b c d][c d y] -> positions 1..4 covered
+    assert got[2] == (6, 2, 4, 4 / 6)
+    assert got[3] == (4, 0, 0, 0.0)
+    # d4: every gram occurs twice within the doc -> full coverage
+    assert got[4] == (8, 6, 8, 1.0)
+    assert got[5] == (2, 0, 0, 0.0)
+
+
+def test_repeated_span_stats_partition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = repeated_span_stats(docs, n=5).collect()
+    b = repeated_span_stats(docs.repartition(32), n=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_repeated_span_stats_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repeated_span_stats(docs, n=1)

@@ -134,3 +134,73 @@ def test_temperature_validation(spark):
         temperature_resample(docs, "lang", "doc_id", alpha=-0.1)
     with pytest.raises(ValueError):
         temperature_resample(docs, "lang", "doc_id", target_frac=1.2)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis-Spirakis A-Res, portable uniforms)
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.sampling import weighted_sample  # noqa: E402
+
+
+def test_weighted_sample_deterministic_and_layout_invariant(spark):
+    docs = _docs(spark)
+    a = weighted_sample(docs, "doc_id", F.length("text"), k=50)
+    b = weighted_sample(docs.repartition(32), "doc_id", F.length("text"), k=50)
+    rows_a = sorted((r.doc_id, r.sample_rank) for r in a.collect())
+    rows_b = sorted((r.doc_id, r.sample_rank) for r in b.collect())
+    assert rows_a == rows_b
+    assert len(rows_a) == 50
+    assert sorted(r[1] for r in rows_a) == list(range(1, 51))
+
+
+def test_weighted_sample_k_exceeding_population_returns_all(spark):
+    docs = _docs(spark).limit(10)
+    out = weighted_sample(docs, "doc_id", F.lit(1.0), k=999).collect()
+    assert len(out) == 10
+    assert sorted(r.sample_rank for r in out) == list(range(1, 11))
+
+
+def test_weighted_sample_drops_nonpositive_and_null_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 3.0)],
+        "id long, w double",
+    )
+    out = weighted_sample(df, "id", "w", k=10).collect()
+    assert sorted(r.id for r in out) == [1, 5]
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    # one row carries 10^9x the weight of 99 others: P(excluded) is
+    # ~k-th-order tiny per seed; across 20 seeds it must always be in
+    df = spark.createDataFrame(
+        [(i, 1e9 if i == 7 else 1.0) for i in range(100)], "id long, w double"
+    )
+    hits = 0
+    for seed in range(20):
+        kept = {r.id for r in weighted_sample(df, "id", "w", k=10, seed=seed).collect()}
+        assert len(kept) == 10
+        hits += 7 in kept
+    assert hits == 20
+
+
+def test_weighted_sample_uniform_weights_match_unweighted_hash_order(spark):
+    # with all weights equal, top-k by u^(1/w) == top-k by u: the
+    # sample must be exactly the k largest md5-derived uniforms
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = weighted_sample(df, "id", F.lit(1.0), k=25, seed=3)
+    got = [r.id for r in out.orderBy("sample_rank").collect()]
+    # independent scalar-model reference
+    import hashlib
+
+    def u(i):
+        h = hashlib.md5(f"{i}:3".encode()).hexdigest()[:15]
+        return (int(h, 16) + 1) / float(1 << 60)
+
+    want = sorted(range(1000), key=lambda i: (-u(i), i))[:25]
+    assert got == want
+
+
+def test_weighted_sample_validation(spark):
+    with pytest.raises(ValueError):
+        weighted_sample(_docs(spark), "doc_id", F.lit(1.0), k=0)
