@@ -45,12 +45,14 @@ from hll_spark.operators.agg import (  # noqa: E402
 from hll_spark.operators.dedup import (  # noqa: E402
     decontaminate_contains,
     decontaminate_ngrams,
+    decontaminate_ngrams_bloom,
     duplicate_groups,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     paragraph_dedup,
+    remove_repeated_spans,
     repeated_span_stats,
     simhash_pairs,
 )
@@ -914,6 +916,19 @@ def q_decontaminate_ngrams(spark, sf):
     return decontaminate_ngrams(docs, bench, n=7)
 
 
+def q_decontaminate_bloom(spark, sf):
+    # the at-scale decontamination shape: benchmark grams become a
+    # broadcast Bloom BITMAP (not a literal array/broadcast join side),
+    # candidates are exact-verified — so the values must equal the
+    # plain n-gram recipe, which the oracle replays. m_bits is set LOW
+    # (64 Kbit for ~40k bench grams) so the bitmap provably passes
+    # false positives at this sf and the verify join is what keeps the
+    # answer exact.
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 13)
+    return decontaminate_ngrams_bloom(docs, bench, n=6, m_bits=1 << 16)
+
+
 def q_repeated_span_stats(spark, sf):
     # ExactSubstr-style repeated-span coverage (word 5-grams occurring
     # >=2x corpus-wide; per-doc occurrence count + interval-union token
@@ -925,6 +940,21 @@ def q_repeated_span_stats(spark, sf):
     # no-op to drop).
     docs = _t(spark, sf, "documents").repartition(16, "doc_id")
     return repeated_span_stats(docs, n=5)
+
+
+def q_remove_repeated_spans(spark, sf):
+    # the removal half of ExactSubstr dedup: every duplicated word
+    # 5-gram occurrence except the corpus-first one is cut; per-row
+    # md5 of the rebuilt text + kept/removed counts vs the identical
+    # DuckDB election (min(struct) ownership == row_number 1)
+    docs = _t(spark, sf, "documents").repartition(16, "doc_id")
+    out = remove_repeated_spans(docs, n=5)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_clean").cast("binary")).alias("clean_md5"),
+        "kept_tokens",
+        "removed_tokens",
+    )
 
 
 def q_weighted_sample_docs(spark, sf):
@@ -1745,10 +1775,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose driver rows were fully green in r3 (most also in
     # r2) and whose code is untouched this round; each stays covered
     # by tests/test_entry_contract.py at sf0.01 every pytest run.
-    # Late-r4: repeated_span_stats / weighted_sample_docs (new ORACLE
-    # operators) joined the front window; tdigest_quantiles_value
-    # (rows-only, bound-asserted in test_tdigest.py) and
-    # minhash_dedup_parity (ORACLE-green in r3) rotated past the cap.
+    # Late-r4: repeated_span_stats / remove_repeated_spans /
+    # weighted_sample_docs / decontaminate_bloom (new ORACLE operators)
+    # joined the front window; tdigest_quantiles_value (rows-only,
+    # bound-asserted in test_tdigest.py), theta_estimate_orderkeys
+    # (rows-only, r3 row green, bound-asserted in test_theta.py),
+    # minhash_dedup_parity and extract_text_pages_arrow (both
+    # ORACLE-green in r3; the extraction surface stays windowed via
+    # extract_text_pages) rotated past the cap. Window invariant
+    # (asserted in test_entry_contract.py): every query with no driver
+    # row in ANY round sits in the first 50.
     return {
         # -- never driver-checked before r4 ------------------------------
         "decoded_media_stats": q_decoded_media_stats,
@@ -1778,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_parity": q_paragraph_dedup_parity,
         "decontaminate_documents": q_decontaminate_documents,
         "decontaminate_ngrams": q_decontaminate_ngrams,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "dup_connected_components": q_dup_connected_components,
         "ivf_ann_parity": q_ivf_ann_parity,
         "lsh_ann_parity": q_lsh_ann_parity,
@@ -1794,17 +1831,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distinct_users_daily": q_window_distinct_users_daily,
         "crawl_ingest_parity": q_crawl_ingest_parity,
         "repeated_span_stats": q_repeated_span_stats,
+        "remove_repeated_spans": q_remove_repeated_spans,
         "weighted_sample_docs": q_weighted_sample_docs,
         # -- rest of the active window -----------------------------------
+        "skew_report_orders": q_skew_report_orders,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
-        "theta_estimate_orderkeys": q_theta_estimate_orderkeys,
         "mg_top_sources": q_mg_top_sources,
         "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
         "extract_text_pages": q_extract_text_pages,
-        "extract_text_pages_arrow": q_extract_text_pages_arrow,
 
-        "skew_report_orders": q_skew_report_orders,
+        "extract_text_pages_arrow": q_extract_text_pages_arrow,
+        "theta_estimate_orderkeys": q_theta_estimate_orderkeys,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
         "minhash_dedup_parity": q_minhash_dedup_parity,
         "clean_corpus_rep_parity": q_clean_corpus_rep_parity,
@@ -2226,6 +2264,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
+        "decontaminate_bloom": """
+            -- the Bloom stage only prunes (no false negatives; false
+            -- positives removed by the exact verify join), so the
+            -- oracle is the plain n-gram recipe at n=6
+            WITH bench AS (
+              SELECT text FROM documents WHERE doc_id % 100 = 13
+            ),
+            bsplit AS (SELECT string_split_regex(text, ' +') AS w FROM bench),
+            bgrams AS (
+              SELECT DISTINCT array_to_string(w[i:i+5], ' ') AS gram
+              FROM (SELECT w, unnest(range(1, greatest(len(w) - 5, 0) + 1)) AS i
+                    FROM bsplit)
+            ),
+            dsplit AS (
+              SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents
+            ),
+            dgrams AS (
+              SELECT doc_id, array_to_string(w[i:i+5], ' ') AS gram
+              FROM (SELECT doc_id, w,
+                           unnest(range(1, greatest(len(w) - 5, 0) + 1)) AS i
+                    FROM dsplit)
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(DISTINCT g.gram) AS n_hits
+              FROM dgrams g JOIN bgrams b USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
         "repeated_span_stats": """
             -- word 5-grams occurring >=2x corpus-wide; positions are
             -- 1-based here vs Spark's 0-based posexplode — count
@@ -2261,6 +2329,57 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split_regex(d.text, ' +'))::DOUBLE
                      AS coverage_frac
             FROM documents d LEFT JOIN cov c USING (doc_id)
+        """,
+        "remove_repeated_spans": """
+            -- keep-first span removal: ownership by (doc_id, pos)
+            -- order == Spark's min(struct); 0-based token index t is
+            -- cut iff some surviving-start s (also 0-based here)
+            -- covers it: s <= t < s+5
+            WITH dsplit AS (
+              SELECT doc_id, string_split_regex(text, ' +') AS w
+              FROM documents
+            ),
+            dgrams AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(w[i+1:i+5], ' ') AS gram
+              FROM (SELECT doc_id, w,
+                           unnest(range(0, greatest(len(w) - 4, 0))) AS i
+                    FROM dsplit)
+            ),
+            marked AS (
+              SELECT doc_id, pos,
+                     COUNT(*) OVER (PARTITION BY gram) AS occ,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY gram ORDER BY doc_id, pos
+                     ) AS rn
+              FROM dgrams
+            ),
+            removals AS (
+              SELECT doc_id, list_sort(list(pos)) AS cut_starts
+              FROM marked WHERE occ >= 2 AND rn > 1
+              GROUP BY doc_id
+            ),
+            rebuilt AS (
+              SELECT d.doc_id,
+                     list_transform(
+                       list_filter(
+                         range(0, len(d.w)),
+                         t -> len(list_filter(
+                                coalesce(r.cut_starts, []::BIGINT[]),
+                                s -> s <= t AND t < s + 5)) = 0
+                       ),
+                       t -> d.w[t + 1]
+                     ) AS kept
+              FROM dsplit d LEFT JOIN removals r USING (doc_id)
+            )
+            SELECT b.doc_id,
+                   -- array_to_string([]) is NULL in DuckDB but
+                   -- array_join([]) is '' in Spark: coalesce to ''
+                   md5(coalesce(array_to_string(b.kept, ' '), ''))
+                     AS clean_md5,
+                   len(b.kept)::BIGINT AS kept_tokens,
+                   (len(d.w) - len(b.kept))::BIGINT AS removed_tokens
+            FROM rebuilt b JOIN dsplit d USING (doc_id)
         """,
         "weighted_sample_docs": """
             -- Efraimidis-Spirakis A-Res with the portable md5 uniform:

@@ -303,6 +303,8 @@ EXTRA_QUERIES_R4 = [
     "window_distinct_users_daily",
     "crawl_ingest_parity",
     "repeated_span_stats",
+    "remove_repeated_spans",
+    "decontaminate_bloom",
     "weighted_sample_docs",
 ]
 

@@ -848,6 +848,21 @@ def paragraph_dedup(
 # benchmark decontamination
 
 
+def _word_ngrams(words, n: int):
+    """Word ``n``-gram array from a ``split()`` words array column,
+    single-space joined. Guards the short-doc case explicitly: Spark's
+    ``sequence(1, 0)`` DESCENDS ([1, 0]) instead of returning empty,
+    which would fabricate a gram (and a slice-at-0 error) for docs
+    shorter than ``n`` words."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def decontaminate_contains(
     df: DataFrame,
     snippets: DataFrame,
@@ -913,17 +928,7 @@ def decontaminate_ngrams(
         raise ValueError(f"n must be >= 1, got {n}")
 
     def grams(col):
-        words = F.split(F.col(col), " +")
-        # guard the short-doc case explicitly: Spark's sequence(1, 0)
-        # DESCENDS ([1, 0]) instead of returning empty, which would
-        # fabricate a gram (and a slice-at-0 error) for docs < n words
-        return F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        return _word_ngrams(F.split(F.col(col), " +"), n)
 
     bench_grams = (
         benchmark.select(F.explode(grams(bench_text_col)).alias("gram"))
@@ -934,6 +939,87 @@ def decontaminate_ngrams(
     )
     hit_counts = (
         doc_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hit_counts, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_ngrams_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 22,
+    k: int = 7,
+) -> DataFrame:
+    """N-gram decontamination through a Bloom pre-filter — the at-scale
+    shape of :func:`decontaminate_ngrams` for when the benchmark gram
+    set is too big to broadcast as a literal join side (contamination
+    against another CORPUS, or thousands of benchmarks at once).
+
+    Output contract and values are IDENTICAL to
+    :func:`decontaminate_ngrams` — (id, n_hits, contaminated) per input
+    row — because the Bloom stage only PRUNES: no false negatives by
+    construction, and its false positives are removed by an exact
+    verify join on the survivors.
+
+    Plan (the sketch library feeding its own pipeline):
+      1. build a Bloom over the benchmark's distinct grams
+         (:func:`~hll_spark.operators.sketches.bloom_build` — driver
+         fast path under 1M grams, distributed partial/OR-merge above);
+      2. scan training grams with the broadcast (m/8)-byte bitmap — an
+         Arrow-batched probe over xxhash64 values, so only int64 hashes
+         cross into Python and non-candidate grams (the overwhelming
+         majority) die before any shuffle;
+      3. exact-verify the tiny survivor set (true hits + ~fpr of corpus
+         grams) against the real benchmark grams with a shuffle join —
+         both sides are now bounded, so this never broadcasts the
+         benchmark;
+      4. per-doc distinct-hit counts, left-joined back onto the ids.
+
+    At 10^12 rows the wins over the broadcast recipe: the benchmark
+    side ships as a fixed-size bitmap instead of a gram array, and the
+    verify shuffle carries ~fpr of the corpus gram stream instead of
+    all of it.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from .sketches import bloom_build
+    from ..sketchlib.bloom import BloomFilter
+    from pyspark.sql.types import BooleanType
+
+    def grams(col):
+        return _word_ngrams(F.split(F.col(col), " +"), n)
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(bench_text_col)).alias("gram"))
+        .distinct()
+    )
+    blob = bloom_build(bench_grams, "gram", m_bits, k)
+    bc = df.sparkSession.sparkContext.broadcast(blob)
+
+    @pandas_udf(BooleanType())
+    def might_contain(hashed: pd.Series) -> pd.Series:
+        bf = BloomFilter.from_bytes(bc.value)
+        return pd.Series(bf.might_contain_hashed(hashed.to_numpy(np.int64)))
+
+    doc_grams = df.select(
+        F.col(id_col), F.explode(grams(text_col)).alias("gram")
+    )
+    candidates = doc_grams.where(might_contain(F.xxhash64("gram")))
+    hit_counts = (
+        candidates.join(bench_grams, "gram", "inner")
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_hits"))
     )
@@ -987,15 +1073,8 @@ def repeated_span_stats(
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     words = F.split(F.col(text_col), " +")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     doc_grams = df.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+        F.col(id_col), F.posexplode(_word_ngrams(words, n)).alias("pos", "gram")
     )
     # corpus-wide occurrence count as a WINDOW over gram, not a
     # groupBy + join-back: the join formulation shuffles (or
@@ -1053,4 +1132,90 @@ def repeated_span_stats(
                 / F.col("total_tokens").cast("double")
             ).alias("coverage_frac"),
         )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of ExactSubstr dedup (Lee et al.): every
+    duplicated word ``n``-gram occurrence EXCEPT the corpus-first one
+    is cut from its document, keep-first by ``min(struct(id, pos))``
+    — so each repeated span survives exactly once corpus-wide and the
+    total token loss is minimal for this gram inventory.
+
+    Returns one row per input document:
+
+      text_clean      the document rebuilt from surviving tokens,
+                      single-space joined (whitespace is normalized by
+                      construction — the same contract as
+                      ``normalize_ws`` elsewhere in this repo)
+      kept_tokens     surviving token count (bigint)
+      removed_tokens  tokens cut (bigint; 0 for untouched docs)
+
+    Election and interval arithmetic both run as JVM expressions:
+    ownership is decided by ONE min(struct) window over gram (no
+    row_number sort-and-filter), per-doc removal spans merge via
+    sorted-array lambdas, and the membership test for each token is
+    ``exists(starts, s -> s <= t < s+n)`` — O(tokens x spans) per doc
+    in the worst (fully boilerplate) document, bounded by doc length
+    squared/n, and zero for the common untouched doc.
+
+    100 TB design: identical shuffle shape to repeated_span_stats —
+    one exchange of the gram rows for the window, one groupBy(doc) of
+    the (minority) removal starts, one broadcast-or-shuffle join back
+    to the docs table. Rebuilding text is a per-row JVM expression;
+    nothing per-token ever crosses into Python.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    from pyspark.sql import Window as _W
+
+    words = F.split(F.col(text_col), " +")
+    doc_grams = df.select(
+        F.col(id_col), F.posexplode(_word_ngrams(words, n)).alias("pos", "gram")
+    )
+    gw = _W.partitionBy("gram")
+    marked = doc_grams.select(
+        id_col,
+        "pos",
+        F.count("*").over(gw).alias("occ"),
+        F.min(F.struct(id_col, "pos")).over(gw).alias("owner"),
+    )
+    removals = (
+        marked.where(
+            (F.col("occ") >= 2)
+            & ~(
+                (F.col(f"owner.{id_col}") == F.col(id_col))
+                & (F.col("owner.pos") == F.col("pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("cut_starts"))
+    )
+    out = df.join(removals, id_col, "left")
+    starts = F.coalesce(
+        F.col("cut_starts"), F.array().cast("array<int>")
+    )
+    # kept token indices (0-based): t survives iff no removal span
+    # [s, s+n-1] contains it
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(words) - 1),
+        lambda t: ~F.exists(
+            starts, lambda s: (s <= t) & (t < s + F.lit(n))
+        ),
+    )
+    return out.select(
+        id_col,
+        F.array_join(
+            F.transform(kept_idx, lambda t: F.element_at(words, t + 1)),
+            " ",
+        ).alias("text_clean"),
+        F.size(kept_idx).cast("long").alias("kept_tokens"),
+        (F.size(words) - F.size(kept_idx)).cast("long").alias(
+            "removed_tokens"
+        ),
     )

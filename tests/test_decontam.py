@@ -192,3 +192,90 @@ def test_repeated_span_stats_validation(spark):
 
     with _pytest.raises(ValueError):
         repeated_span_stats(docs, n=1)
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_spans (the removal half of ExactSubstr)
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.dedup import remove_repeated_spans  # noqa: E402
+
+
+def test_remove_repeated_spans_hand_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d y"),
+            (4, "p q r p q r p q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.kept_tokens, r.removed_tokens)
+        for r in remove_repeated_spans(docs, n=3).collect()
+    }
+    # d1 owns both shared grams (smallest (doc,pos)): untouched
+    assert got[1] == ("a b c d e f", 6, 0)
+    # d2 loses starts {1,2} -> tokens 1..4 cut, "x"/"y" survive
+    assert got[2] == ("x y", 2, 4)
+    # d4 repeats its own period: first occurrence of each gram
+    # (starts 0..2) owns; starts 3..5 cut -> tokens 3..7 removed
+    assert got[4] == ("p q r", 3, 5)
+
+
+def test_remove_repeated_spans_keeps_clone_survivor_whole(spark):
+    # exact clones: one doc must survive byte-identical (modulo the
+    # documented single-space normalization), the other loses its
+    # fully-covered span set
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_repeated_spans(docs, n=3).collect()}
+    assert got[1].text_clean == "one two three four five six"
+    assert got[1].removed_tokens == 0
+    assert got[2].text_clean == ""
+    assert got[2].kept_tokens == 0
+
+
+def test_remove_repeated_spans_partition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = remove_repeated_spans(docs, n=5).collect()
+    b = remove_repeated_spans(docs.repartition(32), n=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngrams_bloom (Bloom pre-filter + exact verify)
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.dedup import decontaminate_ngrams_bloom  # noqa: E402
+
+
+def test_bloom_decontam_equals_exact_recipe(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 10 = 3")
+    exact = decontaminate_ngrams(docs, bench, n=5).collect()
+    bloom = decontaminate_ngrams_bloom(docs, bench, n=5).collect()
+    assert sorted(map(tuple, bloom)) == sorted(map(tuple, exact))
+
+
+def test_bloom_decontam_exact_under_heavy_false_positives(spark):
+    # a 64-bit bitmap over hundreds of bench grams saturates: nearly
+    # every corpus gram is a Bloom HIT, so this passes only if the
+    # verify join removes every false positive
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 10 = 3")
+    exact = decontaminate_ngrams(docs, bench, n=5).collect()
+    bloom = decontaminate_ngrams_bloom(
+        docs, bench, n=5, m_bits=64, k=2
+    ).collect()
+    assert sorted(map(tuple, bloom)) == sorted(map(tuple, exact))
+
+
+def test_bloom_decontam_validation(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        decontaminate_ngrams_bloom(docs, docs, n=0)

@@ -84,3 +84,28 @@ def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF)
     assert df.count() >= 0
     assert len(df.schema.fields) >= 1
+
+
+def test_never_driver_checked_queries_sit_in_the_driver_window():
+    # The driver evaluates only the FIRST 50 queries() entries per
+    # round; the rotation contract (VERDICT r3 #1) is that any query
+    # with no CORRECTNESS row in ANY committed round must be inside
+    # that window. This pins the invariant so a future insertion
+    # can't silently push a never-checked query past the cap.
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.load(open(path)).keys())
+        except Exception:
+            continue
+    names = list(entry_mod.queries().keys())
+    never = [q for q in names if q not in seen]
+    late = [q for q in never if names.index(q) >= 50]
+    assert not late, (
+        f"never-driver-checked queries past the 50-entry window: {late}"
+    )
