@@ -957,6 +957,40 @@ def q_remove_repeated_spans(spark, sf):
     )
 
 
+def q_top_vocab(spark, sf):
+    # corpus-wide top-50 pre-tokens (the BPE-ish RE2-compatible
+    # pre-tokenizer, identical split in Spark's java.util.regex and
+    # DuckDB's RE2); explode -> ONE hash aggregate ->
+    # TakeOrderedAndProject top-k, ties broken token-ascending
+    from hll_spark.operators.vocab import top_vocab
+
+    docs = _t(spark, sf, "documents")
+    return top_vocab(docs, k=50)
+
+
+def q_tfidf_top_terms(spark, sf):
+    # per-document top-3 salient terms by tf-idf with the log-free idf
+    # (score = tf * N/df — products/quotients of integers are
+    # correctly-rounded IEEE, so the doubles compare bit-exact across
+    # engines); rank ties broken term-ascending
+    from hll_spark.operators.vocab import tfidf_top_terms
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_stratified_split_docs(spark, sf):
+    # deterministic stratified 80/10/10 split per lang, EXACT
+    # per-stratum counts (portable md5 rank + cumulative-floor cuts);
+    # the identical DuckDB window reproduces every row's label
+    from hll_spark.operators.sampling import stratified_split
+
+    docs = _t(spark, sf, "documents")
+    return stratified_split(docs, ["lang"], key_col="doc_id").select(
+        "doc_id", "lang", "split"
+    )
+
+
 def q_weighted_sample_docs(spark, sf):
     # Efraimidis-Spirakis weighted sampling WITHOUT replacement,
     # deterministic/portable uniforms (md5-keyed): exactly 200 docs,
@@ -1833,14 +1867,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_span_stats": q_repeated_span_stats,
         "remove_repeated_spans": q_remove_repeated_spans,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "top_vocab": q_top_vocab,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_split_docs": q_stratified_split_docs,
         # -- rest of the active window -----------------------------------
         "skew_report_orders": q_skew_report_orders,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
-        "mg_top_sources": q_mg_top_sources,
-        "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
         "extract_text_pages": q_extract_text_pages,
 
+        # (mg_top_sources / mg_top_sources_by_lang rotated past the
+        # cap for the vocab/split oracles — both ORACLE-green in r3,
+        # code untouched, bound-asserted in test_mg.py)
+        "mg_top_sources": q_mg_top_sources,
+        "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
         "extract_text_pages_arrow": q_extract_text_pages_arrow,
         "theta_estimate_orderkeys": q_theta_estimate_orderkeys,
         "tdigest_quantiles_value": q_tdigest_quantiles_value,
@@ -2380,6 +2420,74 @@ def oracle_sql() -> dict[str, str]:
                    len(b.kept)::BIGINT AS kept_tokens,
                    (len(d.w) - len(b.kept))::BIGINT AS removed_tokens
             FROM rebuilt b JOIN dsplit d USING (doc_id)
+        """,
+        "top_vocab": r"""
+            -- the BPE-ish pre-tokenizer regex is RE2-compatible (no
+            -- lookahead), so both engines split identically
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(
+                text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT token, COUNT(*) AS n_occurrences FROM toks
+              GROUP BY token
+              ORDER BY n_occurrences DESC, token ASC LIMIT 50
+            )
+            SELECT token, n_occurrences,
+                   ROW_NUMBER() OVER (
+                     ORDER BY n_occurrences DESC, token ASC
+                   )::INT AS rank
+            FROM counts
+        """,
+        "tfidf_top_terms": """
+            -- log-free idf: score = tf * (N / df); IEEE division and
+            -- multiplication are correctly rounded, so the doubles
+            -- compare bit-exact across engines
+            WITH terms AS (
+              SELECT doc_id, unnest(string_split_regex(text, ' +')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM terms
+              WHERE term != '' GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            ranked AS (
+              SELECT t.doc_id, t.term, t.tf, d.df,
+                     t.tf * (n.n_docs / d.df) AS score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY t.tf * (n.n_docs / d.df) DESC, t.term ASC
+                     )::INT AS rank
+              FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, score, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "stratified_split_docs": """
+            -- exact stratified 80/10/10 per lang: rank by the portable
+            -- md5 uniform (doc_id tie-break), cumulative-floor cuts
+            WITH ranked AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5(cast(doc_id AS varchar) || ':42'),
+                                       1, 15) ASC,
+                                doc_id ASC
+                     ) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n_s
+              FROM documents
+            )
+            -- 0.8::DOUBLE, not the bare literal: DuckDB parses 0.8 as
+            -- DECIMAL, whose exact floor can differ from the IEEE
+            -- double multiply Spark does
+            SELECT doc_id, lang,
+                   CASE WHEN rn <= floor(0.8::DOUBLE * n_s) THEN 'train'
+                        WHEN rn <= floor(0.9::DOUBLE * n_s) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM ranked
         """,
         "weighted_sample_docs": """
             -- Efraimidis-Spirakis A-Res with the portable md5 uniform:

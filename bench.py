@@ -305,6 +305,9 @@ EXTRA_QUERIES_R4 = [
     "repeated_span_stats",
     "remove_repeated_spans",
     "decontaminate_bloom",
+    "top_vocab",
+    "tfidf_top_terms",
+    "stratified_split_docs",
     "weighted_sample_docs",
 ]
 

@@ -216,3 +216,77 @@ def weighted_sample(
         "weight",
         F.row_number().over(rank_w).cast("long").alias("sample_rank"),
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    splits: list[tuple[str, float]] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    exact: bool = True,
+) -> DataFrame:
+    """Deterministic stratified train/val/test split: assign every row
+    a ``split`` label such that each stratum (the distinct value
+    combination of ``strata_cols``) is divided in the requested
+    proportions. ``splits`` is an ordered list of (name, fraction)
+    summing to 1 (default ``[("train", .8), ("val", .1), ("test",
+    .1)]``). Assignment is a pure function of ``(key, seed)`` — the
+    same row lands in the same split on every rerun, partition layout,
+    cluster size, and engine (md5, like everything in this module).
+
+    Two modes:
+
+    * ``exact=True`` — per-stratum counts are EXACT: rows rank within
+      their stratum by the portable md5 uniform (key ascending as the
+      tie-break for duplicate keys) and split i takes ranks in
+      ``(floor(cum_{i-1} * n_s), floor(cum_i * n_s)]`` — the standard
+      cumulative-floor allocation, so counts per stratum differ from
+      ``frac * n_s`` by less than 1. Costs one window sort per
+      stratum: the right mode for bounded strata (languages, domains,
+      benchmark cells).
+    * ``exact=False`` — a pure codegen'd filter predicate on the md5
+      hex (zero shuffle, one scan): proportions hold in expectation
+      only (Binomial(n_s, frac) noise). The right mode when the
+      stratum count or size is unbounded and the split runs inside a
+      10^12-row scan.
+
+    Returns the input columns plus ``split`` (string).
+    """
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    if len(splits) < 2:
+        raise ValueError("need at least 2 splits")
+    names = [s[0] for s in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    fracs = [float(s[1]) for s in splits]
+    if any(f <= 0 for f in fracs) or abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be > 0 and sum to 1, got {fracs}")
+    cums = []
+    acc = 0.0
+    for f in fracs:
+        acc += f
+        cums.append(acc)
+    cums[-1] = 1.0  # force exact coverage of the last bucket
+    u = _key_hex(key_col, seed)
+
+    if exact:
+        w_rank = Window.partitionBy(*strata_cols).orderBy(
+            u.asc(), F.col(key_col).asc()
+        )
+        w_all = Window.partitionBy(*strata_cols)
+        rn = F.row_number().over(w_rank)
+        n_s = F.count("*").over(w_all)
+        expr = None
+        for name, c in zip(names[:-1], cums[:-1]):
+            cond = rn <= F.floor(F.lit(c) * n_s)
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        split_col = expr.otherwise(names[-1])
+    else:
+        expr = None
+        for name, c in zip(names[:-1], cums[:-1]):
+            cond = u < _hex_threshold(F.lit(c))
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        split_col = expr.otherwise(names[-1])
+    return df.withColumn("split", split_col)

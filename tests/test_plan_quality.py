@@ -80,6 +80,15 @@ GATED = [
     "crawl_ingest_parity",  # the composed ingest chain stays NLJ-free
     # (theta_jaccard_partkeys excluded like the other theta queries:
     # the 1-row sketch-pair crossJoin is the correct plan)
+    # late-r4 additions
+    "repeated_span_stats",  # one gram window + hash joins only
+    "remove_repeated_spans",  # same shuffle shape as the stats half
+    "decontaminate_bloom",  # bitmap probe + hash verify join
+    "weighted_sample_docs",  # TakeOrderedAndProject, no global sort
+    "top_vocab",  # one hash aggregate + TakeOrderedAndProject
+    "stratified_split_docs",  # md5-rank windows, no joins
+    # (tfidf_top_terms excluded like decontaminate_documents: its only
+    # cross join broadcasts the deliberately-1-row corpus-count frame)
 ]
 
 

@@ -204,3 +204,81 @@ def test_weighted_sample_uniform_weights_match_unweighted_hash_order(spark):
 def test_weighted_sample_validation(spark):
     with pytest.raises(ValueError):
         weighted_sample(_docs(spark), "doc_id", F.lit(1.0), k=0)
+
+
+# ---------------------------------------------------------------------------
+# stratified_split
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.sampling import stratified_split  # noqa: E402
+
+
+def test_stratified_split_exact_counts_per_stratum(spark):
+    out = stratified_split(_docs(spark), ["lang"], key_col="doc_id")
+    counts = (
+        out.groupBy("lang", "split").count().collect()
+    )
+    per_lang = {}
+    for r in counts:
+        per_lang.setdefault(r.lang, {})[r.split] = r["count"]
+    for lang, by_split in per_lang.items():
+        n = sum(by_split.values())
+        # cumulative-floor allocation: split i gets
+        # floor(cum_i*n) - floor(cum_{i-1}*n) rows, exactly
+        cuts = [0, math.floor(0.8 * n), math.floor(0.9 * n), n]
+        expect = {
+            "train": cuts[1] - cuts[0],
+            "val": cuts[2] - cuts[1],
+            "test": cuts[3] - cuts[2],
+        }
+        got = {s: by_split.get(s, 0) for s in expect}
+        assert got == expect, f"{lang}: {got} != {expect}"
+
+
+def test_stratified_split_deterministic_and_layout_invariant(spark):
+    docs = _docs(spark)
+    a = {(r.doc_id, r.split) for r in
+         stratified_split(docs, ["lang"], key_col="doc_id").select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in
+         stratified_split(docs.repartition(17), ["lang"], key_col="doc_id").select("doc_id", "split").collect()}
+    assert a == b and a
+
+
+def test_stratified_split_inexact_mode_is_scan_only_and_close(spark):
+    docs = _docs(spark)
+    out = stratified_split(docs, ["lang"], key_col="doc_id", exact=False)
+    # no Exchange in the plan: the split is a pure filter-scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    n = docs.count()
+    got = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert abs(got.get("train", 0) / n - 0.8) < 0.05
+
+
+def test_stratified_split_covers_every_row_once(spark):
+    docs = _docs(spark)
+    out = stratified_split(docs, ["lang"], key_col="doc_id")
+    assert out.count() == docs.count()
+    assert out.where(F.col("split").isNull()).count() == 0
+
+
+def test_stratified_split_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        stratified_split(docs, ["lang"], splits=[("train", 1.0)])
+    with pytest.raises(ValueError):
+        stratified_split(docs, ["lang"], splits=[("a", 0.5), ("a", 0.5)])
+    with pytest.raises(ValueError):
+        stratified_split(docs, ["lang"], splits=[("a", 0.7), ("b", 0.2)])
+
+
+def test_stratified_split_tiny_strata(spark):
+    # a 1-row stratum: train/val get floor(0) rows, the row lands in
+    # the LAST split (cumulative-floor semantics)
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "big"), (3, "big"), (4, "big")],
+        "doc_id long, lang string",
+    )
+    got = {r.doc_id: r.split for r in
+           stratified_split(docs, ["lang"], key_col="doc_id").collect()}
+    assert got[1] == "test"
