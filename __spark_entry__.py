@@ -991,6 +991,20 @@ def q_stratified_split_docs(spark, sf):
     )
 
 
+def q_bpe_merges_documents(spark, sf):
+    # distributed BPE learning: the only corpus-sized pass is ONE
+    # pretoken frequency aggregate; the deterministic merge loop
+    # (most-frequent pair, lexicographic tie-break) runs over the
+    # frequency-capped form table. Iterative, hence genuinely not
+    # SQL-expressible -> rows-only; the merge loop is differential-
+    # tested against a recount-from-scratch reference and a
+    # hand-provable corpus in tests/test_vocab.py.
+    from hll_spark.operators.vocab import bpe_learn
+
+    docs = _t(spark, sf, "documents")
+    return bpe_learn(docs, n_merges=40)
+
+
 def q_weighted_sample_docs(spark, sf):
     # Efraimidis-Spirakis weighted sampling WITHOUT replacement,
     # deterministic/portable uniforms (md5-keyed): exactly 200 docs,
@@ -1870,15 +1884,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_vocab": q_top_vocab,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_split_docs": q_stratified_split_docs,
+        "bpe_merges_documents": q_bpe_merges_documents,
         # -- rest of the active window -----------------------------------
         "skew_report_orders": q_skew_report_orders,
-        "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
-        "streaming_sink_distinct": q_streaming_sink_distinct,
         "extract_text_pages": q_extract_text_pages,
 
-        # (mg_top_sources / mg_top_sources_by_lang rotated past the
-        # cap for the vocab/split oracles — both ORACLE-green in r3,
-        # code untouched, bound-asserted in test_mg.py)
+        # (rotated past the cap for the late-r4 vocab/split/BPE
+        # queries — every one ORACLE- or rows-green in r3 with code
+        # untouched, and each bound-asserted in a named pytest:
+        # mg_top_sources{,_by_lang} in test_mg.py, the flagship in
+        # test_hll_bounds.py + bench.py's accuracy table, streaming in
+        # test_streaming.py's real micro-batch checkpoints)
+        "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
+        "streaming_sink_distinct": q_streaming_sink_distinct,
         "mg_top_sources": q_mg_top_sources,
         "mg_top_sources_by_lang": q_mg_top_sources_by_lang,
         "extract_text_pages_arrow": q_extract_text_pages_arrow,

@@ -308,6 +308,7 @@ EXTRA_QUERIES_R4 = [
     "top_vocab",
     "tfidf_top_terms",
     "stratified_split_docs",
+    "bpe_merges_documents",
     "weighted_sample_docs",
 ]
 

@@ -22,6 +22,7 @@ individual documents, never a global sort of the corpus.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,4 +129,214 @@ def tfidf_top_terms(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def _bpe_merge_loop(
+    forms: list[str],
+    counts: list[int],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """The Sennrich et al. (2016) merge loop over a bounded
+    (word form, count) table: repeatedly merge the most frequent
+    adjacent symbol pair (ties broken by lexicographically smallest
+    pair, so the sequence is fully deterministic). Incremental
+    pair-count maintenance via a pair -> form-ids index: each round
+    touches only the forms that contain the merged pair."""
+    seqs: list[tuple[str, ...]] = [tuple(f) for f in forms]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_forms: dict[tuple[str, str], set[int]] = {}
+    for i, (s, c) in enumerate(zip(seqs, counts)):
+        for p in zip(s, s[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_forms.setdefault(p, set()).add(i)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, cnt))
+        new_sym = a + b
+        # pair_forms may hold stale ids (form no longer contains the
+        # pair after earlier merges): removing then re-adding that
+        # form's CURRENT pairs is a net no-op, so staleness is benign
+        for i in list(pair_forms.get((a, b), ())):
+            s, c = seqs[i], counts[i]
+            for p in zip(s, s[1:]):
+                left = pair_counts.get(p, 0) - c
+                if left > 0:
+                    pair_counts[p] = left
+                else:
+                    pair_counts.pop(p, None)
+            out: list[str] = []
+            j = 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    out.append(new_sym)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            s2 = tuple(out)
+            seqs[i] = s2
+            for p in zip(s2, s2[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_forms.setdefault(p, set()).add(i)
+        pair_forms.pop((a, b), None)
+        pair_counts.pop((a, b), None)
+    return merges
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    max_word_forms: int = 1_000_000,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn BPE merge rules from a corpus. Returns a DataFrame
+    (rank, left, right, pair_count) with rank 1..n_merges in merge
+    order — deterministic: most-frequent pair first, ties broken by
+    the lexicographically smallest (left, right).
+
+    Distributed shape (this is an ITERATIVE algorithm, so the design
+    splits corpus-sized work from loop work): the only corpus-sized
+    pass is the pre-token frequency aggregate — one explode + one hash
+    aggregate with map-side combine. The merge loop then runs over the
+    (form, count) table CAPPED to the top ``max_word_forms`` forms by
+    frequency (TakeOrderedAndProject; ties broken form-ascending so
+    the cap is deterministic) — the standard BPE-trainer move, since
+    the frequency tail contributes negligibly to pair counts. The
+    capped table is bounded (<= max_word_forms rows) by construction,
+    so collecting it is a bounded collect, and the loop runs
+    driver-side with incremental pair-count maintenance — at any
+    corpus scale the loop cost depends on the CAP, not the corpus.
+
+    Stops early when no pair reaches ``min_pair_count``.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if max_word_forms < 1:
+        raise ValueError(
+            f"max_word_forms must be >= 1, got {max_word_forms}"
+        )
+    spark = df.sparkSession
+    capped = (
+        df.select(F.explode(pretokenize(text_col)).alias("form"))
+        .groupBy("form")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("form"))
+        .limit(max_word_forms)
+        .toPandas()
+    )
+    merges = _bpe_merge_loop(
+        capped["form"].tolist(),
+        [int(x) for x in capped["n"]],
+        n_merges,
+        min_pair_count,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType(), False),
+            StructField("left", StringType(), False),
+            StructField("right", StringType(), False),
+            StructField("pair_count", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Apply merge rules to one word: repeatedly merge the
+    present pair with the LOWEST rank (the standard BPE inference
+    rule — merge order, not corpus frequency, decides)."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best = None
+        best_rank = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = p, r
+        if best is None:
+            break
+        a, b = best
+        out = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame | list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with learned BPE merges. Returns
+    (id, n_pretokens, n_bpe_tokens) per document.
+
+    ``merges`` is the output of :func:`bpe_learn` (or an equivalent
+    list of (rank, left, right, ...) rows). The merge table is tiny
+    (one row per merge) — it broadcasts as a plain dict. Encoding runs
+    as an Arrow-batched pandas UDF over the JVM-side pre-token arrays,
+    with a per-batch word cache: web text repeats word forms heavily
+    (Zipf), so the cache turns per-token work into per-DISTINCT-form
+    work within each batch.
+    """
+    if isinstance(merges, DataFrame):
+        merge_rows = [
+            (r["rank"], r["left"], r["right"]) for r in merges.collect()
+        ]
+    else:
+        merge_rows = [(r[0], r[1], r[2]) for r in merges]
+    ranks = {(l, r): rank for rank, l, r in merge_rows}
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(ranks)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def n_bpe_tokens(words: pd.Series) -> pd.Series:
+        rk = bc.value
+        cache: dict[str, int] = {}
+
+        def doc_tokens(ws) -> int:
+            total = 0
+            for w in ws:
+                n = cache.get(w)
+                if n is None:
+                    n = len(_bpe_encode_word(w, rk))
+                    cache[w] = n
+                total += n
+            return total
+
+        return words.map(doc_tokens)
+
+    toks = pretokenize(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_pretokens"),
+        n_bpe_tokens(toks).alias("n_bpe_tokens"),
     )

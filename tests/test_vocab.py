@@ -94,3 +94,125 @@ def test_vocab_validation(spark):
         top_vocab(docs, k=0)
     with pytest.raises(ValueError):
         tfidf_top_terms(docs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# BPE learner / encoder
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.vocab import (  # noqa: E402
+    _bpe_encode_word,
+    _bpe_merge_loop,
+    bpe_encode,
+    bpe_learn,
+)
+
+
+def _naive_bpe(forms, counts, n_merges, min_pair_count=2):
+    """Recount-from-scratch reference for the incremental merge loop."""
+    def apply(s, a, b):
+        out, j = [], 0
+        while j < len(s):
+            if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        return tuple(out)
+
+    seqs = [tuple(f) for f in forms]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = {}
+        for s, c in zip(seqs, counts):
+            for p in zip(s, s[1:]):
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, cnt))
+        seqs = [apply(s, a, b) for s in seqs]
+    return merges
+
+
+def test_bpe_merge_loop_matches_naive_reference():
+    import random
+
+    rng = random.Random(7)
+    for trial in range(20):
+        n_forms = rng.randint(1, 40)
+        forms = list({
+            "".join(rng.choice("abcd ") for _ in range(rng.randint(1, 12)))
+            for _ in range(n_forms)
+        })
+        counts = [rng.randint(1, 9) for _ in forms]
+        got = _bpe_merge_loop(forms, counts, n_merges=25)
+        want = _naive_bpe(forms, counts, n_merges=25)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_bpe_learn_hand_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab")], "doc_id long, text string"
+    )
+    got = [(r.rank, r.left, r.right, r.pair_count)
+           for r in bpe_learn(docs, n_merges=10).orderBy("rank").collect()]
+    # forms: 'aaab' x1, ' aaab' x1 -> (a,a) count 4 wins; then the
+    # count-2 tie between (a,b) and (aa,a) breaks lexicographically to
+    # (a,b); then (aa,ab); then nothing reaches min_pair_count=2
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 2), (3, "aa", "ab", 2)]
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    ranks = {("a", "a"): 1, ("a", "b"): 2, ("aa", "ab"): 3}
+    assert _bpe_encode_word("aaab", ranks) == ["aaab"]
+    assert _bpe_encode_word("ab", ranks) == ["ab"]
+    assert _bpe_encode_word("ba", ranks) == ["b", "a"]
+    assert _bpe_encode_word("xyz", ranks) == ["x", "y", "z"]
+
+
+def test_bpe_encode_corpus_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "zzzz")], "doc_id long, text string"
+    )
+    merges = bpe_learn(docs, n_merges=10)
+    out = {r.doc_id: (r.n_pretokens, r.n_bpe_tokens)
+           for r in bpe_encode(docs, merges).collect()}
+    # doc1: both pretokens collapse to one token each ('aaab'/' aaab'
+    # via (a,a),(a,b),(aa,ab) — the leading-space form reaches
+    # [' ','aaab'] = 2 symbols since (' ','aaab') never merged)
+    assert out[1] == (2, 3)
+    # doc2: 'zzzz' -> (z,z) count 3 in-form... learned? (z,z) count 3
+    # >= 2 so it IS merged during learning: 'zzzz' -> [zz, zz] -> 1
+    # if (zz,zz) also learned (count 1 < 2: not learned) -> 2 tokens
+    assert out[2] == (1, 2)
+
+
+def test_bpe_learn_respects_word_form_cap(spark):
+    docs = spark.createDataFrame(
+        [(1, "q q q q q q rare1 rare2")], "doc_id long, text string"
+    )
+    # cap=1 keeps only the most frequent form (' q', 5 occurrences —
+    # the head 'q' form appears once); no adjacent pair inside a
+    # 2-char form repeats >= 2 times... (' ', 'q') count 5 -> merged
+    got = bpe_learn(docs, n_merges=5, max_word_forms=1).collect()
+    assert [(r.left, r.right) for r in got] == [(" ", "q")]
+
+
+def test_bpe_learn_deterministic_across_partitionings(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(500)
+    a = [tuple(r) for r in bpe_learn(docs, n_merges=30).collect()]
+    b = [tuple(r) for r in
+         bpe_learn(docs.repartition(19), n_merges=30).collect()]
+    assert a == b and len(a) == 30
+
+
+def test_bpe_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_learn(docs, n_merges=0)
+    with pytest.raises(ValueError):
+        bpe_learn(docs, max_word_forms=0)
