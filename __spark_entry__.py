@@ -1120,6 +1120,23 @@ def q_kll_quantiles_exact(spark, sf):
     )
 
 
+def q_kll_range_buckets_price(spark, sf):
+    # sketch-driven range bucketing (the RangePartitioner-style 100 TB
+    # primitive) in the KLL exact regime so the 8 boundaries are exact
+    # order statistics at ranks max(1, ceil(i/8 * N)) — mirrored
+    # literally in SQL; rows land in bucket #{b : value > b} (equal
+    # values go low), then per-bucket count/min/max
+    from hll_spark.operators.sketches import kll_range_buckets
+
+    part = _t(spark, sf, "part")
+    bucketed, _bounds = kll_range_buckets(part, "p_retailprice", 8, k=65536)
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
 def q_skew_report_orders(spark, sf):
     # Shuffle-skew diagnostics under a FULL value oracle: the top-10
     # heaviest o_custkey groups with corpus share and uniform-spread
@@ -1828,9 +1845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # joined the front window; tdigest_quantiles_value (rows-only,
     # bound-asserted in test_tdigest.py), theta_estimate_orderkeys
     # (rows-only, r3 row green, bound-asserted in test_theta.py),
-    # minhash_dedup_parity and extract_text_pages_arrow (both
-    # ORACLE-green in r3; the extraction surface stays windowed via
-    # extract_text_pages) rotated past the cap. Window invariant
+    # minhash_dedup_parity and the extraction/flagship/streaming/mg
+    # rows (all ORACLE- or rows-green in r3, code untouched,
+    # bound-asserted in named pytests) rotated past the cap to fit
+    # the late-r4 vocab/split/BPE/bucketing queries. Window invariant
     # (asserted in test_entry_contract.py): every query with no driver
     # row in ANY round sits in the first 50.
     return {
@@ -1885,16 +1903,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_split_docs": q_stratified_split_docs,
         "bpe_merges_documents": q_bpe_merges_documents,
+        "kll_range_buckets_price": q_kll_range_buckets_price,
         # -- rest of the active window -----------------------------------
         "skew_report_orders": q_skew_report_orders,
-        "extract_text_pages": q_extract_text_pages,
 
-        # (rotated past the cap for the late-r4 vocab/split/BPE
-        # queries — every one ORACLE- or rows-green in r3 with code
-        # untouched, and each bound-asserted in a named pytest:
-        # mg_top_sources{,_by_lang} in test_mg.py, the flagship in
-        # test_hll_bounds.py + bench.py's accuracy table, streaming in
-        # test_streaming.py's real micro-batch checkpoints)
+        # (rotated past the cap for the late-r4 vocab/split/BPE/
+        # bucketing queries — every one ORACLE- or rows-green in r3
+        # with code untouched, and each bound-asserted in a named
+        # pytest: extraction's per-row md5 oracle in
+        # test_entry_contract.py + test_extract.py, mg in test_mg.py,
+        # the flagship in test_hll_bounds.py + bench.py's accuracy
+        # table, streaming in test_streaming.py's real micro-batch
+        # checkpoints)
+        "extract_text_pages": q_extract_text_pages,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
         "mg_top_sources": q_mg_top_sources,
@@ -2629,6 +2650,33 @@ def oracle_sql() -> dict[str, str]:
             FROM counts, totals
             ORDER BY n_rows DESC, o_custkey ASC
             LIMIT 10
+        """,
+        "kll_range_buckets_price": """
+            -- exact-regime KLL boundaries == order statistics at
+            -- 1-based rank max(1, ceil(i/8 * N)); bucket = number of
+            -- boundaries strictly below the value (ties go low)
+            WITH n AS (SELECT COUNT(*) AS c FROM part),
+            ord AS (
+              SELECT p_retailprice AS x,
+                     ROW_NUMBER() OVER (ORDER BY p_retailprice) AS rn
+              FROM part
+            ),
+            ranks AS (
+              SELECT greatest(1, ceil((i::DOUBLE / 8.0) * c))::BIGINT AS rn
+              FROM range(1, 8) t(i), n
+            ),
+            bounds AS (
+              SELECT o.x AS bx FROM ord o JOIN ranks r USING (rn)
+            ),
+            assigned AS (
+              SELECT p_retailprice AS x,
+                     (SELECT COUNT(*) FROM bounds b
+                      WHERE p_retailprice > b.bx)::INT AS bucket
+              FROM part
+            )
+            SELECT bucket, COUNT(*) AS n_rows,
+                   MIN(x) AS min_price, MAX(x) AS max_price
+            FROM assigned GROUP BY bucket
         """,
         "kll_quantiles_exact": """
             -- KLL exact regime (k >= n): quantile(q) is the order

@@ -309,6 +309,7 @@ EXTRA_QUERIES_R4 = [
     "tfidf_top_terms",
     "stratified_split_docs",
     "bpe_merges_documents",
+    "kll_range_buckets_price",
     "weighted_sample_docs",
 ]
 

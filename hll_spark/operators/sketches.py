@@ -271,6 +271,46 @@ def kll_quantiles(
     return _quantiles_from_sketch_df(sketches, by, qs, KllSketch.from_bytes, "q")
 
 
+def kll_range_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    k: int = 200,
+) -> tuple[DataFrame, list[float]]:
+    """Sketch-driven range bucketing — the classic 100 TB shuffle
+    primitive: ONE KLL pass estimates the n_buckets-quantile
+    boundaries of ``col``, then every row gets a ``bucket`` column
+    (0..n_buckets-1) from a pure codegen expression, giving
+    balanced range partitions for a later sort / range join / write
+    layout without ever globally sorting the data (this is how
+    Spark's own RangePartitioner samples, with a mergeable sketch
+    replacing reservoir sampling so the pass composes with any other
+    aggregation).
+
+    Returns ``(df_with_bucket, boundaries)``; boundaries has
+    n_buckets-1 ascending cut values, and a row lands in bucket
+    ``#{b : value > b}`` (values equal to a boundary go LOW, so the
+    rule is total and engine-independent).
+
+    At k >= n the sketch is in its exact regime and boundary i is
+    exactly the order statistic at 1-based rank max(1, ceil(i/n * N))
+    — which is what makes the operator ORACLE-checkable; at k=200 the
+    boundaries are approximate (O(1/k) rank error) but the bucket
+    assignment stays exact with respect to them.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    row = sketch_aggregate(df, col, kll_spec(k), None, hash_mode=None).collect()[0]
+    sk = KllSketch.from_bytes(bytes(row["sketch"]))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    boundaries = [float(sk.quantile(q)) for q in qs]
+    bounds_arr = F.array(*[F.lit(b) for b in boundaries])
+    bucket = F.size(
+        F.filter(bounds_arr, lambda b: F.col(col) > b)
+    ).alias("bucket")
+    return df.withColumn("bucket", bucket), boundaries
+
+
 def tdigest_quantiles(
     df: DataFrame,
     col: str,

@@ -102,3 +102,56 @@ def test_serialization_roundtrip():
 def test_merge_rejects_mismatched_k():
     with pytest.raises(ValueError):
         KllSketch(64).merge(KllSketch(128))
+
+
+# ---------------------------------------------------------------------------
+# kll_range_buckets (sketch-driven range bucketing)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+import pytest as _pytest  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from hll_spark.operators.sketches import kll_range_buckets  # noqa: E402
+
+
+def test_range_buckets_exact_regime_boundaries(spark):
+    part = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+    vals = np.sort(
+        np.array([r.p_retailprice for r in part.select("p_retailprice").collect()])
+    )
+    n = len(vals)
+    _, bounds = kll_range_buckets(part, "p_retailprice", 8, k=65536)
+    want = [
+        float(vals[max(1, int(np.ceil(i / 8 * n))) - 1]) for i in range(1, 8)
+    ]
+    assert bounds == want
+
+
+def test_range_buckets_balance_in_compacting_regime(spark):
+    # k=200 boundaries are approximate (O(1/k) rank error) but buckets
+    # must still be roughly balanced — each within 15% of n/8
+    part = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+    bucketed, bounds = kll_range_buckets(part, "p_retailprice", 8, k=200)
+    n = part.count()
+    sizes = {r.bucket: r["count"] for r in bucketed.groupBy("bucket").count().collect()}
+    assert set(sizes) == set(range(8))
+    for b, s in sizes.items():
+        assert abs(s - n / 8) < 0.15 * n, (b, s, n)
+    assert bounds == sorted(bounds)
+
+
+def test_range_buckets_assignment_rule_ties_go_low(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 2, 3, 4]], "x double")
+    bucketed, bounds = kll_range_buckets(df, "x", 2, k=1024)
+    # n=5, boundary = order stat at rank ceil(0.5*5)=3 -> value 2;
+    # values <= 2 go to bucket 0
+    assert bounds == [2.0]
+    got = {(r.x, r.bucket) for r in bucketed.collect()}
+    assert got == {(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)}
+
+
+def test_range_buckets_validation(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        kll_range_buckets(df, "x", 1)

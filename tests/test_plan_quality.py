@@ -87,6 +87,7 @@ GATED = [
     "weighted_sample_docs",  # TakeOrderedAndProject, no global sort
     "top_vocab",  # one hash aggregate + TakeOrderedAndProject
     "stratified_split_docs",  # md5-rank windows, no joins
+    "kll_range_buckets_price",  # literal-array bucket filter + hash agg
     # (tfidf_top_terms excluded like decontaminate_documents: its only
     # cross join broadcasts the deliberately-1-row corpus-count frame)
 ]
