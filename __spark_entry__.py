@@ -279,6 +279,32 @@ def q_window_distinct_users_daily(spark, sf):
     )
 
 
+def q_window_distinct_users_hopping(spark, sf):
+    # event-time HOPPING windows (F.window with slide: 2-day windows
+    # every 1 day — each event lands in exactly two windows) feeding
+    # the HLL scaffold, EXACT tier at driver SF: the batch shape of
+    # the streaming sliding-window aggregation; DuckDB replays the
+    # two-windows-per-event membership with an unnested 2-element
+    # start list
+    from hll_spark.operators.agg import hll_distinct
+
+    ev = (
+        _t(spark, sf, "events")
+        .select(
+            F.window(F.col("ts"), "2 days", "1 day").alias("w"),
+            F.col("user_id"),
+        )
+        .select(F.col("w.start").alias("win_start"), "user_id")
+    )
+    out = hll_distinct(
+        ev, "user_id", by=["win_start"], cfg=EXACT_CFG, alias="distinct_users"
+    )
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd").alias("win_start"),
+        "distinct_users",
+    )
+
+
 def q_theta_estimate_orderkeys(spark, sf):
     # theta ESTIMATION tier: k=1024 << distinct l_orderkey (1.5k/15k/147k
     # at sf0.001/0.01/0.1) forces the KMV estimator (k-1)/theta — the
@@ -1857,8 +1883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_value_bands": q_range_join_value_bands,
         "pivot_event_type_by_cohort": q_pivot_event_type_by_cohort,
         # -- no r3 row (past the r3 cap) ---------------------------------
+        # (media_features_documents rotated past the cap late-r4 for
+        # the hopping-window oracle: rows-only, r2-green, and its
+        # mapInPandas plumbing is oracle-covered by the in-window
+        # decoded_media_stats)
         "media_metadata_documents": q_media_metadata_documents,
-        "media_features_documents": q_media_features_documents,
         "pricing_summary": q_pricing_summary,
         "join_mktsegment_orders": q_join_mktsegment_orders,
         "window_top_order_per_cust": q_window_top_order_per_cust,
@@ -1895,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_plan_orders_lineitem": q_join_plan_orders_lineitem,
         "theta_jaccard_partkeys": q_theta_jaccard_partkeys,
         "window_distinct_users_daily": q_window_distinct_users_daily,
+        "window_distinct_users_hopping": q_window_distinct_users_hopping,
         "crawl_ingest_parity": q_crawl_ingest_parity,
         "repeated_span_stats": q_repeated_span_stats,
         "remove_repeated_spans": q_remove_repeated_spans,
@@ -1916,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table, streaming in test_streaming.py's real micro-batch
         # checkpoints)
         "extract_text_pages": q_extract_text_pages,
+        "media_features_documents": q_media_features_documents,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
         "mg_top_sources": q_mg_top_sources,
@@ -2864,6 +2895,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    COUNT(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY 1
+        """,
+        "window_distinct_users_hopping": """
+            -- 2-day windows sliding by 1 day, epoch-aligned like
+            -- Spark's window(): an event at day d belongs to the
+            -- windows starting d-1 and d
+            WITH membership AS (
+              SELECT unnest([
+                       date_trunc('day', ts) - INTERVAL 1 DAY,
+                       date_trunc('day', ts)
+                     ]) AS win_start,
+                     user_id
+              FROM events
+            )
+            SELECT strftime(win_start, '%Y-%m-%d') AS win_start,
+                   COUNT(DISTINCT user_id) AS distinct_users
+            FROM membership GROUP BY 1
         """,
         "latest_crawl_parity": """
             -- newest fetch per url; ties on warc_ts broken by

@@ -310,6 +310,7 @@ EXTRA_QUERIES_R4 = [
     "stratified_split_docs",
     "bpe_merges_documents",
     "kll_range_buckets_price",
+    "window_distinct_users_hopping",
     "weighted_sample_docs",
 ]
 

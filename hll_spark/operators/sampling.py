@@ -253,6 +253,12 @@ def stratified_split(
 
     Returns the input columns plus ``split`` (string).
     """
+    if not strata_cols:
+        raise ValueError(
+            "strata_cols must be non-empty (an empty partitionBy would "
+            "silently become one global window); for an unstratified "
+            "split pass a constant stratum column"
+        )
     if splits is None:
         splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     if len(splits) < 2:

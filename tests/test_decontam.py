@@ -279,3 +279,61 @@ def test_bloom_decontam_validation(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         decontaminate_ngrams_bloom(docs, docs, n=0)
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_spans vs a plain-Python reference (Hypothesis)
+# ---------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _ref_remove_spans(rows, n):
+    """Transparent reference for the keep-first span election: global
+    gram inventory, min((doc,pos)) ownership, per-doc interval union,
+    token rebuild."""
+    words = {d: _re.split(" +", t) for d, t in rows}
+    grams = {}
+    for d, t in rows:
+        w = words[d]
+        for i in range(len(w) - n + 1):
+            grams.setdefault(" ".join(w[i : i + n]), []).append((d, i))
+    cuts = {d: set() for d, _ in rows}
+    for occ in grams.values():
+        if len(occ) >= 2:
+            owner = min(occ)
+            for d, i in occ:
+                if (d, i) != owner:
+                    cuts[d].add(i)
+    out = {}
+    for d, t in rows:
+        w = words[d]
+        removed = set()
+        for s in cuts[d]:
+            removed.update(range(s, s + n))
+        kept = [w[i] for i in range(len(w)) if i not in removed]
+        out[d] = (" ".join(kept), len(kept), len(w) - len(kept))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab"]), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_remove_repeated_spans_matches_reference(spark, texts, n):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.kept_tokens, r.removed_tokens)
+        for r in remove_repeated_spans(docs, n=n).collect()
+    }
+    assert got == _ref_remove_spans(rows, n)

@@ -77,6 +77,7 @@ GATED = [
     "cap_per_host_parity",  # counts join + hash-prefilter + window
     "repetition_metrics_documents",  # pure JVM array lambdas
     "window_distinct_users_daily",  # window() bucketing + HLL scaffold
+    "window_distinct_users_hopping",  # window(slide) + HLL scaffold
     "crawl_ingest_parity",  # the composed ingest chain stays NLJ-free
     # (theta_jaccard_partkeys excluded like the other theta queries:
     # the 1-row sketch-pair crossJoin is the correct plan)

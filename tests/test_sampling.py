@@ -270,6 +270,8 @@ def test_stratified_split_validation(spark):
         stratified_split(docs, ["lang"], splits=[("a", 0.5), ("a", 0.5)])
     with pytest.raises(ValueError):
         stratified_split(docs, ["lang"], splits=[("a", 0.7), ("b", 0.2)])
+    with pytest.raises(ValueError):
+        stratified_split(docs, [])
 
 
 def test_stratified_split_tiny_strata(spark):
