@@ -831,6 +831,47 @@ def q_simhash_pairs_parity(spark, sf):
     return simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
 
 
+def q_semdedup_parity(spark, sf):
+    # Oracle-visible SemDeDup (cluster + within-cluster cosine prune):
+    # corpus of one-hot vectors — clone pair i = docs (2i, 2i+1) both
+    # one-hot on dim i, singleton s one-hot on dim n_pairs+(s-2*n_pairs)
+    # — so every distinct-doc cosine is exactly 0 and every clone
+    # cosine exactly 1, regardless of which k-means cell a doc lands
+    # in (identical vectors always co-assign). Keep-set is therefore
+    # provable: the even member of each clone pair (id tiebreak) plus
+    # every singleton.
+    from hll_spark.operators.dedup import semdedup_keep
+
+    n_pairs, n_single = 300, 150
+    dim = n_pairs + n_single
+    ids = spark.range(2 * n_pairs + n_single).withColumnRenamed("id", "doc_id")
+    hot = F.when(
+        F.col("doc_id") < 2 * n_pairs, F.floor(F.col("doc_id") / 2)
+    ).otherwise(F.col("doc_id") - n_pairs).cast("int")
+    corpus = ids.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(j == hot, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return semdedup_keep(
+        corpus, "embedding", "doc_id", eps=0.05, n_clusters=8
+    ).select("doc_id")
+
+
+def q_semdedup_keep_embeddings(spark, sf):
+    # SemDeDup on the real embeddings table: rows-only (keep-set
+    # depends on the trained centroids); the provable-keep-set parity
+    # sibling is semdedup_parity, and the greedy rule's clique
+    # semantics are unit-tested in test_dedup.py
+    from hll_spark.operators.dedup import semdedup_keep
+
+    emb = _t(spark, sf, "embeddings")
+    kept = semdedup_keep(emb, "embedding", "vec_id", eps=0.2, n_clusters=8)
+    return kept.agg(F.count("*").alias("n_kept"))
+
+
 def q_lang_id_parity(spark, sf):
     # Oracle-visible language-ID (VERDICT r3 #6 family): constructed
     # corpus where every label is provable — doc_id%4 cycles through
@@ -940,6 +981,29 @@ def q_decontaminate_ngrams(spark, sf):
     docs = _t(spark, sf, "documents")
     bench = docs.where(F.col("doc_id") % 100 == 7)
     return decontaminate_ngrams(docs, bench, n=7)
+
+
+def q_normalize_unicode_docs(spark, sf):
+    # Unicode NFC normalization (Arrow-batched unicodedata UDF) vs
+    # DuckDB's nfc_normalize: combining-mark sequences appended to
+    # every doc (e + U+0301, A + U+030A) must collapse to their
+    # precomposed forms — per-row md5 + codepoint-count parity
+    from hll_spark.operators.text import normalize_unicode
+
+    docs = _t(spark, sf, "documents")
+    # decomposed on purpose: e + COMBINING ACUTE, A + COMBINING RING
+    messy = F.concat(
+        F.col("text"), F.lit(" café Århus")
+    )
+    norm = normalize_unicode(messy, "NFC")
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (F.length(messy) - F.length(norm)).cast("long").alias(
+            "chars_collapsed"
+        ),
+    )
 
 
 def q_decontaminate_bloom(spark, sf):
@@ -1883,18 +1947,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_value_bands": q_range_join_value_bands,
         "pivot_event_type_by_cohort": q_pivot_event_type_by_cohort,
         # -- no r3 row (past the r3 cap) ---------------------------------
-        # (media_features_documents rotated past the cap late-r4 for
-        # the hopping-window oracle: rows-only, r2-green, and its
-        # mapInPandas plumbing is oracle-covered by the in-window
-        # decoded_media_stats)
-        "media_metadata_documents": q_media_metadata_documents,
+        # (media_{metadata,features}_documents rotated past the cap
+        # late-r4 for the hopping-window and unicode-normalization
+        # oracles: both r2-green, and the media surface is
+        # oracle-covered by the in-window decoded_media_stats)
         "pricing_summary": q_pricing_summary,
         "join_mktsegment_orders": q_join_mktsegment_orders,
         "window_top_order_per_cust": q_window_top_order_per_cust,
         "customers_without_orders": q_customers_without_orders,
         "rollup_user_counts": q_rollup_user_counts,
         "json_props_stats": q_json_props_stats,
-        "consistent_sample_events": q_consistent_sample_events,
+        # (consistent_sample_events rotated past the cap late-r4 for
+        # the semdedup oracle: its membership contract is in-window as
+        # consistent_sample_parity, ORACLE)
         "exact_quantiles_price": q_exact_quantiles_price,
         "setop_partkeys_except": q_setop_partkeys_except,
         "asof_last_order": q_asof_last_order,
@@ -1903,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_pairs_parity": q_minhash_pairs_parity,
         "simhash_pairs_parity": q_simhash_pairs_parity,
+        "semdedup_parity": q_semdedup_parity,
         "lang_id_parity": q_lang_id_parity,
         "fingerprint_parity": q_fingerprint_parity,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1910,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "normalize_unicode_docs": q_normalize_unicode_docs,
         "dup_connected_components": q_dup_connected_components,
         "ivf_ann_parity": q_ivf_ann_parity,
         "lsh_ann_parity": q_lsh_ann_parity,
@@ -1946,6 +2013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table, streaming in test_streaming.py's real micro-batch
         # checkpoints)
         "extract_text_pages": q_extract_text_pages,
+        "consistent_sample_events": q_consistent_sample_events,
+        "semdedup_keep_embeddings": q_semdedup_keep_embeddings,
+        "media_metadata_documents": q_media_metadata_documents,
         "media_features_documents": q_media_features_documents,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
         "streaming_sink_distinct": q_streaming_sink_distinct,
@@ -2248,6 +2318,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INTEGER) AS hamming
             FROM range(400) t(i)
         """,
+        "semdedup_parity": """
+            -- even member of each clone pair + every singleton
+            SELECT i * 2 AS doc_id FROM range(300) t(i)
+            UNION ALL
+            SELECT 600 + i AS doc_id FROM range(150) t(i)
+        """,
         "pack_sequences_documents": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -2373,6 +2449,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "normalize_unicode_docs": """
+            -- the combining marks are built with chr() so no literal
+            -- can be silently re-normalized by an editor/transport
+            WITH m AS (
+              SELECT doc_id,
+                     text || ' caf' || 'e' || chr(769)
+                          || ' A' || chr(778) || 'rhus' AS messy
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(nfc_normalize(messy)) AS norm_md5,
+                   length(nfc_normalize(messy))::BIGINT AS norm_len,
+                   (length(messy) - length(nfc_normalize(messy)))::BIGINT
+                     AS chars_collapsed
+            FROM m
         """,
         "decontaminate_bloom": """
             -- the Bloom stage only prunes (no false negatives; false

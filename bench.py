@@ -311,6 +311,7 @@ EXTRA_QUERIES_R4 = [
     "bpe_merges_documents",
     "kll_range_buckets_price",
     "window_distinct_users_hopping",
+    "normalize_unicode_docs",
     "weighted_sample_docs",
 ]
 

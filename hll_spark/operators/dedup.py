@@ -1219,3 +1219,99 @@ def remove_repeated_spans(
             "removed_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup by k-means clustering + within-cluster cosine
+
+
+def semdedup_keep(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    eps: float = 0.05,
+    n_clusters: int = 16,
+    train_sample: int = 10_000,
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embeddings, then within each cluster greedily
+    drop every item whose cosine similarity to an already-KEPT item
+    exceeds ``1 - eps``. Returns the kept rows as (id_col,).
+
+    Keep rule, made deterministic: cluster members are visited in
+    (cosine-to-centroid DESC, id ASC) order — the item nearest its
+    centroid represents each semantic-duplicate group — and an item is
+    kept iff its max cosine to every earlier KEPT member is
+    <= 1 - eps. On clique-shaped duplicate groups this is exactly
+    "keep one representative per group".
+
+    Scale shape (the paper's own): centroids are trained driver-side
+    on a bounded ordered sample and broadcast; assignment + the
+    centroid-similarity ordering key are computed in ONE Arrow pass
+    over the corpus; the only shuffle keys on cluster id; the O(m^2)
+    cosine matrix is confined to single clusters via applyInPandas.
+    At 100 TB you raise ``n_clusters`` so that corpus/n_clusters rows
+    of (id, vec) fit one executor — cluster count, not corpus size,
+    bounds the quadratic term.
+    """
+    if not (0.0 < eps < 1.0):
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if df.isEmpty():
+        raise ValueError("semdedup_keep: input DataFrame is empty")
+    from .similarity import _as_matrix, _normalize, _train_centroids
+
+    thr = 1.0 - eps
+    sample_pdf = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    )
+    centroids = _train_centroids(_as_matrix(sample_pdf[vec_col]), n_clusters)
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    assign_schema = "cell long, cent_sim double"
+
+    def assign_batches(batches):
+        cents = bc.value
+        for pdf in batches:
+            mat = _normalize(_as_matrix(pdf[vec_col]))
+            sims = mat @ cents.T
+            cell = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": cell.astype(np.int64),
+                    "cent_sim": sims[np.arange(len(cell)), cell],
+                }
+            )
+
+    vec_field = df.schema[vec_col]
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign_batches,
+        schema=(
+            f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            f"{vec_col} {vec_field.dataType.simpleString()}, "
+            + assign_schema
+        ),
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cent_sim", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        mat = _normalize(_as_matrix(pdf[vec_col]))
+        # one GEMM per cluster (the paper's shape); greedy prefix scan
+        # over the row slices keeps the per-item step O(m)
+        sims = mat @ mat.T
+        kept: list[int] = []
+        for i in range(len(pdf)):
+            if not kept or float(sims[i, kept].max()) <= thr:
+                kept.append(i)
+        return pdf.iloc[kept][[id_col]]
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            prune, schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+        )
+        .select(id_col)
+    )

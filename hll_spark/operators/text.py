@@ -418,3 +418,36 @@ def strip_boilerplate_lines(
         .join(cleaned, id_col, "left")
         .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+
+
+def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (``form`` in NFC / NFKC / NFD
+    / NFKD). Web text mixes precomposed and combining-mark encodings
+    of the same glyphs (e.g. U+00E9 vs e + U+0301), which silently
+    breaks exact dedup, token counting, and gram joins — normalizing
+    FIRST makes those byte-comparisons mean what they look like.
+
+    Spark has no builtin normalizer, so this is an Arrow-batched
+    pandas UDF over ``unicodedata.normalize`` (CPython's normalizer is
+    a C loop; already-normalized strings — the overwhelming majority —
+    are detected via the quick-check path and returned unchanged).
+    NULLs pass through as NULL. The NFC form is mirrored by DuckDB's
+    ``nfc_normalize`` for the driver value oracle.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    c = F.col(col) if isinstance(col, str) else col
+
+    import unicodedata
+
+    @pandas_udf(StringType())
+    def _norm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return _norm(c)

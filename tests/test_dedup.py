@@ -303,3 +303,88 @@ def test_ngram_df_cap_keeps_threshold_pairs(spark, sf_dir):
         ).collect()
     }
     assert capped == uncapped and len(uncapped) > 0
+
+
+# ---------------------------------------------------------------------------
+# semdedup_keep (SemDeDup: k-means + within-cluster greedy cosine prune)
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.dedup import semdedup_keep  # noqa: E402
+
+
+def _onehot_corpus(spark, assignments):
+    """rows (id, one-hot(dim)) for a list of per-id hot dims."""
+    dim = max(assignments) + 1
+    rows = [
+        (i, [1.0 if j == hot else 0.0 for j in range(dim)])
+        for i, hot in enumerate(assignments)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+
+def test_semdedup_keeps_one_per_clone_group(spark):
+    # groups of 3 exact clones (dims 0..3) + 4 orthogonal singletons:
+    # greedy rule keeps exactly the lowest id per group + all singletons
+    assignments = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 5, 6, 7]
+    df = _onehot_corpus(spark, assignments)
+    kept = sorted(
+        r.doc_id
+        for r in semdedup_keep(df, "embedding", "doc_id", eps=0.05).collect()
+    )
+    assert kept == [0, 3, 6, 9, 12, 13, 14, 15]
+
+
+def test_semdedup_eps_widens_the_net(spark):
+    # two directions at cosine ~0.8: kept separately at eps=0.05
+    # (thr 0.95) but merged at eps=0.5 (thr 0.5)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.8, 0.6]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    tight = {
+        r.doc_id
+        for r in semdedup_keep(
+            df, "embedding", "doc_id", eps=0.05, n_clusters=1
+        ).collect()
+    }
+    loose = {
+        r.doc_id
+        for r in semdedup_keep(
+            df, "embedding", "doc_id", eps=0.5, n_clusters=1
+        ).collect()
+    }
+    assert tight == {0, 1, 2}
+    # thr=0.5: sims are (0,1)=0.8, (1,2)=0.6, (0,2)=0 — greedy from any
+    # visit order keeps exactly one of {1} plus the two axis vectors
+    # merged through it... n_clusters=1 makes the order deterministic:
+    # all cent_sims computed against the single centroid.
+    assert len(loose) < 3 and loose <= {0, 1, 2}
+
+
+def test_semdedup_deterministic(spark):
+    assignments = [i % 5 for i in range(40)]
+    df = _onehot_corpus(spark, assignments)
+    a = sorted(
+        r.doc_id
+        for r in semdedup_keep(df, "embedding", "doc_id", eps=0.1).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in semdedup_keep(df, "embedding", "doc_id", eps=0.1).collect()
+    )
+    assert a == b
+    # one representative per clone direction
+    assert len(a) == 5
+
+
+def test_semdedup_validates_inputs(spark):
+    df = _onehot_corpus(spark, [0, 1])
+    with pytest.raises(ValueError):
+        semdedup_keep(df, "embedding", "doc_id", eps=0.0)
+    with pytest.raises(ValueError):
+        semdedup_keep(df, "embedding", "doc_id", eps=1.0)
+    empty = df.where(F.col("doc_id") < 0)
+    with pytest.raises(ValueError):
+        semdedup_keep(empty, "embedding", "doc_id")

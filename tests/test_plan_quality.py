@@ -89,6 +89,8 @@ GATED = [
     "top_vocab",  # one hash aggregate + TakeOrderedAndProject
     "stratified_split_docs",  # md5-rank windows, no joins
     "kll_range_buckets_price",  # literal-array bucket filter + hash agg
+    "normalize_unicode_docs",  # one Arrow-batched projection, no joins
+    "semdedup_parity",  # mapInPandas assign + cell-grouped prune, join-free
     # (tfidf_top_terms excluded like decontaminate_documents: its only
     # cross join broadcasts the deliberately-1-row corpus-count frame)
 ]

@@ -202,3 +202,55 @@ def test_strip_boilerplate_regex_metachar_delim(spark):
         ).collect()
     }
     assert all(out[i] == f"content {i}" for i in range(8))
+
+
+# ---------------------------------------------------------------------------
+# normalize_unicode
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.text import normalize_unicode  # noqa: E402
+
+
+def test_normalize_unicode_nfc_composes(spark):
+    import unicodedata
+
+    rows = [
+        (1, "caf" + "e\u0301"),    # e + combining acute -> U+00E9
+        (2, "A\u030a" + "rhus"),   # A + combining ring -> U+00C5
+        (3, "plain ascii"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", normalize_unicode("text", "NFC").alias("norm")
+        ).collect()
+    }
+    assert got[1] == "caf\u00e9"
+    assert got[2] == "\u00c5rhus"
+    assert got[3] == "plain ascii"
+    assert got[4] is None
+    assert got[5] == ""
+    # NFC is idempotent and matches CPython's normalizer
+    for i, t in rows:
+        if t is not None:
+            assert got[i] == unicodedata.normalize("NFC", t)
+
+
+def test_normalize_unicode_nfkd_form(spark):
+    df = spark.createDataFrame(
+        [(1, "\ufb01ne \u00bd")], "id long, text string"
+    )
+    got = df.select(normalize_unicode("text", "NFKD").alias("n")).collect()[0].n
+    # compatibility decomposition: fi ligature splits, vulgar half
+    # becomes 1/2 (with FRACTION SLASH U+2044)
+    assert got == "fine 1\u20442"
+
+
+def test_normalize_unicode_invalid_form():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_unicode("text", "NFX")
