@@ -963,6 +963,36 @@ def q_paragraph_dedup_parity(spark, sf):
     return paragraph_dedup(corpus, "text", "doc_id")
 
 
+def q_lm_perplexity_documents(spark, sf):
+    # CCNet-style quality signal: self-fit bigram LM with add-one
+    # smoothing over a closed top-500 vocab, integer micro-log scoring
+    # (floor(log10(p)*1e6) summed as exact BIGINTs), so the full
+    # fit+score is value-oracled against a DuckDB reimplementation.
+    # ppl is derived from nll_micro/n_tokens and excluded here to keep
+    # the compared surface exact-integer.
+    from hll_spark.operators.lm import bigram_lm_perplexity
+
+    docs = _t(spark, sf, "documents")
+    return bigram_lm_perplexity(docs, "text", "doc_id", vocab_size=500).select(
+        "doc_id", "n_tokens", "nll_micro"
+    )
+
+
+def q_dsir_importance_documents(spark, sf):
+    # DSIR importance scoring: target domain = the English slice of
+    # documents; positive logratio_micro = more target-like than the
+    # raw pool. Exact-integer surface (micro-log BIGINT sums), so the
+    # ENTIRE two-model fit+score is value-oracled against a DuckDB
+    # reimplementation sharing the target-fit vocabulary.
+    from hll_spark.operators.lm import dsir_importance
+
+    docs = _t(spark, sf, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return dsir_importance(
+        docs, target, "text", "doc_id", vocab_size=300
+    ).select("doc_id", "n_tokens", "logratio_micro")
+
+
 def q_decontaminate_documents(spark, sf):
     # exact-substring benchmark decontamination: snippets are 80-char
     # windows of every doc_id % 100 == 7 document; the flagged set is
@@ -1973,7 +2003,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_parity": q_fingerprint_parity,
         "pack_sequences_documents": q_pack_sequences_documents,
         "paragraph_dedup_parity": q_paragraph_dedup_parity,
-        "decontaminate_documents": q_decontaminate_documents,
+        # (decontaminate_documents rotated past the cap late-r4 for the
+        # LM-perplexity oracle: the decontamination family keeps two
+        # in-window ORACLE rows — the gram-exact and at-scale Bloom
+        # paths — and the contains-variant is the simplest of the three)
+        "lm_perplexity_documents": q_lm_perplexity_documents,
         "decontaminate_ngrams": q_decontaminate_ngrams,
         "decontaminate_bloom": q_decontaminate_bloom,
         "normalize_unicode_docs": q_normalize_unicode_docs,
@@ -1990,8 +2024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_join_size_orders": q_ams_join_size_orders,
         "join_plan_orders_lineitem": q_join_plan_orders_lineitem,
         "theta_jaccard_partkeys": q_theta_jaccard_partkeys,
-        "window_distinct_users_daily": q_window_distinct_users_daily,
+        # (window_distinct_users_daily rotated past the cap late-r4 for
+        # the DSIR oracle: the in-window hopping variant strictly
+        # generalizes the tumbling one — same operator, hop == width)
         "window_distinct_users_hopping": q_window_distinct_users_hopping,
+        "dsir_importance_documents": q_dsir_importance_documents,
         "crawl_ingest_parity": q_crawl_ingest_parity,
         "repeated_span_stats": q_repeated_span_stats,
         "remove_repeated_spans": q_remove_repeated_spans,
@@ -2015,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_pages": q_extract_text_pages,
         "consistent_sample_events": q_consistent_sample_events,
         "semdedup_keep_embeddings": q_semdedup_keep_embeddings,
+        "decontaminate_documents": q_decontaminate_documents,
+        "window_distinct_users_daily": q_window_distinct_users_daily,
         "media_metadata_documents": q_media_metadata_documents,
         "media_features_documents": q_media_features_documents,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
@@ -2323,6 +2362,142 @@ def oracle_sql() -> dict[str, str]:
             SELECT i * 2 AS doc_id FROM range(300) t(i)
             UNION ALL
             SELECT 600 + i AS doc_id FROM range(150) t(i)
+        """,
+        "lm_perplexity_documents": r"""
+            -- full reimplementation of the bigram-LM fit+score
+            -- (operators/lm.py): whitespace class pinned to Java's \s
+            -- byte set; list_zip pads the shorter side with NULL, so
+            -- prepending BOS on the left makes the padded tail exactly
+            -- the one spurious pair (dropped by pr[2] IS NOT NULL);
+            -- integer micro-logs make the sums engine-exact
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(trim(lower(text)),
+                                          '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            words AS (SELECT unnest(ws) AS w FROM toks),
+            vocab AS (
+              SELECT w
+              FROM (SELECT w, count(*) AS cnt FROM words GROUP BY w)
+              ORDER BY cnt DESC, w ASC LIMIT 500
+            ),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(list_zip(list_prepend('<s>', ws), ws)) AS pr
+              FROM toks
+            ),
+            mapped AS (
+              SELECT doc_id,
+                     CASE WHEN pr[1] = '<s>' THEN '<s>'
+                          WHEN pr[1] IN (SELECT w FROM vocab) THEN pr[1]
+                          ELSE '<unk>' END AS w_prev,
+                     CASE WHEN pr[2] IN (SELECT w FROM vocab) THEN pr[2]
+                          ELSE '<unk>' END AS w
+              FROM pairs WHERE pr[2] IS NOT NULL
+            ),
+            model AS (
+              SELECT w_prev, w, count(*) AS cnt
+              FROM mapped GROUP BY w_prev, w
+            ),
+            ctx AS (
+              SELECT w_prev, sum(cnt) AS ctx FROM model GROUP BY w_prev
+            ),
+            veff AS (SELECT count(*) + 1 AS v FROM vocab),
+            scored AS (
+              SELECT m.doc_id,
+                     count(*)::BIGINT AS n_tokens,
+                     (-sum(floor(log10(
+                        (coalesce(mo.cnt, 0) + 1)::DOUBLE
+                          / (coalesce(c.ctx, 0) + v.v)) * 1e6)))::BIGINT
+                       AS nll_micro
+              FROM mapped m
+              LEFT JOIN model mo USING (w_prev, w)
+              LEFT JOIN ctx c USING (w_prev)
+              CROSS JOIN veff v
+              GROUP BY m.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(s.nll_micro, 0)::BIGINT AS nll_micro
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "dsir_importance_documents": r"""
+            -- two-model DSIR mirror: vocab + target LM fit on the
+            -- lang='en' slice, source LM fit on the full pool over the
+            -- SAME vocabulary; per-bigram integer micro-log difference
+            -- summed exactly (same tokenizer/zip-pad notes as the
+            -- lm_perplexity_documents oracle)
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(
+                       string_split_regex(trim(lower(text)),
+                                          '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            words_t AS (
+              SELECT unnest(ws) AS w FROM toks WHERE lang = 'en'
+            ),
+            vocab AS (
+              SELECT w
+              FROM (SELECT w, count(*) AS cnt FROM words_t GROUP BY w)
+              ORDER BY cnt DESC, w ASC LIMIT 300
+            ),
+            pairs AS (
+              SELECT doc_id, lang,
+                     unnest(list_zip(list_prepend('<s>', ws), ws)) AS pr
+              FROM toks
+            ),
+            mapped AS (
+              SELECT doc_id, lang,
+                     CASE WHEN pr[1] = '<s>' THEN '<s>'
+                          WHEN pr[1] IN (SELECT w FROM vocab) THEN pr[1]
+                          ELSE '<unk>' END AS w_prev,
+                     CASE WHEN pr[2] IN (SELECT w FROM vocab) THEN pr[2]
+                          ELSE '<unk>' END AS w
+              FROM pairs WHERE pr[2] IS NOT NULL
+            ),
+            model_t AS (
+              SELECT w_prev, w, count(*) AS cnt
+              FROM mapped WHERE lang = 'en' GROUP BY w_prev, w
+            ),
+            ctx_t AS (
+              SELECT w_prev, sum(cnt) AS ctx FROM model_t GROUP BY w_prev
+            ),
+            model_s AS (
+              SELECT w_prev, w, count(*) AS cnt
+              FROM mapped GROUP BY w_prev, w
+            ),
+            ctx_s AS (
+              SELECT w_prev, sum(cnt) AS ctx FROM model_s GROUP BY w_prev
+            ),
+            veff AS (SELECT count(*) + 1 AS v FROM vocab),
+            scored AS (
+              SELECT m.doc_id,
+                     count(*)::BIGINT AS n_tokens,
+                     sum(
+                       floor(log10(
+                         (coalesce(mt.cnt, 0) + 1)::DOUBLE
+                           / (coalesce(ct.ctx, 0) + v.v)) * 1e6)
+                       - floor(log10(
+                         (coalesce(ms.cnt, 0) + 1)::DOUBLE
+                           / (coalesce(cs.ctx, 0) + v.v)) * 1e6)
+                     )::BIGINT AS logratio_micro
+              FROM mapped m
+              LEFT JOIN model_t mt USING (w_prev, w)
+              LEFT JOIN ctx_t ct USING (w_prev)
+              LEFT JOIN model_s ms USING (w_prev, w)
+              LEFT JOIN ctx_s cs USING (w_prev)
+              CROSS JOIN veff v
+              GROUP BY m.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(s.logratio_micro, 0)::BIGINT AS logratio_micro
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "pack_sequences_documents": r"""
             WITH toks AS (

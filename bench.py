@@ -312,6 +312,9 @@ EXTRA_QUERIES_R4 = [
     "kll_range_buckets_price",
     "window_distinct_users_hopping",
     "normalize_unicode_docs",
+    "lm_perplexity_documents",
+    "dsir_importance_documents",
+    "semdedup_parity",
     "weighted_sample_docs",
 ]
 

@@ -91,6 +91,8 @@ GATED = [
     "kll_range_buckets_price",  # literal-array bucket filter + hash agg
     "normalize_unicode_docs",  # one Arrow-batched projection, no joins
     "semdedup_parity",  # mapInPandas assign + cell-grouped prune, join-free
+    "lm_perplexity_documents",  # broadcast hash joins + map-side-combined aggs
+    "dsir_importance_documents",  # same shape, two broadcast model sides
     # (tfidf_top_terms excluded like decontaminate_documents: its only
     # cross join broadcasts the deliberately-1-row corpus-count frame)
 ]
