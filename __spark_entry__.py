@@ -963,6 +963,31 @@ def q_paragraph_dedup_parity(spark, sf):
     return paragraph_dedup(corpus, "text", "doc_id")
 
 
+def q_char_entropy_documents(spark, sf):
+    # compression-ratio-family quality signal: per-doc codepoint
+    # entropy with the exact integer micro-log contract, so the Arrow
+    # numpy histogram is value-oracled against DuckDB's per-codepoint
+    # split+groupBy. entropy_bits is derived and excluded to keep the
+    # compared surface exact-integer.
+    from hll_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf, "documents")
+    return char_entropy(docs, "text", "doc_id").select(
+        "doc_id", "n_chars", "entropy_micro"
+    )
+
+
+def q_shard_manifest_documents(spark, sf):
+    # deterministic training-shard accounting: portable-md5 shard
+    # assignment + order-independent bit_xor checksums, so the entire
+    # manifest is engine-exact (the writer itself is exercised against
+    # real parquet output in test_shards.py)
+    from hll_spark.plans.shards import shard_manifest
+
+    docs = _t(spark, sf, "documents")
+    return shard_manifest(docs, "doc_id", 16, size_col="n_chars")
+
+
 def q_lm_perplexity_documents(spark, sf):
     # CCNet-style quality signal: self-fit bigram LM with add-one
     # smoothing over a closed top-500 vocab, integer micro-log scoring
@@ -1981,11 +2006,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # late-r4 for the hopping-window and unicode-normalization
         # oracles: both r2-green, and the media surface is
         # oracle-covered by the in-window decoded_media_stats)
-        "pricing_summary": q_pricing_summary,
-        "join_mktsegment_orders": q_join_mktsegment_orders,
-        "window_top_order_per_cust": q_window_top_order_per_cust,
-        "customers_without_orders": q_customers_without_orders,
-        "rollup_user_counts": q_rollup_user_counts,
+        # (pricing_summary / join_mktsegment_orders /
+        # window_top_order_per_cust rotated past the cap late-r4: each
+        # has r1/r2 ORACLE rows with code untouched, and the window
+        # must hold every never-driver-checked query — the invariant
+        # test_never_driver_checked_queries_sit_in_the_driver_window
+        # pins this)
+        "semdedup_keep_embeddings": q_semdedup_keep_embeddings,
+        "decontaminate_documents": q_decontaminate_documents,
+        "window_distinct_users_daily": q_window_distinct_users_daily,
+        # (customers_without_orders rotated past the cap late-r4 for
+        # the shard-manifest oracle: r1/r2 ORACLE rows, code untouched)
+        "shard_manifest_documents": q_shard_manifest_documents,
+        # (rollup_user_counts rotated past the cap late-r4 for the
+        # char-entropy oracle: r2 ORACLE row, code untouched)
+        "char_entropy_documents": q_char_entropy_documents,
         "json_props_stats": q_json_props_stats,
         # (consistent_sample_events rotated past the cap late-r4 for
         # the semdedup oracle: its membership contract is in-window as
@@ -2051,9 +2086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpoints)
         "extract_text_pages": q_extract_text_pages,
         "consistent_sample_events": q_consistent_sample_events,
-        "semdedup_keep_embeddings": q_semdedup_keep_embeddings,
-        "decontaminate_documents": q_decontaminate_documents,
-        "window_distinct_users_daily": q_window_distinct_users_daily,
+        "pricing_summary": q_pricing_summary,
+        "join_mktsegment_orders": q_join_mktsegment_orders,
+        "window_top_order_per_cust": q_window_top_order_per_cust,
+        "customers_without_orders": q_customers_without_orders,
+        "rollup_user_counts": q_rollup_user_counts,
         "media_metadata_documents": q_media_metadata_documents,
         "media_features_documents": q_media_features_documents,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,
@@ -2362,6 +2399,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT i * 2 AS doc_id FROM range(300) t(i)
             UNION ALL
             SELECT 600 + i AS doc_id FROM range(150) t(i)
+        """,
+        "char_entropy_documents": """
+            -- per-codepoint histogram entropy with the integer
+            -- micro-log contract; string_split(x, '') splits by
+            -- codepoint (verified: precomposed vs combining forms);
+            -- ch <> '' guards the empty-string split artifact
+            WITH chars AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), '')) AS ch
+              FROM documents
+            ),
+            hist AS (
+              SELECT doc_id, ch, count(*) AS cnt
+              FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+            ),
+            tot AS (SELECT doc_id, sum(cnt) AS n FROM hist GROUP BY doc_id),
+            scored AS (
+              SELECT h.doc_id,
+                     max(t.n)::BIGINT AS n_chars,
+                     (-sum(h.cnt * floor(
+                        log10(h.cnt::DOUBLE / t.n) * 1e6)))::BIGINT
+                       AS entropy_micro
+              FROM hist h JOIN tot t USING (doc_id)
+              GROUP BY h.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_chars, 0)::BIGINT AS n_chars,
+                   coalesce(s.entropy_micro, 0)::BIGINT AS entropy_micro
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "shard_manifest_documents": """
+            -- same portable 60-bit md5 rule the Spark operator uses;
+            -- bit_xor is order-independent, so the checksum is exact
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15)
+                     )::UBIGINT::BIGINT AS hv
+              FROM documents
+            )
+            SELECT (hv % 16)::INT AS shard_id,
+                   count(*)::BIGINT AS n_rows,
+                   bit_xor(hv)::BIGINT AS key_xor,
+                   sum(n_chars)::BIGINT AS total_size
+            FROM h GROUP BY 1
         """,
         "lm_perplexity_documents": r"""
             -- full reimplementation of the bigram-LM fit+score

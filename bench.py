@@ -315,6 +315,8 @@ EXTRA_QUERIES_R4 = [
     "lm_perplexity_documents",
     "dsir_importance_documents",
     "semdedup_parity",
+    "shard_manifest_documents",
+    "char_entropy_documents",
     "weighted_sample_docs",
 ]
 

@@ -9,11 +9,19 @@ Arrow-batched pandas UDFs over numpy — never per-row Python.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType, StringType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from .textkernels import fingerprint_values
 
@@ -451,3 +459,66 @@ def normalize_unicode(col: str | Column, form: str = "NFC") -> Column:
         )
 
     return _norm(c)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+
+
+def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document character-distribution entropy — the
+    compression-ratio family of quality filters (low entropy = highly
+    repetitive keyboard-mash / template spam; natural prose sits in a
+    narrow band). Returns (id_col, n_chars, entropy_micro, entropy_bits):
+
+    - ``n_chars``   = codepoint count (BIGINT)
+    - ``entropy_micro`` = -sum over distinct codepoints c of
+      count(c) * floor(log10(count(c)/n_chars) * 1e6) — an exact
+      BIGINT, bitwise reproducible in any engine (same integer
+      micro-log contract as operators/lm.py), mirrored verbatim by the
+      DuckDB driver oracle
+    - ``entropy_bits`` = entropy_micro / (n_chars * 1e6 * log10(2)),
+      the Shannon bits/char convenience (NULL for empty docs)
+
+    One Arrow pass; per batch the codepoints come from a utf-32 view
+    (no per-char Python objects) and the histogram from np.unique.
+    """
+    out_schema = StructType(
+        [
+            StructField("n_chars", LongType()),
+            StructField("entropy_micro", LongType()),
+        ]
+    )
+
+    @pandas_udf(out_schema)
+    def _ent(texts: pd.Series) -> pd.DataFrame:
+        ns, ents = [], []
+        for t in texts:
+            if not t:
+                ns.append(0)
+                ents.append(0)
+                continue
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            _, counts = np.unique(cps, return_counts=True)
+            n = int(cps.size)
+            micro = np.floor(
+                np.log10(counts / n) * 1e6
+            ).astype(np.int64)
+            ns.append(n)
+            ents.append(int(-(counts * micro).sum()))
+        return pd.DataFrame({"n_chars": ns, "entropy_micro": ents})
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.select(id_col, _ent(c).alias("e")).select(
+        id_col,
+        F.col("e.n_chars").alias("n_chars"),
+        F.col("e.entropy_micro").alias("entropy_micro"),
+    )
+    return out.withColumn(
+        "entropy_bits",
+        F.when(
+            F.col("n_chars") > 0,
+            F.col("entropy_micro")
+            / (F.col("n_chars") * F.lit(1e6) * F.lit(math.log10(2.0))),
+        ),
+    )

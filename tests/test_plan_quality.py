@@ -93,6 +93,8 @@ GATED = [
     "semdedup_parity",  # mapInPandas assign + cell-grouped prune, join-free
     "lm_perplexity_documents",  # broadcast hash joins + map-side-combined aggs
     "dsir_importance_documents",  # same shape, two broadcast model sides
+    "shard_manifest_documents",  # one codegen projection + hash aggregate
+    "char_entropy_documents",  # one Arrow-batched projection, no joins
     # (tfidf_top_terms excluded like decontaminate_documents: its only
     # cross join broadcasts the deliberately-1-row corpus-count frame)
 ]

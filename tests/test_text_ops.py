@@ -254,3 +254,48 @@ def test_normalize_unicode_invalid_form():
 
     with _pytest.raises(ValueError):
         normalize_unicode("text", "NFX")
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+from hll_spark.operators.text import char_entropy  # noqa: E402
+
+
+def test_char_entropy_hand_computed(spark):
+    rows = [
+        (0, "aab"),      # a:2/3, b:1/3
+        (1, "abcd"),     # uniform quarter
+        (2, "aaaa"),     # zero entropy
+        (3, ""),
+        (4, None),
+        (5, "e\u0301"),  # 2 distinct codepoints (combining mark counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chars, r.entropy_micro)
+        for r in char_entropy(df).collect()
+    }
+    # micro(p) = floor(log10(p) * 1e6)
+    assert got[0] == (3, -(2 * -176092 + 1 * -477122))
+    assert got[1] == (4, 4 * 602060)
+    assert got[2] == (4, 0)
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+    assert got[5] == (2, 2 * 301030)
+
+
+def test_char_entropy_bits_scale(spark):
+    df = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
+    row = char_entropy(df).collect()[0]
+    assert abs(row.entropy_bits - 2.0) < 1e-4  # 4 equiprobable symbols
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert char_entropy(empty).collect()[0].entropy_bits is None
+
+
+def test_char_entropy_flags_repetitive_text(spark):
+    rows = [(0, "aaaaaaaabbbbbbbb" * 8), (1, "The quick brown fox jumps!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.entropy_bits for r in char_entropy(df).collect()}
+    assert got[0] < 1.1 < got[1]
