@@ -3,6 +3,7 @@ entry at sf0.01 and compare against oracle_sql() via DuckDB
 (row count + sorted-column value comparison, order-insensitive)."""
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -10,7 +11,10 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF = "/root/testdata/sf0.01"
+# default mirrors the driver gate (sf0.01); override to re-verify the
+# whole oracle surface at another scale, e.g.
+#   HLL_SPARK_SF_DIR=/root/testdata/sf0.1 pytest tests/test_entry_contract.py
+SF = os.environ.get("HLL_SPARK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
