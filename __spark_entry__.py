@@ -963,6 +963,34 @@ def q_paragraph_dedup_parity(spark, sf):
     return paragraph_dedup(corpus, "text", "doc_id")
 
 
+def q_curate_corpus_docs(spark, sf):
+    # the full post-ingest curation chain on its AT-SCALE settings:
+    # clean_corpus (rep-based MinHash near-dup) -> CCNet-style LM
+    # perplexity gate -> DSIR selection against the lang='en' slice ->
+    # deterministic shard assignment; returns the per-shard doc counts
+    # (rows-only: stages 2-3 are model-derived, but every stage is
+    # individually ORACLE'd by its own driver query, and the whole
+    # chain is deterministic at any parallelism — test_pipeline_curate)
+    from hll_spark.operators.pipeline import curate_corpus
+
+    docs = _t(spark, sf, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = curate_corpus(
+        docs,
+        max_ppl=5000.0,
+        lm_vocab_size=300,
+        target=target,
+        min_logratio=-5.0,
+        n_shards=8,
+        exact_neardup=False,
+    )
+    return (
+        out.groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("shard_id")
+    )
+
+
 def q_char_entropy_documents(spark, sf):
     # compression-ratio-family quality signal: per-doc codepoint
     # entropy with the exact integer micro-log contract, so the Arrow
@@ -2021,7 +2049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (rollup_user_counts rotated past the cap late-r4 for the
         # char-entropy oracle: r2 ORACLE row, code untouched)
         "char_entropy_documents": q_char_entropy_documents,
-        "json_props_stats": q_json_props_stats,
+        # (json_props_stats rotated past the cap late-r4 for the
+        # curation-chain query: r2 ORACLE row, code untouched)
+        "curate_corpus_docs": q_curate_corpus_docs,
         # (consistent_sample_events rotated past the cap late-r4 for
         # the semdedup oracle: its membership contract is in-window as
         # consistent_sample_parity, ORACLE)
@@ -2091,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_order_per_cust": q_window_top_order_per_cust,
         "customers_without_orders": q_customers_without_orders,
         "rollup_user_counts": q_rollup_user_counts,
+        "json_props_stats": q_json_props_stats,
         "media_metadata_documents": q_media_metadata_documents,
         "media_features_documents": q_media_features_documents,
         "hll_flagship_distinct_text": q_hll_flagship_distinct_text,

@@ -317,6 +317,7 @@ EXTRA_QUERIES_R4 = [
     "semdedup_parity",
     "shard_manifest_documents",
     "char_entropy_documents",
+    "curate_corpus_docs",
     "weighted_sample_docs",
 ]
 

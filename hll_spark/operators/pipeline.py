@@ -168,3 +168,70 @@ def crawl_ingest(
             out, text_col=text_col, id_col=url_col, **clean_kwargs
         )
     return out
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ppl: float | None = None,
+    lm_vocab_size: int = 10_000,
+    target: DataFrame | None = None,
+    min_logratio: float | None = None,
+    n_shards: int | None = None,
+    shard_seed: int = 0,
+    clean: bool = True,
+    **clean_kwargs,
+) -> DataFrame:
+    """The full curation chain a modern LLM-data build runs AFTER
+    ingest — cleaned documents in, training-ready (optionally sharded)
+    corpus out:
+
+    1. clean_corpus     — exact dedup + quality gates + near-dup
+                          removal (pass ``exact_neardup=False`` for the
+                          at-scale rep-based MinHash path)
+    2. LM quality gate  — CCNet-style: self-fit bigram perplexity,
+                          keep docs with ``ppl <= max_ppl`` (empty docs
+                          drop: no evidence of fluency)
+    3. DSIR selection   — keep docs whose per-token target/source
+                          log-ratio is ``>= min_logratio`` against the
+                          ``target`` domain corpus. The threshold is an
+                          absolute value so the keep-set is exactly
+                          deterministic at any parallelism; derive it
+                          from a KLL quantile of a scored sample when
+                          you want "top X%" semantics.
+    4. sharding         — deterministic portable-md5 ``shard_id``
+                          (plans/shards.assign_shards) when
+                          ``n_shards`` is set.
+
+    Stages 2-3 each add one corpus scan + bounded broadcast joins (the
+    LM models) and one semi-join back on ``id_col``; nothing sorts the
+    corpus globally. Every stage is individually value-oracled by its
+    own driver query (clean_corpus_*, lm_perplexity_documents,
+    dsir_importance_documents, shard_manifest_documents); the
+    composition is covered by determinism/membership tests in
+    test_pipeline_curate.py.
+    """
+    from ..plans.shards import assign_shards
+    from .lm import bigram_lm_perplexity, dsir_importance
+
+    out = (
+        clean_corpus(docs, text_col=text_col, id_col=id_col, **clean_kwargs)
+        if clean
+        else docs
+    )
+    if max_ppl is not None:
+        scores = bigram_lm_perplexity(
+            out, text_col, id_col, vocab_size=lm_vocab_size
+        ).where(F.col("ppl") <= max_ppl)
+        out = out.join(scores.select(id_col), id_col, "left_semi")
+    if min_logratio is not None:
+        if target is None:
+            raise ValueError("min_logratio requires a target corpus")
+        imp = dsir_importance(
+            out, target, text_col, id_col, vocab_size=lm_vocab_size
+        ).where(F.col("avg_logratio") >= min_logratio)
+        out = out.join(imp.select(id_col), id_col, "left_semi")
+    if n_shards is not None:
+        out = assign_shards(out, id_col, n_shards, seed=shard_seed)
+    return out

@@ -187,3 +187,65 @@ def test_dsir_partitioning_invariance(spark):
         ).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# property tests vs a pure-Python reference model
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+from collections import Counter  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_word = st.sampled_from(["a", "b", "cc", "dd", "e1", "f2", "gg", "zz"])
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+def _ref_bigram_scores(texts, vocab_size):
+    """Independent plain-Python reimplementation of the LM contract."""
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    wc = Counter(w for ws in toks.values() for w in ws)
+    vocab = set(
+        w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    )
+    v_eff = len(vocab) + 1
+    m = lambda w: w if w in vocab else "<unk>"
+    grams = Counter()
+    ctx = Counter()
+    for ws in toks.values():
+        prev = "<s>"
+        for w in ws:
+            grams[(prev, m(w))] += 1
+            ctx[prev] += 1
+            prev = m(w)
+    out = {}
+    for i, ws in toks.items():
+        nll, prev = 0, "<s>"
+        for w in ws:
+            p = (grams[(prev, m(w))] + 1) / (ctx[prev] + v_eff)
+            nll -= math.floor(math.log10(p) * 1e6)
+            prev = m(w)
+        out[i] = (len(ws), nll)
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_doc, min_size=1, max_size=12), v=st.integers(1, 9))
+def test_lm_matches_pure_python_reference(spark, texts, v):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in bigram_lm_perplexity(
+            df, "text", "doc_id", vocab_size=v
+        ).collect()
+    }
+    assert got == _ref_bigram_scores(texts, v)

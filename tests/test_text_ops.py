@@ -299,3 +299,28 @@ def test_char_entropy_flags_repetitive_text(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.entropy_bits for r in char_entropy(df).collect()}
     assert got[0] < 1.1 < got[1]
+
+
+def test_char_entropy_matches_counter_reference(spark):
+    import math
+    from collections import Counter
+
+    texts = [
+        "mississippi", "aaa bbb ccc", "x", "", "the quick brown fox",
+        "ababab", "é́e", "1234567890" * 3,
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.entropy_micro)
+        for r in char_entropy(df).collect()
+    }
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        n = len(t)
+        ent = -sum(
+            cnt * math.floor(math.log10(cnt / n) * 1e6)
+            for cnt in c.values()
+        ) if n else 0
+        assert got[i] == (n, ent), t
