@@ -215,16 +215,28 @@ def curate_corpus(
     from ..plans.shards import assign_shards
     from .lm import bigram_lm_perplexity, dsir_importance
 
+    n_lm_gates = (max_ppl is not None) + (min_logratio is not None)
     out = (
         clean_corpus(docs, text_col=text_col, id_col=id_col, **clean_kwargs)
         if clean
         else docs
     )
+    if clean and n_lm_gates:
+        # each LM gate scans its input several times (vocab fit, model
+        # fit, scoring, semi-join back); without a lineage cut every
+        # scan would REPLAY the clean_corpus DAG — MinHash dedup
+        # included. localCheckpoint materializes the cleaned corpus
+        # once (same pattern as components.py's iteration truncation);
+        # at cluster scale persist/checkpoint the cleaned corpus the
+        # same way.
+        out = out.localCheckpoint(eager=False)
     if max_ppl is not None:
         scores = bigram_lm_perplexity(
             out, text_col, id_col, vocab_size=lm_vocab_size
         ).where(F.col("ppl") <= max_ppl)
         out = out.join(scores.select(id_col), id_col, "left_semi")
+        if min_logratio is not None:  # same replay argument between gates
+            out = out.localCheckpoint(eager=False)
     if min_logratio is not None:
         if target is None:
             raise ValueError("min_logratio requires a target corpus")
