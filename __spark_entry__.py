@@ -1074,9 +1074,12 @@ def q_normalize_unicode_docs(spark, sf):
     from hll_spark.operators.text import normalize_unicode
 
     docs = _t(spark, sf, "documents")
-    # decomposed on purpose: e + COMBINING ACUTE, A + COMBINING RING
+    # decomposed on purpose (e + COMBINING ACUTE, A + COMBINING RING),
+    # built from \u escapes so no editor/formatter/transport that
+    # NFC-normalizes this file can silently precompose the input --
+    # the same guard the DuckDB oracle gets from chr()
     messy = F.concat(
-        F.col("text"), F.lit(" café Århus")
+        F.col("text"), F.lit(" caf" + "e\u0301" + " A\u030a" + "rhus")
     )
     norm = normalize_unicode(messy, "NFC")
     return docs.select(
@@ -2490,20 +2493,28 @@ def oracle_sql() -> dict[str, str]:
                        x -> x <> '') AS ws
               FROM documents
             ),
-            words AS (SELECT unnest(ws) AS w FROM toks),
+            words AS (
+              SELECT unnest(ws) AS w FROM toks
+            ),
             vocab AS (
+              -- sentinels are reserved: literal '<s>'/'<unk>' tokens
+              -- never enter the vocab (they map to the unk bucket)
               SELECT w
-              FROM (SELECT w, count(*) AS cnt FROM words GROUP BY w)
+              FROM (SELECT w, count(*) AS cnt FROM words
+                    WHERE w NOT IN ('<s>', '<unk>') GROUP BY w)
               ORDER BY cnt DESC, w ASC LIMIT 500
             ),
             pairs AS (
+              -- idx marks the document-start pair POSITIONALLY, so a
+              -- literal '<s>' token is never mistaken for BOS
               SELECT doc_id,
-                     unnest(list_zip(list_prepend('<s>', ws), ws)) AS pr
+                     unnest(list_zip(list_prepend('<s>', ws), ws)) AS pr,
+                     unnest(range(1, len(ws) + 2)) AS idx
               FROM toks
             ),
             mapped AS (
               SELECT doc_id,
-                     CASE WHEN pr[1] = '<s>' THEN '<s>'
+                     CASE WHEN idx = 1 THEN '<s>'
                           WHEN pr[1] IN (SELECT w FROM vocab) THEN pr[1]
                           ELSE '<unk>' END AS w_prev,
                      CASE WHEN pr[2] IN (SELECT w FROM vocab) THEN pr[2]
@@ -2554,18 +2565,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(ws) AS w FROM toks WHERE lang = 'en'
             ),
             vocab AS (
+              -- sentinels reserved, BOS positional: same notes as the
+              -- lm_perplexity_documents oracle
               SELECT w
-              FROM (SELECT w, count(*) AS cnt FROM words_t GROUP BY w)
+              FROM (SELECT w, count(*) AS cnt FROM words_t
+                    WHERE w NOT IN ('<s>', '<unk>') GROUP BY w)
               ORDER BY cnt DESC, w ASC LIMIT 300
             ),
             pairs AS (
               SELECT doc_id, lang,
-                     unnest(list_zip(list_prepend('<s>', ws), ws)) AS pr
+                     unnest(list_zip(list_prepend('<s>', ws), ws)) AS pr,
+                     unnest(range(1, len(ws) + 2)) AS idx
               FROM toks
             ),
             mapped AS (
               SELECT doc_id, lang,
-                     CASE WHEN pr[1] = '<s>' THEN '<s>'
+                     CASE WHEN idx = 1 THEN '<s>'
                           WHEN pr[1] IN (SELECT w FROM vocab) THEN pr[1]
                           ELSE '<unk>' END AS w_prev,
                      CASE WHEN pr[2] IN (SELECT w FROM vocab) THEN pr[2]

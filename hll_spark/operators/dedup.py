@@ -1258,13 +1258,12 @@ def semdedup_keep(
         raise ValueError(f"eps must be in (0, 1), got {eps}")
     if df.isEmpty():
         raise ValueError("semdedup_keep: input DataFrame is empty")
-    from .similarity import _as_matrix, _normalize, _train_centroids
+    from .similarity import _as_matrix, _normalize, sample_train_centroids
 
     thr = 1.0 - eps
-    sample_pdf = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    centroids = sample_train_centroids(
+        df, vec_col, id_col, n_clusters, train_sample
     )
-    centroids = _train_centroids(_as_matrix(sample_pdf[vec_col]), n_clusters)
     bc = df.sparkSession.sparkContext.broadcast(centroids)
 
     assign_schema = "cell long, cent_sim double"
@@ -1272,7 +1271,7 @@ def semdedup_keep(
     def assign_batches(batches):
         cents = bc.value
         for pdf in batches:
-            mat = _normalize(_as_matrix(pdf[vec_col]))
+            mat = _normalize(_as_matrix(pdf[vec_col], cents.shape[1]))
             sims = mat @ cents.T
             cell = np.argmax(sims, axis=1)
             yield pd.DataFrame(

@@ -56,7 +56,12 @@ def _bigrams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     """Explode per-doc (w_prev, w) pairs with a BOS context for the
     first token. Pairing happens in array space (shifted zip) — no
     window, no per-doc sort, one narrow projection then explode.
-    ``id_col=None`` drops ids (the fit path needs only the pairs)."""
+    ``id_col=None`` drops ids (the fit path needs only the pairs).
+
+    The document-start context is marked POSITIONALLY (``__first``),
+    never by comparing the token text to "<s>": web text contains
+    literal "<s>"/"<unk>" strings (stripped HTML tags), and a value
+    comparison would conflate them with the sentinels."""
     toks = _tokens(text_col)
     prevs = F.concat(
         F.array(F.lit(BOS)), F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
@@ -64,9 +69,10 @@ def _bigrams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
     pairs = F.arrays_zip(prevs.alias("w_prev"), toks.alias("w"))
     head = [F.col(id_col)] if id_col else []
     return (
-        df.select(*head, F.explode(pairs).alias("pair"))
+        df.select(*head, F.posexplode(pairs).alias("__pos", "pair"))
         .select(
             *([id_col] if id_col else []),
+            (F.col("__pos") == 0).alias("__first"),
             F.col("pair.w_prev").alias("w_prev_raw"),
             F.col("pair.w").alias("w_raw"),
         )
@@ -79,16 +85,20 @@ def _bigrams(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
 
 def _unk_map(bigrams: DataFrame, vocab: DataFrame) -> DataFrame:
     """Map both bigram slots through the closed vocab (miss -> <unk>).
-    BOS is a context marker, never unk-mapped. Two broadcast hash
-    joins against the <= V-row vocab frame."""
+    The BOS context is the pair flagged ``__first`` — a positional
+    property, so a LITERAL "<s>" token in text maps through the vocab
+    like any other word (and, since sentinels are barred from the
+    vocab, lands on <unk>). Two broadcast hash joins against the
+    <= V-row vocab frame."""
     v1 = F.broadcast(vocab.select(F.col("w").alias("__v1")))
     v2 = F.broadcast(vocab.select(F.col("w").alias("__v2")))
+    drop = ("w_prev_raw", "w_raw", "__first")
     return (
         bigrams.join(v1, bigrams["w_prev_raw"] == v1["__v1"], "left")
         .join(v2, bigrams["w_raw"] == v2["__v2"], "left")
         .select(
-            *[c for c in bigrams.columns if c not in ("w_prev_raw", "w_raw")],
-            F.when(F.col("w_prev_raw") == BOS, F.lit(BOS))
+            *[c for c in bigrams.columns if c not in drop],
+            F.when(F.col("__first"), F.lit(BOS))
             .otherwise(F.coalesce(F.col("__v1"), F.lit(UNK)))
             .alias("w_prev"),
             F.coalesce(F.col("__v2"), F.lit(UNK)).alias("w"),
@@ -120,6 +130,10 @@ def fit_bigram_lm(
     if vocab is None:
         top = (
             train.select(F.explode(_tokens(text_col)).alias("w"))
+            # the sentinels are RESERVED: a literal "<s>"/"<unk>" token
+            # in text never enters the vocab, so it always maps to the
+            # <unk> bucket and can't collide with the markers
+            .where(~F.col("w").isin(BOS, UNK))
             .groupBy("w")
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("w"))
@@ -140,12 +154,24 @@ def fit_bigram_lm(
     return vocab, model, contexts, v_eff
 
 
+def _maybe_broadcast(frame: DataFrame, flag: bool) -> DataFrame:
+    """The fitted model is bounded by the distinct-gram count, not by
+    a constant: (V+1)^2 in the worst case, far less under Zipfian text
+    but potentially tens of millions of rows at vocab_size ~10^4 on a
+    huge corpus. broadcast=True (default) is right for the common
+    case; pass False to fall back to a shuffle hash join when the
+    model itself is executor-memory-sized (AQE will still convert the
+    join back to broadcast at runtime if the model turns out small)."""
+    return F.broadcast(frame) if flag else frame
+
+
 def bigram_lm_perplexity(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     train: DataFrame | None = None,
     vocab_size: int = 10_000,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Score every doc with the bigram LM (fit on ``train``, default:
     ``df`` itself — CCNet's in-domain configuration). Returns
@@ -158,14 +184,18 @@ def bigram_lm_perplexity(
 
     Low ppl = fluent, in-distribution text; high ppl = junk — filter
     with e.g. ``scores.where("ppl < threshold")``.
+
+    ``broadcast_model``: see ``_maybe_broadcast`` — set False when
+    vocab_size and corpus size make the fitted bigram table itself
+    too large to ship to every executor.
     """
     vocab, model, contexts, v_eff = fit_bigram_lm(
         train if train is not None else df, text_col, vocab_size
     )
     scored = _unk_map(_bigrams(df, text_col, id_col), vocab)
     joined = (
-        scored.join(F.broadcast(model), ["w_prev", "w"], "left")
-        .join(F.broadcast(contexts), ["w_prev"], "left")
+        scored.join(_maybe_broadcast(model, broadcast_model), ["w_prev", "w"], "left")
+        .join(_maybe_broadcast(contexts, broadcast_model), ["w_prev"], "left")
         .select(
             id_col,
             F.floor(
@@ -209,6 +239,7 @@ def dsir_importance(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab_size: int = 10_000,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """DSIR-style importance scoring (Data Selection via Importance
     Resampling, Xie et al. 2023, arXiv:2302.03169): score every doc in
@@ -228,9 +259,9 @@ def dsir_importance(
     ranking convenience (excluded from oracle surfaces).
 
     Scale shape: one bigram explode of ``df`` joined against BOTH
-    bounded broadcast models in a single pass, then one per-doc
-    partial-sum shuffle — scoring costs the same as one LM pass plus
-    two more broadcast hash joins.
+    models in a single pass, then one per-doc partial-sum shuffle —
+    scoring costs the same as one LM pass plus two more hash joins.
+    ``broadcast_model``: see ``_maybe_broadcast``.
     """
     vocab, model_t, ctx_t, v_eff = fit_bigram_lm(
         target, text_col, vocab_size
@@ -249,30 +280,37 @@ def dsir_importance(
             * 1e6
         ).cast("long")
 
+    bc = broadcast_model
     joined = (
         scored.join(
-            F.broadcast(
+            _maybe_broadcast(
                 model_t.select(
                     "w_prev", "w", F.col("cnt").alias("cnt_t")
-                )
+                ),
+                bc,
             ),
             ["w_prev", "w"],
             "left",
         )
         .join(
-            F.broadcast(ctx_t.select("w_prev", F.col("ctx").alias("ctx_t"))),
+            _maybe_broadcast(
+                ctx_t.select("w_prev", F.col("ctx").alias("ctx_t")), bc
+            ),
             ["w_prev"],
             "left",
         )
         .join(
-            F.broadcast(
-                model_s.select("w_prev", "w", F.col("cnt").alias("cnt_s"))
+            _maybe_broadcast(
+                model_s.select("w_prev", "w", F.col("cnt").alias("cnt_s")),
+                bc,
             ),
             ["w_prev", "w"],
             "left",
         )
         .join(
-            F.broadcast(ctx_s.select("w_prev", F.col("ctx").alias("ctx_s"))),
+            _maybe_broadcast(
+                ctx_s.select("w_prev", F.col("ctx").alias("ctx_s")), bc
+            ),
             ["w_prev"],
             "left",
         )

@@ -39,9 +39,13 @@ TOPK_SCHEMA = StructType(
 )
 
 
-def _as_matrix(series: pd.Series) -> np.ndarray:
-    if not len(series):  # pandas UDFs can receive empty batches
-        return np.zeros((0, 1), dtype=np.float64)
+def _as_matrix(series: pd.Series, dim: int = 1) -> np.ndarray:
+    """Stack an Arrow vector column into (n, d). ``dim`` sizes the
+    EMPTY-batch result (pandas UDFs can receive empty batches): a
+    (0, 1) placeholder breaks ``mat @ X.T`` for any X with d != 1, so
+    geometry-aware callers pass their known dimension."""
+    if not len(series):
+        return np.zeros((0, dim), dtype=np.float64)
     return np.vstack([np.asarray(v, dtype=np.float64) for v in series])
 
 
@@ -124,7 +128,7 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 1234):
     planes = _hyperplanes(dim, n_planes, seed)
 
     def bucket(vecs: pd.Series) -> pd.Series:
-        mat = _normalize(_as_matrix(vecs))
+        mat = _normalize(_as_matrix(vecs, planes.shape[1]))
         signs = (mat @ planes.T) > 0
         vals = (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(
             axis=1
@@ -140,7 +144,7 @@ def lsh_multiprobe_udf(dim: int, n_planes: int = 8, seed: int = 1234):
     planes = _hyperplanes(dim, n_planes, seed)
 
     def buckets(vecs: pd.Series) -> pd.Series:
-        mat = _normalize(_as_matrix(vecs))
+        mat = _normalize(_as_matrix(vecs, planes.shape[1]))
         signs = (mat @ planes.T) > 0
         vals = (signs.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(
             axis=1
@@ -221,6 +225,24 @@ def _train_centroids(
     return centroids
 
 
+def sample_train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    train_sample: int = 10_000,
+) -> np.ndarray:
+    """Deterministic driver-side k-means-lite: train on a bounded
+    id-ordered sample, return the normalized (k, d) centroid matrix.
+    The single training path shared by ``ivf_ann_topk`` and
+    ``dedup.semdedup_keep`` — fixes to sampling or tie-breaking apply
+    to both."""
+    sample_pdf = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    )
+    return _train_centroids(_as_matrix(sample_pdf[vec_col]), n_centroids)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,17 +263,16 @@ def ivf_ann_topk(
     driver-side mini k-means over a bounded sample (ordered by id for
     reproducibility).
     """
-    sample_pdf = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    centroids = sample_train_centroids(
+        corpus, vec_col, id_col, n_centroids, train_sample
     )
-    centroids = _train_centroids(_as_matrix(sample_pdf[vec_col]), n_centroids)
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast(centroids)
 
     def assign_udf_factory(n_cells: int):
         def assign(vecs: pd.Series) -> pd.Series:
             cents = bc.value
-            mat = _normalize(_as_matrix(vecs))
+            mat = _normalize(_as_matrix(vecs, cents.shape[1]))
             if n_cells == 1:
                 cell = np.argmax(mat @ cents.T, axis=1).astype(np.int64)
                 return pd.Series(cell, index=vecs.index)

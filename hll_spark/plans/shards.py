@@ -76,11 +76,29 @@ def write_training_shards(
     """Write the corpus as ``n_shards`` deterministic parquet shards
     (``path/shard_id=K/``) and return the manifest. One shuffle
     (repartition on shard_id); ``sort_col`` optionally orders rows
-    within each shard file (sortWithinPartitions — no global sort)."""
+    within each shard file (sortWithinPartitions — no global sort).
+
+    The manifest is computed from the WRITTEN files (a read-back of
+    key_col + shard_id only — column pruning keeps this cheap), not
+    from the input: that way the returned checksums actually cover
+    what landed on disk, so a row dropped or duplicated between
+    assignment and commit shows up as a manifest mismatch against an
+    independently computed ``shard_manifest(df, ...)``. It also avoids
+    re-executing the (possibly expensive) input DAG a second time."""
     sharded = assign_shards(df, key_col, n_shards, seed).repartition(
         n_shards, "shard_id"
     )
     if sort_col is not None:
         sharded = sharded.sortWithinPartitions("shard_id", sort_col)
     sharded.write.partitionBy("shard_id").mode("overwrite").parquet(path)
-    return shard_manifest(df, key_col, n_shards, seed)
+    back = df.sparkSession.read.parquet(path)
+    h = F.conv(_key_hex(key_col, seed), 16, 10).cast("long")
+    return (
+        back.select(F.col("shard_id").cast("int").alias("shard_id"),
+                    h.alias("__h"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.bit_xor("__h").alias("key_xor"),
+        )
+    )

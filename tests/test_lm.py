@@ -198,7 +198,12 @@ from collections import Counter  # noqa: E402
 
 from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
 
-_word = st.sampled_from(["a", "b", "cc", "dd", "e1", "f2", "gg", "zz"])
+# the literal sentinels are IN the pool: text containing "<s>"/"<unk>"
+# (stripped HTML tags are common in web text) must not be conflated
+# with the BOS/UNK markers
+_word = st.sampled_from(
+    ["a", "b", "cc", "dd", "e1", "f2", "gg", "zz", "<s>", "<unk>"]
+)
 _doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
 
 
@@ -206,6 +211,8 @@ def _ref_bigram_scores(texts, vocab_size):
     """Independent plain-Python reimplementation of the LM contract."""
     toks = {i: t.split() for i, t in enumerate(texts)}
     wc = Counter(w for ws in toks.values() for w in ws)
+    wc.pop("<s>", None)  # sentinels are reserved, never vocab members
+    wc.pop("<unk>", None)
     vocab = set(
         w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[
             :vocab_size
@@ -249,3 +256,24 @@ def test_lm_matches_pure_python_reference(spark, texts, v):
         ).collect()
     }
     assert got == _ref_bigram_scores(texts, v)
+
+
+def test_literal_sentinel_tokens_are_not_bos(spark):
+    # "x <s> y" : the literal <s> is a vocab-excluded token, so the
+    # model must score (x -> <unk>) and (<unk> -> y), NOT treat the
+    # pair as a fresh document start. Regression for the value-compare
+    # BOS rule (now positional).
+    df = spark.createDataFrame(
+        [(0, "x <s> y"), (1, "x q y")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in bigram_lm_perplexity(
+            df, "text", "doc_id", vocab_size=10
+        ).collect()
+    }
+    assert got == _ref_bigram_scores(["x <s> y", "x q y"], 10)
+    # and <s>/<unk> never enter the fitted vocabulary
+    vocab, _, _, _ = fit_bigram_lm(df, "text", vocab_size=10)
+    words = {r.w for r in vocab.collect()}
+    assert "<s>" not in words and "<unk>" not in words
