@@ -1031,6 +1031,33 @@ def q_lm_perplexity_documents(spark, sf):
     )
 
 
+def q_quality_classifier_parity(spark, sf):
+    # fastText/CCNet-style quality classifier: hashed-unigram hard-
+    # sigmoid logistic model fit by TWO rounds of exact-integer
+    # full-batch GD (label: lang='en'), then scored in-domain. Every
+    # quantity is a BIGINT in micro-units with pinned floor-division,
+    # so the ENTIRE fit+score (feature hashing -> 2 GD iterations ->
+    # link + threshold) is value-oracled against an unrolled DuckDB
+    # reimplementation. Unigrams only here to keep the SQL mirror one
+    # explode; bigram mode is reference-checked in test_classifier.py.
+    from hll_spark.operators.classifier import quality_classifier_labels
+
+    docs = _t(spark, sf, "documents")
+    labeled = docs.withColumn(
+        "__is_en", (F.col("lang") == "en").cast("int")
+    )
+    return quality_classifier_labels(
+        labeled,
+        "__is_en",
+        "text",
+        "doc_id",
+        n_features=4096,
+        iters=2,
+        lr_micro=2_000_000,
+        bigrams=False,
+    )
+
+
 def q_dsir_importance_documents(spark, sf):
     # DSIR importance scoring: target domain = the English slice of
     # documents; positive logratio_micro = more target-like than the
@@ -2059,7 +2086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the semdedup oracle: its membership contract is in-window as
         # consistent_sample_parity, ORACLE)
         "exact_quantiles_price": q_exact_quantiles_price,
-        "setop_partkeys_except": q_setop_partkeys_except,
+        # (setop_partkeys_except rotated past the cap for the quality-
+        # classifier oracle: r1+r2 ORACLE rows, code untouched)
         "asof_last_order": q_asof_last_order,
         "session_counts": q_session_counts,
         # -- changed or added in r4 --------------------------------------
@@ -2097,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generalizes the tumbling one — same operator, hop == width)
         "window_distinct_users_hopping": q_window_distinct_users_hopping,
         "dsir_importance_documents": q_dsir_importance_documents,
+        "quality_classifier_parity": q_quality_classifier_parity,
         "crawl_ingest_parity": q_crawl_ingest_parity,
         "repeated_span_stats": q_repeated_span_stats,
         "remove_repeated_spans": q_remove_repeated_spans,
@@ -2118,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table, streaming in test_streaming.py's real micro-batch
         # checkpoints)
         "extract_text_pages": q_extract_text_pages,
+        "setop_partkeys_except": q_setop_partkeys_except,
         "consistent_sample_events": q_consistent_sample_events,
         "pricing_summary": q_pricing_summary,
         "join_mktsegment_orders": q_join_mktsegment_orders,
@@ -2625,6 +2655,107 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
                    coalesce(s.logratio_micro, 0)::BIGINT AS logratio_micro
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "quality_classifier_parity": r"""
+            -- full mirror of the hashed-unigram hard-sigmoid logistic
+            -- classifier: md5 feature hashing (seed 13, mod 4096,
+            -- PRESENCE features), TWO unrolled exact-integer GD
+            -- iterations (divisor = n*1e6 // lr_micro with lr_micro =
+            -- 2e6), link p = clamp(500000 + floordiv(s,4), 0, 1e6).
+            -- '//' truncates toward zero in DuckDB exactly like
+            -- Spark's div, so floor division is 'x // d' minus one
+            -- when the remainder is negative (d > 0 always).
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                     list_filter(
+                       string_split_regex(trim(lower(text)),
+                                          '[ \t\n\x0b\f\r]+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            feats AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(md5(w || ':13'), 1, 15))::BIGINT
+                       % 4096 AS feat
+              FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+            ),
+            c AS (
+              SELECT ((count(*) * 1000000) // 2000000)::BIGINT AS dv
+              FROM toks
+            ),
+            e1 AS (  -- iter 1: w=0, b=0 => p=500000 for every doc
+              SELECT doc_id, (500000 - y * 1000000)::BIGINT AS err
+              FROM toks
+            ),
+            g1 AS (
+              SELECT feat, sum(err)::BIGINT AS g
+              FROM feats JOIN e1 USING (doc_id) GROUP BY feat
+            ),
+            w1 AS (
+              SELECT feat,
+                     (-(g // dv - CASE WHEN g % dv < 0 THEN 1 ELSE 0
+                        END))::BIGINT AS w
+              FROM g1, c
+            ),
+            b1 AS (
+              SELECT (-(s // dv - CASE WHEN s % dv < 0 THEN 1 ELSE 0
+                        END))::BIGINT AS b
+              FROM (SELECT sum(err)::BIGINT AS s FROM e1), c
+            ),
+            sw2 AS (
+              SELECT f.doc_id, sum(w1.w)::BIGINT AS sw
+              FROM feats f JOIN w1 USING (feat) GROUP BY f.doc_id
+            ),
+            s2 AS (
+              SELECT t.doc_id, t.y,
+                     ((SELECT b FROM b1) + coalesce(sw.sw, 0))::BIGINT AS s
+              FROM toks t LEFT JOIN sw2 sw USING (doc_id)
+            ),
+            e2 AS (  -- iter 2: link, error
+              SELECT doc_id,
+                     (greatest(0, least(1000000,
+                        500000 + (s // 4 - CASE WHEN s % 4 < 0 THEN 1
+                                  ELSE 0 END)))
+                      - y * 1000000)::BIGINT AS err
+              FROM s2
+            ),
+            g2 AS (
+              SELECT feat, sum(err)::BIGINT AS g
+              FROM feats JOIN e2 USING (doc_id) GROUP BY feat
+            ),
+            w2 AS (
+              SELECT w1.feat,
+                     (w1.w - (g // dv - CASE WHEN g % dv < 0 THEN 1
+                              ELSE 0 END))::BIGINT AS w
+              FROM w1 JOIN g2 USING (feat), c
+            ),
+            b2 AS (
+              SELECT ((SELECT b FROM b1)
+                      - (s // dv - CASE WHEN s % dv < 0 THEN 1 ELSE 0
+                         END))::BIGINT AS b
+              FROM (SELECT sum(err)::BIGINT AS s FROM e2), c
+            ),
+            sw3 AS (  -- final scoring pass
+              SELECT f.doc_id, sum(w2.w)::BIGINT AS sw
+              FROM feats f JOIN w2 USING (feat) GROUP BY f.doc_id
+            ),
+            s3 AS (
+              SELECT t.doc_id,
+                     ((SELECT b FROM b2) + coalesce(sw.sw, 0))::BIGINT AS s
+              FROM toks t LEFT JOIN sw3 sw USING (doc_id)
+            ),
+            p3 AS (
+              SELECT doc_id,
+                     (greatest(0, least(1000000,
+                        500000 + (s // 4 - CASE WHEN s % 4 < 0 THEN 1
+                                  ELSE 0 END))))::BIGINT AS score_micro
+              FROM s3
+            )
+            SELECT doc_id, score_micro,
+                   CASE WHEN score_micro >= 500000 THEN 1 ELSE 0
+                   END AS label
+            FROM p3
         """,
         "pack_sequences_documents": r"""
             WITH toks AS (

@@ -319,6 +319,7 @@ EXTRA_QUERIES_R4 = [
     "char_entropy_documents",
     "curate_corpus_docs",
     "weighted_sample_docs",
+    "quality_classifier_parity",
 ]
 
 

@@ -97,6 +97,9 @@ GATED = [
     "char_entropy_documents",  # one Arrow-batched projection, no joins
     # (tfidf_top_terms excluded like decontaminate_documents: its only
     # cross join broadcasts the deliberately-1-row corpus-count frame)
+    # (quality_classifier_parity excluded for the same reason: the
+    # bias rides a broadcast 1-row crossJoin; every model join is a
+    # broadcast HASH join on feat)
 ]
 
 
