@@ -934,6 +934,31 @@ def q_pack_sequences_documents(spark, sf):
     return pack_sequences(sized, "doc_id", "n_tok", 512)
 
 
+def q_token_budget_selection(spark, sf):
+    # Greedy token-budget corpus selection (the mixture-construction
+    # primitive: "keep the best docs until N tokens"): order by
+    # (n_chars DESC, doc_id) — a total order — and keep every doc whose
+    # exclusive running token total is under 20k. Deterministic prefix
+    # arithmetic ⇒ FULL value oracle (DuckDB window cumsum); the Spark
+    # side is the pruned two-phase scan in operators/packing.py (no
+    # global-window single-task collapse, post-budget partitions
+    # skipped).
+    from hll_spark.operators.packing import select_to_token_budget
+    from hll_spark.operators.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id", "n_chars", token_count("text").alias("n_tok")
+    )
+    return select_to_token_budget(
+        sized,
+        "doc_id",
+        "n_tok",
+        20_000,
+        order_by=[("n_chars", True), "doc_id"],
+    )
+
+
 def q_paragraph_dedup_parity(spark, sf):
     # Corpus-wide paragraph dedup (CCNet-style keep-first) under a full
     # value oracle. Constructed 3-paragraph corpus: each doc = its own
@@ -2088,7 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles_price": q_exact_quantiles_price,
         # (setop_partkeys_except rotated past the cap for the quality-
         # classifier oracle: r1+r2 ORACLE rows, code untouched)
-        "asof_last_order": q_asof_last_order,
+        # (asof_last_order rotated past the cap for the token-budget
+        # oracle: r1+r2 ORACLE rows, code untouched)
         "session_counts": q_session_counts,
         # -- changed or added in r4 --------------------------------------
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2126,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_distinct_users_hopping": q_window_distinct_users_hopping,
         "dsir_importance_documents": q_dsir_importance_documents,
         "quality_classifier_parity": q_quality_classifier_parity,
+        "token_budget_selection": q_token_budget_selection,
         "crawl_ingest_parity": q_crawl_ingest_parity,
         "repeated_span_stats": q_repeated_span_stats,
         "remove_repeated_spans": q_remove_repeated_spans,
@@ -2148,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpoints)
         "extract_text_pages": q_extract_text_pages,
         "setop_partkeys_except": q_setop_partkeys_except,
+        "asof_last_order": q_asof_last_order,
         "consistent_sample_events": q_consistent_sample_events,
         "pricing_summary": q_pricing_summary,
         "join_mktsegment_orders": q_join_mktsegment_orders,
@@ -2756,6 +2784,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN score_micro >= 500000 THEN 1 ELSE 0
                    END AS label
             FROM p3
+        """,
+        "token_budget_selection": r"""
+            -- greedy-fill mirror: same token counter as the
+            -- pack_sequences oracle, exclusive prefix sum over the
+            -- (n_chars DESC, doc_id) total order, keep offsets under
+            -- the 20k budget
+            WITH toks AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id,
+                     CAST(COALESCE(SUM(t) OVER (
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS budget_offset
+              FROM toks WHERE t > 0
+            )
+            SELECT doc_id, budget_offset
+            FROM pos WHERE budget_offset < 20000
         """,
         "pack_sequences_documents": r"""
             WITH toks AS (

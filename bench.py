@@ -320,6 +320,7 @@ EXTRA_QUERIES_R4 = [
     "curate_corpus_docs",
     "weighted_sample_docs",
     "quality_classifier_parity",
+    "token_budget_selection",
 ]
 
 

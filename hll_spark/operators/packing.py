@@ -144,3 +144,111 @@ def pack_sequences(
             )
 
     return ordered.mapInPandas(emit, _MANIFEST_SCHEMA)
+
+
+_BUDGET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("budget_offset", LongType()),
+    ]
+)
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_count_col,
+    budget: int,
+    order_by=None,
+) -> DataFrame:
+    """Greedy-fill corpus selection: walk documents in ``order_by``
+    order and keep each doc whose EXCLUSIVE running token total is
+    still below ``budget`` — the "take the best documents up to N
+    tokens" primitive of mixture construction (DoReMi-style domain
+    budgets, epoch sizing, 'top X by classifier score until the token
+    budget fills'). The doc that crosses the boundary is kept whole
+    (manifest semantics for trimming it live in ``pack_sequences``).
+
+    Returns (doc_id, budget_offset) — the kept ids with each doc's
+    exact global start offset in the ordered token stream; semi-join
+    back to ``df`` for the full rows. ``order_by`` is a list of
+    ``(expr, descending)`` pairs — a bare column name/Column means
+    ascending (e.g. ``[("score", True), "doc_id"]`` = score DESC,
+    doc_id ASC; default: ``id_col`` ascending) — and MUST be a total
+    order: ties would make the prefix sums ambiguous across engines.
+
+    Scale shape: the same two-phase scan as ``pack_sequences`` (one
+    range shuffle, per-partition totals prefix-summed on the driver),
+    plus a prune ``pack_sequences`` cannot do: partitions whose base
+    offset already exceeds ``budget`` are skipped wholesale in the
+    final pass, so a 1%-of-corpus budget does vectorized work on ~1%
+    of partitions (every partition is still scanned once for its
+    total — one O(n) pass, unavoidable without a pre-aggregated
+    token index).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    norm = []  # [(value Column, descending bool)]
+    for o in order_by if order_by else [id_col]:
+        expr, desc = o if isinstance(o, tuple) else (o, False)
+        expr = F.col(expr) if isinstance(expr, str) else expr
+        norm.append((expr, bool(desc)))
+    tokens = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens.cast("long").alias("__tok"),
+        *[e.alias(f"__o{i}") for i, (e, _) in enumerate(norm)],
+    ).where(F.col("__tok") > 0)
+    sort_exprs = [
+        F.col(f"__o{i}").desc() if d else F.col(f"__o{i}").asc()
+        for i, (_, d) in enumerate(norm)
+    ]
+    ordered = (
+        base.repartitionByRange(max(df.rdd.getNumPartitions(), 1), *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        ordered.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum("__tok").alias("__sum"))
+        .collect()
+    )
+    sums = {r["__pid"]: r["__sum"] for r in totals}
+    live: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        if acc < budget:
+            live[pid] = acc
+        acc += sums[pid]
+    cap = int(budget)
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if pid not in live:
+            return  # pruned: every doc here starts at/after the budget
+        pos = live[pid]
+        for b in batches:
+            tok = b["__tok"].to_numpy(dtype=np.int64)
+            if not len(tok):
+                continue
+            start = pos + np.concatenate(([0], np.cumsum(tok[:-1])))
+            pos = int(start[-1] + tok[-1])
+            keep = start < cap
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy()[keep],
+                    "budget_offset": start[keep],
+                }
+            )
+            if pos >= cap:
+                return  # the rest of this partition starts past budget
+
+    return ordered.mapInPandas(emit, _BUDGET_SCHEMA)
+

@@ -105,3 +105,73 @@ def test_bad_cap_rejected(spark):
     df = spark.createDataFrame([(0, 3)], "doc_id long, n_tok long")
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tok", 0)
+
+
+# ---------------------------------------------------------------- budget
+
+
+from hll_spark.operators.packing import select_to_token_budget  # noqa: E402
+
+
+def ref_budget(rows, budget, key=None):
+    """Sequential reference: greedy fill in key order, keep while the
+    exclusive prefix is under budget."""
+    key = key or (lambda r: r[0])
+    out, pos = [], 0
+    for i, t in sorted(((i, t) for i, t in rows if t > 0), key=key):
+        if pos < budget:
+            out.append((i, pos))
+        pos += t
+    return sorted(out)
+
+
+def run_budget(spark, rows, budget, order_by=None, n_parts=7):
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long").repartition(
+        n_parts
+    )
+    got = select_to_token_budget(df, "doc_id", "n_tok", budget, order_by)
+    return sorted((r.doc_id, r.budget_offset) for r in got.collect())
+
+
+def test_budget_matches_sequential_reference(spark):
+    random.seed(23)
+    rows = [
+        (i, random.choice([0, 1, 3, 17, 250, 1024])) for i in range(400)
+    ]
+    assert run_budget(spark, rows, 5_000) == ref_budget(rows, 5_000)
+
+
+def test_budget_descending_score_order(spark):
+    # order by n_tok DESC, doc_id ASC: the big docs fill the budget
+    rows = [(i, (i * 7) % 13 + 1) for i in range(60)]
+    got = run_budget(
+        spark, rows, 100, order_by=[("n_tok", True), "doc_id"]
+    )
+    want = ref_budget(rows, 100, key=lambda r: (-r[1], r[0]))
+    assert got == want
+
+
+def test_budget_boundary_doc_kept_whole(spark):
+    rows = [(0, 10), (1, 10), (2, 10)]
+    # budget 15: doc 1 starts at 10 < 15 -> kept; doc 2 starts at 20
+    assert run_budget(spark, rows, 15) == [(0, 0), (1, 10)]
+    # budget 10: doc 1 starts exactly AT the budget -> dropped
+    assert run_budget(spark, rows, 10) == [(0, 0)]
+
+
+def test_budget_larger_than_corpus_keeps_all(spark):
+    rows = [(i, 5) for i in range(20)]
+    assert run_budget(spark, rows, 10**9) == [(i, 5 * i) for i in range(20)]
+
+
+def test_budget_partitioning_invariance(spark):
+    rows = [(i, (i % 9) + 1) for i in range(200)]
+    a = run_budget(spark, rows, 300, n_parts=2)
+    b = run_budget(spark, rows, 300, n_parts=23)
+    assert a == b == ref_budget(rows, 300)
+
+
+def test_budget_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="budget"):
+        select_to_token_budget(df, "doc_id", "n_tok", 0)

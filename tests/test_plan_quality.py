@@ -100,6 +100,7 @@ GATED = [
     # (quality_classifier_parity excluded for the same reason: the
     # bias rides a broadcast 1-row crossJoin; every model join is a
     # broadcast HASH join on feat)
+    "token_budget_selection",  # range shuffle + mapInPandas, join-free
 ]
 
 
