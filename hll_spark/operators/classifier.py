@@ -145,13 +145,21 @@ def fit_quality_classifier(
     lr_micro: int = 2 * MICRO,
     bigrams: bool = True,
     seed: int = 13,
+    pos_weight: int = 1,
 ) -> QualityClassifier:
     """Fit the hard-sigmoid logistic model by ``iters`` rounds of
     exact-integer full-batch gradient descent.
 
     ``label_col`` must be 0/1 (int or boolean). ``lr_micro`` is the
     learning rate in micro-units (2e6 = lr 2.0); the update divisor
-    ``(n * 1e6) div lr_micro`` is fixed before the first iteration.
+    ``(n_eff * 1e6) div lr_micro`` is fixed before the first
+    iteration, where ``n_eff = n + (pos_weight - 1) * n_pos``.
+
+    ``pos_weight`` (integer >= 1) multiplies each POSITIVE doc's error
+    in the gradient — CCNet-style class balancing for the standard
+    reference-vs-pool setup where the reference corpus is a small
+    minority (set it to ~n_neg // n_pos); the exact-integer contract
+    is preserved (weighted errors are still exact BIGINTs).
 
     Per iteration: score join (feature frame x broadcast weights,
     per-doc sum), link + error, gradient join (feature frame x
@@ -163,6 +171,8 @@ def fit_quality_classifier(
         raise ValueError(f"iters must be >= 1, got {iters}")
     if lr_micro < 1:
         raise ValueError(f"lr_micro must be >= 1, got {lr_micro}")
+    if pos_weight < 1:
+        raise ValueError(f"pos_weight must be >= 1, got {pos_weight}")
     feats = hashed_features(
         train, text_col, id_col, n_features, bigrams, seed
     ).persist()
@@ -173,12 +183,16 @@ def fit_quality_classifier(
     n = labels.count()
     if n == 0:
         raise ValueError("fit_quality_classifier: empty training frame")
-    if lr_micro > n * MICRO:
+    n_eff = n
+    if pos_weight > 1:
+        n_pos = labels.where(F.col("__y") == 1).count()
+        n_eff = n + (pos_weight - 1) * n_pos
+    if lr_micro > n_eff * MICRO:
         raise ValueError(
-            f"lr_micro={lr_micro} too large for n={n} docs "
-            f"(update divisor would be 0); use lr_micro <= n * 1e6"
+            f"lr_micro={lr_micro} too large for n_eff={n_eff} docs "
+            f"(update divisor would be 0); use lr_micro <= n_eff * 1e6"
         )
-    divisor = (n * MICRO) // lr_micro
+    divisor = (n_eff * MICRO) // lr_micro
 
     spark = train.sparkSession
     weights = (
@@ -188,11 +202,15 @@ def fit_quality_classifier(
 
     for _ in range(iters):
         scores = _doc_scores(feats, labels, weights, bias, id_col)
+        raw_err = _hard_sigmoid_micro(F.col("__s")) - F.col("__y") * MICRO
         err = scores.select(
             id_col,
-            (_hard_sigmoid_micro(F.col("__s")) - F.col("__y") * MICRO).alias(
-                "__err"
-            ),
+            (
+                raw_err
+                * F.when(F.col("__y") == 1, F.lit(pos_weight)).otherwise(
+                    F.lit(1)
+                )
+            ).alias("__err"),
         )
         grads = (
             feats.join(err, id_col)

@@ -178,6 +178,9 @@ def curate_corpus(
     lm_vocab_size: int = 10_000,
     target: DataFrame | None = None,
     min_logratio: float | None = None,
+    min_clf_score_micro: int | None = None,
+    clf_kwargs: dict | None = None,
+    token_budget: int | None = None,
     n_shards: int | None = None,
     shard_seed: int = 0,
     clean: bool = True,
@@ -200,7 +203,21 @@ def curate_corpus(
                           deterministic at any parallelism; derive it
                           from a KLL quantile of a scored sample when
                           you want "top X%" semantics.
-    4. sharding         — deterministic portable-md5 ``shard_id``
+    4. classifier gate  — CCNet/LLaMA's other quality filter: a
+                          hashed-ngram linear classifier trained
+                          target-vs-pool (``target`` docs label 1, the
+                          current pool label 0, ids disambiguated by
+                          even/odd doubling), keep docs scoring
+                          ``>= min_clf_score_micro`` (exact-integer
+                          micro-units; 500_000 = the 0.5 decision
+                          boundary). ``clf_kwargs`` forwards to
+                          ``fit_quality_classifier``.
+    5. token budget     — greedy fill to ``token_budget`` whitespace
+                          tokens, best-first: by classifier score DESC
+                          when stage 4 ran, else by ``id_col`` — the
+                          epoch-sizing cut
+                          (packing.select_to_token_budget).
+    6. sharding         — deterministic portable-md5 ``shard_id``
                           (plans/shards.assign_shards) when
                           ``n_shards`` is set.
 
@@ -244,6 +261,58 @@ def curate_corpus(
             out, target, text_col, id_col, vocab_size=lm_vocab_size
         ).where(F.col("avg_logratio") >= min_logratio)
         out = out.join(imp.select(id_col), id_col, "left_semi")
+    clf_scores = None
+    if min_clf_score_micro is not None:
+        if target is None:
+            raise ValueError("min_clf_score_micro requires a target corpus")
+        from .classifier import fit_quality_classifier, score_quality
+
+        out = out.localCheckpoint(eager=False)  # same replay argument
+        # target-vs-pool training frame; even/odd id doubling keeps ids
+        # unique across the union without nondeterministic renumbering
+        train = out.select(
+            (F.col(id_col) * 2).alias(id_col),
+            F.col(text_col),
+            F.lit(0).alias("__y"),
+        ).unionByName(
+            target.select(
+                (F.col(id_col) * 2 + 1).alias(id_col),
+                F.col(text_col),
+                F.lit(1).alias("__y"),
+            )
+        )
+        kw = dict(clf_kwargs or {})
+        if "pos_weight" not in kw:
+            # the reference corpus is usually a small minority of the
+            # pool; balance the classes or the label-0 majority drags
+            # every score below the boundary (CCNet balances samples)
+            kw["pos_weight"] = max(1, out.count() // max(target.count(), 1))
+        model = fit_quality_classifier(
+            train, "__y", text_col, id_col, **kw
+        )
+        clf_scores = score_quality(out, model, text_col, id_col).select(
+            id_col, "score_micro"
+        )
+        kept = clf_scores.where(
+            F.col("score_micro") >= min_clf_score_micro
+        )
+        out = out.join(kept.select(id_col), id_col, "left_semi")
+    if token_budget is not None:
+        from .packing import select_to_token_budget
+        from .text import token_count
+
+        sized = out.select(F.col(id_col), token_count(text_col).alias("__tok"))
+        if clf_scores is not None:
+            sized = sized.join(clf_scores, id_col)
+            order = [("score_micro", True), id_col]
+        else:
+            order = [id_col]
+        picked = select_to_token_budget(
+            sized, id_col, "__tok", token_budget, order_by=order
+        )
+        out = out.join(
+            picked.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+        )
     if n_shards is not None:
         out = assign_shards(out, id_col, n_shards, seed=shard_seed)
     return out

@@ -42,7 +42,9 @@ def _link(s: int) -> int:
     return max(0, min(MICRO, 500_000 + _floordiv(s, 4)))
 
 
-def _ref_fit_score(docs, labels, n_features, iters, lr_micro, bigrams, seed):
+def _ref_fit_score(
+    docs, labels, n_features, iters, lr_micro, bigrams, seed, pos_weight=1
+):
     """Plain-Python mirror of fit_quality_classifier + score_quality.
 
     docs: {id: text}; labels: {id: 0/1}. Returns {id: (score, label)}.
@@ -50,15 +52,17 @@ def _ref_fit_score(docs, labels, n_features, iters, lr_micro, bigrams, seed):
     feats = {
         i: _ref_feats(t, seed, n_features, bigrams) for i, t in docs.items()
     }
-    n = len(docs)
-    divisor = (n * MICRO) // lr_micro
+    n_eff = len(docs) + (pos_weight - 1) * sum(labels.values())
+    divisor = (n_eff * MICRO) // lr_micro
     w = defaultdict(int)
     b = 0
     for _ in range(iters):
         err = {}
         for i in docs:
             s = b + sum(w[j] for j in feats[i])
-            err[i] = _link(s) - labels[i] * MICRO
+            err[i] = (_link(s) - labels[i] * MICRO) * (
+                pos_weight if labels[i] == 1 else 1
+            )
         grad = defaultdict(int)
         for i in docs:
             for j in feats[i]:
@@ -155,6 +159,29 @@ def test_score_out_of_domain(spark):
     )
     got = {r.doc_id: r.label for r in score_quality(test, model).collect()}
     assert got == {100: 1, 101: 0}
+
+
+def test_pos_weight_matches_reference_and_rescues_minority(spark):
+    # 1 positive vs 7 negatives: unweighted, the majority drags the
+    # lone positive's score under the boundary; pos_weight balances it
+    rows = [(0, "alpha beta gamma", 1)] + [
+        (i, f"junk{i} spam{i} junk{i}", 0) for i in range(1, 8)
+    ]
+    unweighted = _spark_results(
+        spark, rows, n_features=512, iters=4, lr_micro=2 * MICRO
+    )
+    assert unweighted[0][1] == 0  # drowned by the class prior
+    got = _spark_results(
+        spark, rows, n_features=512, iters=4, lr_micro=2 * MICRO,
+        pos_weight=7,
+    )
+    ref = _ref_fit_score(
+        {i: t for i, t, _ in rows},
+        {i: y for i, _, y in rows},
+        512, 4, 2 * MICRO, True, 13, pos_weight=7,
+    )
+    assert got == ref
+    assert got[0][1] == 1  # balanced: the positive is recovered
 
 
 def test_hashed_features_presence_and_range(spark):

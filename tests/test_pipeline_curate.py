@@ -87,3 +87,51 @@ def test_sharding_and_determinism(corpus, target):
 def test_min_logratio_requires_target(corpus):
     with pytest.raises(ValueError):
         curate_corpus(corpus, min_logratio=0.0)
+
+
+def test_classifier_gate_drops_off_target(corpus, target):
+    # target = fluent English; the junk and German docs score below
+    # the 0.5 boundary once the classifier separates target-vs-pool
+    gated = _ids(
+        curate_corpus(
+            corpus,
+            target=target,
+            min_clf_score_micro=500_000,
+            clf_kwargs=dict(n_features=4096, iters=5, lr_micro=4_000_000),
+            **LOOSE,
+        )
+    )
+    assert set(range(20)) <= gated         # target-like docs survive
+    assert {200, 201, 300} & gated == set()  # junk + off-target drop
+
+
+def test_classifier_gate_requires_target(corpus):
+    with pytest.raises(ValueError, match="min_clf_score_micro"):
+        curate_corpus(corpus, min_clf_score_micro=500_000, **LOOSE)
+
+
+def test_token_budget_caps_the_corpus(corpus):
+    full = curate_corpus(corpus, **LOOSE)
+    n_full = full.count()
+    capped = curate_corpus(corpus, token_budget=40, **LOOSE)
+    got = capped.count()
+    assert 0 < got < n_full
+    # greedy fill by doc_id: the kept set is a prefix of the id order
+    kept = sorted(_ids(capped))
+    assert kept == sorted(_ids(full))[: len(kept)]
+
+
+def test_budget_orders_by_classifier_score(corpus, target):
+    # with the classifier on, the budget keeps the HIGHEST-scoring
+    # docs first — junk cannot enter before fluent docs
+    out = curate_corpus(
+        corpus,
+        target=target,
+        min_clf_score_micro=0,  # gate off (score >= 0 keeps all)
+        clf_kwargs=dict(n_features=4096, iters=5, lr_micro=4_000_000),
+        token_budget=120,
+        **LOOSE,
+    )
+    kept = _ids(out)
+    assert kept  # something was selected
+    assert kept <= set(range(20))  # only target-like docs fit first
