@@ -959,6 +959,46 @@ def q_token_budget_selection(spark, sf):
     )
 
 
+def q_budget_mixture_by_lang(spark, sf):
+    # Per-domain token-budget fill — the executable half of a DoReMi/
+    # Llama-style mixture recipe ("60% en, 20% de, 10% fr, 10% es").
+    # mixture_budgets does the exact largest-remainder weights→budgets
+    # arithmetic (30k total → en 18000 / de 6000 / fr 3000 / es 3000 —
+    # deterministic, so the oracle pins the same literals); the grouped
+    # greedy fill keeps each lang's (n_chars DESC, doc_id) prefix while
+    # its exclusive token total is under its own budget. zh carries no
+    # weight ⇒ dropped entirely (the recipe's "not in the mixture"
+    # path). Same pruned two-phase scan as token_budget_selection,
+    # range-partitioned on (lang, order...) so each lang is a
+    # contiguous run and the per-partition totals stay one tiny row
+    # per (partition, lang).
+    from hll_spark.operators.packing import (
+        mixture_budgets,
+        select_to_token_budget_grouped,
+    )
+    from hll_spark.operators.text import token_count
+
+    docs = _t(spark, sf, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        token_count("text").alias("n_tok"),
+    )
+    budgets = mixture_budgets(
+        30_000, {"en": 6, "de": 2, "fr": 1, "es": 1}
+    )
+    assert budgets == {"en": 18_000, "de": 6_000, "fr": 3_000, "es": 3_000}
+    return select_to_token_budget_grouped(
+        sized,
+        "doc_id",
+        "n_tok",
+        budgets,
+        "lang",
+        order_by=[("n_chars", True), "doc_id"],
+    )
+
+
 def q_paragraph_dedup_parity(spark, sf):
     # Corpus-wide paragraph dedup (CCNet-style keep-first) under a full
     # value oracle. Constructed 3-paragraph corpus: each doc = its own
@@ -2115,7 +2155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # classifier oracle: r1+r2 ORACLE rows, code untouched)
         # (asof_last_order rotated past the cap for the token-budget
         # oracle: r1+r2 ORACLE rows, code untouched)
-        "session_counts": q_session_counts,
+        # (session_counts rotated past the cap for the grouped-budget
+        # mixture oracle: r2 ORACLE row, code untouched)
+        "budget_mixture_by_lang": q_budget_mixture_by_lang,
         # -- changed or added in r4 --------------------------------------
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "minhash_pairs_parity": q_minhash_pairs_parity,
@@ -2174,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table, streaming in test_streaming.py's real micro-batch
         # checkpoints)
         "extract_text_pages": q_extract_text_pages,
+        "session_counts": q_session_counts,
         "setop_partkeys_except": q_setop_partkeys_except,
         "asof_last_order": q_asof_last_order,
         "consistent_sample_events": q_consistent_sample_events,
@@ -2807,6 +2850,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, budget_offset
             FROM pos WHERE budget_offset < 20000
+        """,
+        "budget_mixture_by_lang": r"""
+            -- grouped greedy-fill mirror: exclusive prefix sum
+            -- PARTITIONED BY lang over the (n_chars DESC, doc_id)
+            -- order; per-lang caps are mixture_budgets(30000,
+            -- {en:6, de:2, fr:1, es:1}) spelled out literally
+            -- (largest-remainder split is exact here: 18000/6000/
+            -- 3000/3000). zh has no weight => dropped.
+            WITH toks AS (
+              SELECT doc_id, lang, n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS t
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, lang,
+                     CAST(COALESCE(SUM(t) OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS budget_offset
+              FROM toks WHERE t > 0
+            )
+            SELECT doc_id, lang, budget_offset
+            FROM pos
+            WHERE budget_offset < CASE lang
+                WHEN 'en' THEN 18000
+                WHEN 'de' THEN 6000
+                WHEN 'fr' THEN 3000
+                WHEN 'es' THEN 3000
+                ELSE 0 END
         """,
         "pack_sequences_documents": r"""
             WITH toks AS (

@@ -188,11 +188,7 @@ def select_to_token_budget(
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
-    norm = []  # [(value Column, descending bool)]
-    for o in order_by if order_by else [id_col]:
-        expr, desc = o if isinstance(o, tuple) else (o, False)
-        expr = F.col(expr) if isinstance(expr, str) else expr
-        norm.append((expr, bool(desc)))
+    norm = _norm_order(order_by, id_col)
     tokens = (
         F.col(token_count_col)
         if isinstance(token_count_col, str)
@@ -251,4 +247,179 @@ def select_to_token_budget(
                 return  # the rest of this partition starts past budget
 
     return ordered.mapInPandas(emit, _BUDGET_SCHEMA)
+
+
+def _norm_order(order_by, id_col):
+    """[(value Column, descending bool)] from the caller's order_by
+    list of ``(expr, desc)`` pairs / bare exprs (see
+    select_to_token_budget); default: id ascending."""
+    norm = []
+    for o in order_by if order_by else [id_col]:
+        expr, desc = o if isinstance(o, tuple) else (o, False)
+        expr = F.col(expr) if isinstance(expr, str) else expr
+        norm.append((expr, bool(desc)))
+    return norm
+
+
+def mixture_budgets(total: int, weights: dict) -> dict:
+    """Integer largest-remainder split of ``total`` tokens across the
+    ``weights`` dict (group -> non-negative number) — the arithmetic
+    half of domain-mixture construction (DoReMi/Llama-style "X% web,
+    Y% code, Z% wiki" recipes). Exact: the returned budgets are
+    non-negative ints summing to ``total``; floors first, remainders
+    to the largest fractional shares, ties broken by str(group) so the
+    split is deterministic in every engine and run.
+    """
+    if total < 1:
+        raise ValueError("total must be >= 1")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    from fractions import Fraction
+
+    fw = {g: Fraction(w) for g, w in weights.items()}
+    if any(w < 0 for w in fw.values()):
+        raise ValueError("weights must be non-negative")
+    wsum = sum(fw.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {g: Fraction(total) * w / wsum for g, w in fw.items()}
+    out = {g: int(s) for g, s in shares.items()}  # floor (shares >= 0)
+    leftover = total - sum(out.values())
+    by_rem = sorted(
+        shares, key=lambda g: (-(shares[g] - out[g]), str(g))
+    )
+    for g in by_rem[:leftover]:
+        out[g] += 1
+    return out
+
+
+def select_to_token_budget_grouped(
+    df: DataFrame,
+    id_col: str,
+    token_count_col,
+    budgets: dict | int,
+    group_col: str,
+    order_by=None,
+) -> DataFrame:
+    """Per-group greedy fill: within EACH ``group_col`` value, keep
+    docs in ``order_by`` order while the group's exclusive token
+    prefix is under that group's budget — ``select_to_token_budget``
+    with one budget per domain, i.e. the executable half of a mixture
+    recipe (pair with ``mixture_budgets`` for the weights→budgets
+    arithmetic).
+
+    ``budgets``: a dict group→budget (groups absent from the dict, or
+    with budget 0, are dropped entirely — including null groups unless
+    None is a key), or a single int applied to every group. Returns
+    (doc_id, <group_col>, budget_offset) with offsets restarting per
+    group.
+
+    Scale shape: identical two-phase scan, range-partitioned on
+    (group, order...) so each group is a contiguous run; per-partition
+    totals are per (partition, group) — still one tiny row each — and
+    the driver prefix-sums per group. The budget prune generalizes:
+    a partition is skipped unless at least one of its groups is still
+    under budget there, and per-batch masks cut the rest.
+    """
+    if isinstance(budgets, int):
+        if budgets < 1:
+            raise ValueError("budgets must be >= 1")
+    else:
+        if not budgets:
+            raise ValueError("budgets dict must be non-empty")
+        if any(int(b) < 0 for b in budgets.values()):
+            raise ValueError("budgets must be non-negative")
+    norm = _norm_order(order_by, id_col)
+    tokens = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(group_col).alias("__g"),
+        tokens.cast("long").alias("__tok"),
+        *[e.alias(f"__o{i}") for i, (e, _) in enumerate(norm)],
+    ).where(F.col("__tok") > 0)
+    sort_exprs = [F.col("__g").asc()] + [
+        F.col(f"__o{i}").desc() if d else F.col(f"__o{i}").asc()
+        for i, (_, d) in enumerate(norm)
+    ]
+    ordered = (
+        base.repartitionByRange(max(df.rdd.getNumPartitions(), 1), *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        ordered.groupBy(
+            F.spark_partition_id().alias("__pid"), F.col("__g")
+        )
+        .agg(F.sum("__tok").alias("__sum"))
+        .collect()
+    )
+
+    def cap_of(g):
+        return int(budgets) if isinstance(budgets, int) else int(
+            budgets.get(g, 0)
+        )
+
+    acc: dict = {}
+    live: dict[int, dict] = {}  # pid -> {group: base offset}
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        g = r["__g"]
+        off = acc.get(g, 0)
+        if off < cap_of(g):
+            live.setdefault(r["__pid"], {})[g] = off
+        acc[g] = off + r["__sum"]
+    caps = {g: cap_of(g) for g in acc}
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            base.schema["__g"],
+            StructField("budget_offset", LongType()),
+        ]
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from pyspark import TaskContext
+
+        pos = live.get(TaskContext.get().partitionId())
+        if not pos:
+            return  # no group is still under budget in this partition
+        pos = dict(pos)
+        for b in batches:
+            if not len(b):
+                continue
+            tok = b["__tok"].to_numpy(dtype=np.int64)
+            g = b["__g"]
+            cums = (
+                b.groupby("__g", sort=False, dropna=False)["__tok"]
+                .cumsum()
+                .to_numpy(dtype=np.int64)
+                - tok
+            )
+            base_off = g.map(pos).to_numpy(dtype="float64")
+            bud = g.map(caps).to_numpy(dtype="float64")
+            start = base_off + cums
+            keep = ~np.isnan(base_off) & (start < bud)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy()[keep],
+                    "__g": g.to_numpy()[keep],
+                    "budget_offset": start[keep].astype(np.int64),
+                }
+            )
+            for gg, s in (
+                b.groupby("__g", sort=False, dropna=False)["__tok"]
+                .sum()
+                .items()
+            ):
+                if gg in pos:
+                    pos[gg] += int(s)
+
+    return ordered.mapInPandas(emit, out_schema).withColumnRenamed(
+        "__g", group_col
+    )
 

@@ -175,3 +175,118 @@ def test_budget_validation(spark):
     df = spark.createDataFrame([(0, 1)], "doc_id long, n_tok long")
     with pytest.raises(ValueError, match="budget"):
         select_to_token_budget(df, "doc_id", "n_tok", 0)
+
+
+# ------------------------------------------------------- grouped budget
+
+
+from hll_spark.operators.packing import (  # noqa: E402
+    mixture_budgets,
+    select_to_token_budget_grouped,
+)
+
+
+def ref_budget_grouped(rows, budgets, key=None):
+    """Sequential reference: per-group greedy fill. rows: (id, grp, tok)."""
+    key = key or (lambda r: r[0])
+    out, pos = [], {}
+    for i, g, t in sorted(
+        ((i, g, t) for i, g, t in rows if t > 0), key=key
+    ):
+        cap = budgets if isinstance(budgets, int) else budgets.get(g, 0)
+        p = pos.get(g, 0)
+        if p < cap:
+            out.append((i, g, p))
+        pos[g] = p + t
+    return sorted(out)
+
+
+def run_grouped(spark, rows, budgets, order_by=None, n_parts=7):
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, n_tok long"
+    ).repartition(n_parts)
+    got = select_to_token_budget_grouped(
+        df, "doc_id", "n_tok", budgets, "grp", order_by
+    )
+    return sorted((r.doc_id, r.grp, r.budget_offset) for r in got.collect())
+
+
+def test_grouped_matches_sequential_reference(spark):
+    random.seed(31)
+    rows = [
+        (i, random.choice(["a", "b", "c"]), random.choice([0, 1, 5, 40]))
+        for i in range(300)
+    ]
+    budgets = {"a": 100, "b": 37, "c": 0}
+    assert run_grouped(spark, rows, budgets) == ref_budget_grouped(
+        rows, budgets
+    )
+
+
+def test_grouped_int_budget_applies_per_group(spark):
+    rows = [(i, "ab"[i % 2], 10) for i in range(20)]
+    got = run_grouped(spark, rows, 25)
+    assert got == ref_budget_grouped(rows, 25)
+    # each group independently keeps 3 docs (offsets 0, 10, 20 < 25)
+    assert len(got) == 6
+    assert {o for _, _, o in got} == {0, 10, 20}
+
+
+def test_grouped_desc_order_and_partition_invariance(spark):
+    rows = [(i, "xy"[i % 2], (i * 5) % 11 + 1) for i in range(120)]
+    order = [("n_tok", True), "doc_id"]
+    want = ref_budget_grouped(
+        rows, {"x": 60, "y": 30}, key=lambda r: (-r[2], r[0])
+    )
+    a = run_grouped(spark, rows, {"x": 60, "y": 30}, order, n_parts=3)
+    b = run_grouped(spark, rows, {"x": 60, "y": 30}, order, n_parts=17)
+    assert a == b == want
+
+
+def test_grouped_missing_group_dropped(spark):
+    rows = [(0, "a", 5), (1, "zzz", 5)]
+    assert run_grouped(spark, rows, {"a": 10}) == [(0, "a", 0)]
+
+
+def test_grouped_validation(spark):
+    df = spark.createDataFrame([(0, "a", 1)], "doc_id long, grp string, n_tok long")
+    with pytest.raises(ValueError, match="budgets"):
+        select_to_token_budget_grouped(df, "doc_id", "n_tok", 0, "grp")
+    with pytest.raises(ValueError, match="budgets"):
+        select_to_token_budget_grouped(df, "doc_id", "n_tok", {}, "grp")
+    with pytest.raises(ValueError, match="non-negative"):
+        select_to_token_budget_grouped(df, "doc_id", "n_tok", {"a": -1}, "grp")
+
+
+def test_mixture_budgets_exact_split():
+    b = mixture_budgets(100, {"web": 7, "code": 2, "wiki": 1})
+    assert b == {"web": 70, "code": 20, "wiki": 10}
+    b = mixture_budgets(10, {"a": 1, "b": 1, "c": 1})
+    assert sum(b.values()) == 10 and sorted(b.values()) == [3, 3, 4]
+    # remainder goes to the largest fractional share; tie -> str order
+    b = mixture_budgets(11, {"a": 1, "b": 1})
+    assert b == {"a": 6, "b": 5}
+    b = mixture_budgets(7, {"only": 3.5})
+    assert b == {"only": 7}
+
+
+def test_mixture_budgets_validation():
+    with pytest.raises(ValueError, match="total"):
+        mixture_budgets(0, {"a": 1})
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_budgets(10, {})
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_budgets(10, {"a": -1})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_budgets(10, {"a": 0, "b": 0})
+
+
+def test_mixture_budgets_compose_with_grouped_select(spark):
+    rows = [(i, "ab"[i % 2], 4) for i in range(50)]
+    budgets = mixture_budgets(60, {"a": 2, "b": 1})
+    assert budgets == {"a": 40, "b": 20}
+    got = run_grouped(spark, rows, budgets)
+    assert got == ref_budget_grouped(rows, budgets)
+    kept_a = [r for r in got if r[1] == "a"]
+    kept_b = [r for r in got if r[1] == "b"]
+    assert len(kept_a) == 10 and len(kept_b) == 5  # 40/4, 20/4
