@@ -999,6 +999,49 @@ def q_budget_mixture_by_lang(spark, sf):
     )
 
 
+def q_fd_gram_embeddings(spark, sf):
+    # Frequent Directions matrix sketch (Liberty KDD'13) in its EXACT
+    # regime — the same oracle pattern as the KLL/MG exact tiers: with
+    # 2*ell greater than the total row count the shrink step never
+    # fires, the sketch is literally the stacked rows, and B^T B is
+    # A^T A bit-for-bit when the inputs are integers (float64 integer
+    # dot products are exact and order-independent under 2^53).
+    # Embeddings are quantized to milli-units with floor(x*1000 + 0.5)
+    # — identical double arithmetic in Spark and DuckDB — so the
+    # 64x64 Gram matrix comes out as exact BIGINTs on both sides.
+    # Compressing-regime spectral bounds live in test_fd.py.
+    from pyspark.sql.types import (
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from hll_spark.operators.matrix import fd_sketch
+
+    emb = _t(spark, sf, "embeddings")
+    quant = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+                "double"
+            ),
+        ).alias("q")
+    )
+    sk = fd_sketch(quant, "q", ell=4096)
+    assert sk.exact, "oracle requires the exact regime (2*ell > n rows)"
+    g = sk.gram()
+    dim = g.shape[0]
+    rows = [
+        (int(i), int(j), int(g[i, j]))
+        for i in range(dim)
+        for j in range(dim)
+    ]
+    schema = _ST(
+        [_SF("i", _Long()), _SF("j", _Long()), _SF("gram", _Long())]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def q_paragraph_dedup_parity(spark, sf):
     # Corpus-wide paragraph dedup (CCNet-style keep-first) under a full
     # value oracle. Constructed 3-paragraph corpus: each doc = its own
@@ -2150,7 +2193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (consistent_sample_events rotated past the cap late-r4 for
         # the semdedup oracle: its membership contract is in-window as
         # consistent_sample_parity, ORACLE)
-        "exact_quantiles_price": q_exact_quantiles_price,
+        # (exact_quantiles_price rotated past the cap for the FD-gram
+        # oracle: r2 ORACLE row, code untouched, and the quantile
+        # family keeps kll_quantiles_exact + kll_range_buckets_price
+        # in-window)
+        "fd_gram_embeddings": q_fd_gram_embeddings,
         # (setop_partkeys_except rotated past the cap for the quality-
         # classifier oracle: r1+r2 ORACLE rows, code untouched)
         # (asof_last_order rotated past the cap for the token-budget
@@ -2216,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table, streaming in test_streaming.py's real micro-batch
         # checkpoints)
         "extract_text_pages": q_extract_text_pages,
+        "exact_quantiles_price": q_exact_quantiles_price,
         "session_counts": q_session_counts,
         "setop_partkeys_except": q_setop_partkeys_except,
         "asof_last_order": q_asof_last_order,
@@ -2882,6 +2930,22 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'fr' THEN 3000
                 WHEN 'es' THEN 3000
                 ELSE 0 END
+        """,
+        "fd_gram_embeddings": r"""
+            -- exact-regime FD mirror: the sketched Gram matrix IS the
+            -- true Gram matrix when the shrink never fires, and the
+            -- milli-unit quantization (floor(x*1000 + 0.5), identical
+            -- double arithmetic both sides) makes every dot product an
+            -- exact BIGINT, order-independent
+            SELECT i.i AS i, j.j AS j,
+                   CAST(SUM(
+                     CAST(FLOOR(CAST(embedding[i.i+1] AS DOUBLE)*1000
+                                + 0.5) AS BIGINT)
+                   * CAST(FLOOR(CAST(embedding[j.j+1] AS DOUBLE)*1000
+                                + 0.5) AS BIGINT)
+                   ) AS BIGINT) AS gram
+            FROM embeddings, range(64) AS i(i), range(64) AS j(j)
+            GROUP BY 1, 2
         """,
         "pack_sequences_documents": r"""
             WITH toks AS (

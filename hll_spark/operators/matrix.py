@@ -1,0 +1,144 @@
+"""Distributed Frequent Directions over an embedding column.
+
+Same two-level build shape as every sketch in this package
+(SURVEY.md §3.4: level-0 mapInPandas partials per input partition,
+level-1 bucketed applyInPandas tree merge, level-2 driver merge of
+<= merge_buckets KB..MB blobs) — only sketch blobs ever cross the
+shuffle, never embedding rows, so the plan is the one a 10^12-row
+covariance job wants. The kernel is sketchlib/fd.py (Liberty KDD'13);
+see that module for the spectral guarantee and the exact regime the
+driver oracle pins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..sketchlib.fd import FDSketch
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("sketch", BinaryType()),
+        StructField("rows_seen", LongType()),
+    ]
+)
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    """(n, dim) float64 from an Arrow list column's pandas form,
+    nulls dropped."""
+    vals = [v for v in series if v is not None]
+    if not vals:
+        return np.empty((0, 0))
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+
+
+def fd_partials(
+    df: DataFrame,
+    col: str,
+    ell: int,
+    merge_buckets: int = 16,
+) -> DataFrame:
+    """One FD partial per input partition: (bucket, sketch, rows_seen)."""
+    if ell < 1:
+        raise ValueError("ell must be >= 1")
+    proj = df.where(F.col(col).isNotNull()).select(F.col(col).alias("v"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: FDSketch | None = None
+        for b in batches:
+            if not len(b):
+                continue
+            block = _stack(b["v"])
+            if not block.size:
+                continue
+            if state is None:
+                state = FDSketch(ell, block.shape[1])
+            state.update(block)
+        if state is None:
+            return
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        yield pd.DataFrame(
+            {
+                "bucket": [pid % merge_buckets],
+                "sketch": [state.to_bytes()],
+                "rows_seen": [state.rows_seen],
+            }
+        )
+
+    return proj.mapInPandas(build, _PARTIAL_SCHEMA)
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    acc: FDSketch | None = None
+    for blob in pdf["sketch"]:
+        sk = FDSketch.from_bytes(bytes(blob))
+        acc = sk if acc is None else acc.merge(sk)
+    return pd.DataFrame(
+        {
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "sketch": [acc.to_bytes()],
+            "rows_seen": [int(pdf["rows_seen"].sum())],
+        }
+    )
+
+
+def fd_sketch(
+    df: DataFrame,
+    col: str,
+    ell: int,
+    merge_buckets: int = 16,
+) -> FDSketch:
+    """Build and fully merge the distributed FD sketch.
+
+    The driver touches only the <= merge_buckets level-1 blobs."""
+    partials = fd_partials(df, col, ell, merge_buckets)
+    level1 = partials.groupBy("bucket").applyInPandas(
+        _merge_group, _PARTIAL_SCHEMA
+    )
+    rows = level1.collect()
+    if not rows:
+        raise ValueError(f"no non-null rows in column {col!r}")
+    acc: FDSketch | None = None
+    for r in sorted(rows, key=lambda r: r["bucket"]):
+        sk = FDSketch.from_bytes(bytes(r["sketch"]))
+        acc = sk if acc is None else acc.merge(sk)
+    return acc
+
+
+def fd_gram_table(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    ell: int,
+    merge_buckets: int = 16,
+) -> DataFrame:
+    """The sketched Gram matrix as (i, j, gram) rows — dim^2 rows total,
+    driver-constructed (dim^2 is small by definition for embedding
+    columns; the distributed work is the sketch build)."""
+    sk = fd_sketch(df, col, ell, merge_buckets)
+    g = sk.gram()
+    dim = g.shape[0]
+    ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+    out = pd.DataFrame(
+        {
+            "i": ii.ravel().astype(np.int64),
+            "j": jj.ravel().astype(np.int64),
+            "gram": g.ravel(),
+        }
+    )
+    return spark.createDataFrame(out)
