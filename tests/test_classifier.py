@@ -162,9 +162,15 @@ def test_score_out_of_domain(spark):
 
 
 def test_pos_weight_matches_reference_and_rescues_minority(spark):
-    # 1 positive vs 7 negatives: unweighted, the majority drags the
-    # lone positive's score under the boundary; pos_weight balances it
-    rows = [(0, "alpha beta gamma", 1)] + [
+    # 1 positive vs 7 negatives, and the positive's only feature
+    # ("junk1") also appears in a negative doc — so it has NO exclusive
+    # feature to learn from and the class prior + shared-feature drag
+    # leave it under the boundary unweighted. (A positive with any
+    # exclusive token/bigram accumulates enough positive-only gradient
+    # to self-rescue, which is why the premise needs the fully-shared
+    # construction.) pos_weight=7 scales the positive updates to parity
+    # with the negative mass and recovers it.
+    rows = [(0, "junk1", 1)] + [
         (i, f"junk{i} spam{i} junk{i}", 0) for i in range(1, 8)
     ]
     unweighted = _spark_results(
