@@ -999,47 +999,36 @@ def q_budget_mixture_by_lang(spark, sf):
     )
 
 
-def q_fd_gram_embeddings(spark, sf):
-    # Frequent Directions matrix sketch (Liberty KDD'13) in its EXACT
-    # regime — the same oracle pattern as the KLL/MG exact tiers: with
-    # 2*ell greater than the total row count the shrink step never
-    # fires, the sketch is literally the stacked rows, and B^T B is
+def q_fd_gram_by_label(spark, sf):
+    # GROUPED Frequent Directions (Liberty KDD'13) in its EXACT regime
+    # — the same oracle pattern as the KLL/MG exact tiers: with 2*ell
+    # greater than any group's row count the shrink never fires, each
+    # group's sketch is literally its stacked rows, and B^T B is
     # A^T A bit-for-bit when the inputs are integers (float64 integer
     # dot products are exact and order-independent under 2^53).
     # Embeddings are quantized to milli-units with floor(x*1000 + 0.5)
-    # — identical double arithmetic in Spark and DuckDB — so the
-    # 64x64 Gram matrix comes out as exact BIGINTs on both sides.
-    # Compressing-regime spectral bounds live in test_fd.py.
-    from pyspark.sql.types import (
-        LongType as _Long,
-        StructField as _SF,
-        StructType as _ST,
-    )
-
-    from hll_spark.operators.matrix import fd_sketch
+    # — identical double arithmetic in Spark and DuckDB — so every
+    # per-label 64x64 Gram matrix comes out as exact BIGINTs on both
+    # sides. This row exercises the full grouped path (level-0
+    # per-(partition, group) partials -> applyInPandas merge ->
+    # expansion); the global driver-merge path and compressing-regime
+    # spectral bounds are pinned in test_fd.py.
+    from hll_spark.operators.matrix import fd_gram_by
 
     emb = _t(spark, sf, "embeddings")
     quant = emb.select(
+        "label",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
                 "double"
             ),
-        ).alias("q")
+        ).alias("q"),
     )
-    sk = fd_sketch(quant, "q", ell=4096)
-    assert sk.exact, "oracle requires the exact regime (2*ell > n rows)"
-    g = sk.gram()
-    dim = g.shape[0]
-    rows = [
-        (int(i), int(j), int(g[i, j]))
-        for i in range(dim)
-        for j in range(dim)
-    ]
-    schema = _ST(
-        [_SF("i", _Long()), _SF("j", _Long()), _SF("gram", _Long())]
+    out = fd_gram_by(quant, "q", ["label"], ell=4096)
+    return out.select(
+        "label", "i", "j", F.col("gram").cast("long").alias("gram")
     )
-    return spark.createDataFrame(rows, schema)
 
 
 def q_paragraph_dedup_parity(spark, sf):
@@ -2197,7 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle: r2 ORACLE row, code untouched, and the quantile
         # family keeps kll_quantiles_exact + kll_range_buckets_price
         # in-window)
-        "fd_gram_embeddings": q_fd_gram_embeddings,
+        "fd_gram_by_label": q_fd_gram_by_label,
         # (setop_partkeys_except rotated past the cap for the quality-
         # classifier oracle: r1+r2 ORACLE rows, code untouched)
         # (asof_last_order rotated past the cap for the token-budget
@@ -2931,13 +2920,14 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'es' THEN 3000
                 ELSE 0 END
         """,
-        "fd_gram_embeddings": r"""
-            -- exact-regime FD mirror: the sketched Gram matrix IS the
-            -- true Gram matrix when the shrink never fires, and the
-            -- milli-unit quantization (floor(x*1000 + 0.5), identical
-            -- double arithmetic both sides) makes every dot product an
-            -- exact BIGINT, order-independent
-            SELECT i.i AS i, j.j AS j,
+        "fd_gram_by_label": r"""
+            -- exact-regime grouped-FD mirror: each label's sketched
+            -- Gram matrix IS its true Gram matrix when the shrink
+            -- never fires, and the milli-unit quantization
+            -- (floor(x*1000 + 0.5), identical double arithmetic both
+            -- sides) makes every dot product an exact BIGINT,
+            -- order-independent
+            SELECT label, i.i AS i, j.j AS j,
                    CAST(SUM(
                      CAST(FLOOR(CAST(embedding[i.i+1] AS DOUBLE)*1000
                                 + 0.5) AS BIGINT)
@@ -2945,7 +2935,7 @@ def oracle_sql() -> dict[str, str]:
                                 + 0.5) AS BIGINT)
                    ) AS BIGINT) AS gram
             FROM embeddings, range(64) AS i(i), range(64) AS j(j)
-            GROUP BY 1, 2
+            GROUP BY 1, 2, 3
         """,
         "pack_sequences_documents": r"""
             WITH toks AS (

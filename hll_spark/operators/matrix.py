@@ -21,6 +21,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -118,6 +119,94 @@ def fd_sketch(
         sk = FDSketch.from_bytes(bytes(r["sketch"]))
         acc = sk if acc is None else acc.merge(sk)
     return acc
+
+
+def fd_gram_by(
+    df: DataFrame,
+    col: str,
+    by: list[str],
+    ell: int,
+) -> DataFrame:
+    """Per-group FD: one sketch per ``by`` cell, fully distributed.
+
+    Level 0 emits one partial per (input partition, group) — the
+    map-side combine that keeps a 10^12-row grouped covariance job
+    from shuffling embedding rows; level 1 merges per group under
+    ``groupBy(*by).applyInPandas`` and expands each group's sketched
+    Gram matrix to (by..., i, j, gram) rows (dim^2 per group)."""
+    if ell < 1:
+        raise ValueError("ell must be >= 1")
+    if not by:
+        raise ValueError("by must name at least one grouping column")
+    proj = df.where(F.col(col).isNotNull()).select(
+        *by, F.col(col).alias("v")
+    )
+    by_fields = [proj.schema[b] for b in by]
+    partial_schema = StructType(
+        by_fields
+        + [
+            StructField("sketch", BinaryType()),
+            StructField("rows_seen", LongType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict = {}
+        for b in batches:
+            if not len(b):
+                continue
+            for key, grp in b.groupby(by, sort=False, dropna=False):
+                block = _stack(grp["v"])
+                if not block.size:
+                    continue
+                key = key if isinstance(key, tuple) else (key,)
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = FDSketch(ell, block.shape[1])
+                st.update(block)
+        if not states:
+            return
+        keys = list(states)
+        yield pd.DataFrame(
+            {
+                **{
+                    b: [k[i] for k in keys]
+                    for i, b in enumerate(by)
+                },
+                "sketch": [states[k].to_bytes() for k in keys],
+                "rows_seen": [states[k].rows_seen for k in keys],
+            }
+        )
+
+    partials = proj.mapInPandas(build, partial_schema)
+    out_schema = StructType(
+        by_fields
+        + [
+            StructField("i", LongType()),
+            StructField("j", LongType()),
+            StructField("gram", DoubleType()),
+        ]
+    )
+
+    def merge_expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: FDSketch | None = None
+        for blob in pdf["sketch"]:
+            sk = FDSketch.from_bytes(bytes(blob))
+            acc = sk if acc is None else acc.merge(sk)
+        g = acc.gram()
+        dim = g.shape[0]
+        ii, jj = np.meshgrid(
+            np.arange(dim), np.arange(dim), indexing="ij"
+        )
+        out = {
+            b: np.repeat(pdf[b].iloc[0], dim * dim) for b in by
+        }
+        out["i"] = ii.ravel().astype(np.int64)
+        out["j"] = jj.ravel().astype(np.int64)
+        out["gram"] = g.ravel()
+        return pd.DataFrame(out)
+
+    return partials.groupBy(*by).applyInPandas(merge_expand, out_schema)
 
 
 def fd_gram_table(

@@ -176,6 +176,64 @@ def test_fd_sketch_compressing_regime_bound_distributed(spark):
     assert spectral_gap(A, sk) <= bound * (1 + 1e-9)
 
 
+def test_fd_gram_by_matches_numpy_per_group_exact(spark):
+    from hll_spark.operators.matrix import fd_gram_by
+
+    rng = np.random.default_rng(21)
+    groups = {"a": 120, "b": 75, "c": 1}
+    rows, mats = [], {}
+    i = 0
+    for g, n in groups.items():
+        A = rng.integers(-100, 100, size=(n, 5)).astype(np.float64)
+        mats[g] = A
+        for r in range(n):
+            rows.append((i, g, A[r].tolist()))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp string, embedding array<double>"
+    ).repartition(8)
+    got = fd_gram_by(df, "embedding", ["grp"], ell=256).collect()
+    assert len(got) == 3 * 25
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, {})[(r.i, r.j)] = r.gram
+    for g, A in mats.items():
+        want = A.T @ A
+        for (i, j), v in by_grp[g].items():
+            assert v == want[i, j]
+
+
+def test_fd_gram_by_compressing_group_within_bound(spark):
+    from hll_spark.operators.matrix import fd_gram_by
+
+    rng = np.random.default_rng(22)
+    A = rng.normal(size=(900, 10))
+    rows = [(i, "only", A[i].tolist()) for i in range(900)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, grp string, embedding array<double>"
+    ).repartition(5)
+    ell = 12  # 2*ell = 24 << 900: every partial compresses
+    got = fd_gram_by(df, "embedding", ["grp"], ell=ell).collect()
+    G = np.zeros((10, 10))
+    for r in got:
+        G[r.i, r.j] = r.gram
+    bound = 2.0 * float(np.sum(A * A)) / ell
+    gap = np.linalg.norm(A.T @ A - G, 2)
+    assert 0.0 <= gap <= bound * (1 + 1e-9)
+
+
+def test_fd_gram_by_validation(spark):
+    from hll_spark.operators.matrix import fd_gram_by
+
+    df = spark.createDataFrame(
+        [(0, "a", [1.0])], "vec_id long, grp string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="by"):
+        fd_gram_by(df, "embedding", [], ell=4)
+    with pytest.raises(ValueError, match="ell"):
+        fd_gram_by(df, "embedding", ["grp"], ell=0)
+
+
 def test_fd_sketch_empty_column_raises(spark):
     from hll_spark.operators.matrix import fd_sketch
 
