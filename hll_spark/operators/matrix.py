@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -207,6 +208,61 @@ def fd_gram_by(
         return pd.DataFrame(out)
 
     return partials.groupBy(*by).applyInPandas(merge_expand, out_schema)
+
+
+def project_embeddings(
+    df: DataFrame,
+    col: str,
+    basis: np.ndarray,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Project an embedding column onto a (dim, k) basis — e.g. the
+    PCA basis from ``FDSketch.top_eigvecs`` — appending ``out_col`` as
+    ``array<double>`` of length k.
+
+    The basis is closed over (broadcast with the serialized task, a
+    few KB for any sane k); each Arrow batch is one (n, dim) @
+    (dim, k) GEMM, so the per-row Python cost is a vectorized matmul,
+    never a loop. The 100 TB use: shrink 1024-dim embeddings to the
+    top-k directions a corpus-level FD sketch found, then run
+    SemDeDup / ANN / clustering on the small vectors."""
+    basis = np.ascontiguousarray(np.asarray(basis, dtype=np.float64))
+    if basis.ndim != 2:
+        raise ValueError("basis must be a (dim, k) matrix")
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    dim, _k = basis.shape
+    fields = df.schema.fields + [
+        StructField(out_col, ArrayType(DoubleType()))
+    ]
+    out_schema = StructType(fields)
+    cols = df.columns
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            mask = b[col].notna().to_numpy()
+            vals: list = [None] * len(b)
+            if mask.any():
+                block = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in b[col][mask]
+                    ]
+                )
+                if block.shape[1] != dim:
+                    raise ValueError(
+                        f"row width {block.shape[1]} != basis dim {dim}"
+                    )
+                low = block @ basis  # ONE GEMM per Arrow batch
+                for t, rowvec in zip(np.nonzero(mask)[0], low):
+                    vals[t] = rowvec
+            b = b[cols].copy()
+            b[out_col] = vals
+            yield b
+
+    return df.mapInPandas(proj, out_schema)
 
 
 def fd_gram_table(

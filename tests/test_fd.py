@@ -242,3 +242,60 @@ def test_fd_sketch_empty_column_raises(spark):
     )
     with pytest.raises(ValueError, match="no non-null"):
         fd_sketch(df, "embedding", ell=8)
+
+
+def test_project_embeddings_matches_numpy_and_keeps_nulls(spark):
+    from hll_spark.operators.matrix import project_embeddings
+
+    rng = np.random.default_rng(31)
+    A = rng.normal(size=(40, 6))
+    basis = rng.normal(size=(6, 2))
+    rows = [(i, A[i].tolist()) for i in range(40)] + [(99, None)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    got = {
+        r.vec_id: r.projected
+        for r in project_embeddings(df, "embedding", basis).collect()
+    }
+    want = A @ basis
+    assert got[99] is None
+    for i in range(40):
+        assert np.allclose(got[i], want[i], atol=1e-12)
+
+
+def test_project_embeddings_end_to_end_with_fd_basis(spark):
+    # the intended composition: FD sketch -> top-k basis -> projection
+    from hll_spark.operators.matrix import fd_sketch, project_embeddings
+
+    rng = np.random.default_rng(32)
+    basis_true, _ = np.linalg.qr(rng.normal(size=(12, 2)))
+    coeff = rng.normal(size=(800, 2)) * np.array([20.0, 10.0])
+    A = coeff @ basis_true.T + 0.01 * rng.normal(size=(800, 12))
+    df = spark.createDataFrame(
+        [(i, A[i].tolist()) for i in range(800)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    sk = fd_sketch(df, "embedding", ell=8)
+    V = sk.top_eigvecs(2)
+    low = project_embeddings(df, "embedding", V)
+    rows = low.collect()
+    assert all(len(r.projected) == 2 for r in rows)
+    # projection preserves almost all variance of a rank-2 corpus
+    P = np.stack([np.array(r.projected) for r in rows])
+    assert float(np.sum(P * P)) >= 0.99 * float(np.sum(A * A))
+
+
+def test_project_embeddings_validation(spark):
+    from hll_spark.operators.matrix import project_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="basis"):
+        project_embeddings(df, "embedding", np.ones(3))
+    with pytest.raises(ValueError, match="already exists"):
+        project_embeddings(df, "embedding", np.ones((2, 1)), "embedding")
+    bad = project_embeddings(df, "embedding", np.ones((3, 1)))
+    with pytest.raises(Exception, match="width"):
+        bad.collect()

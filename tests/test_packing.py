@@ -281,6 +281,36 @@ def test_mixture_budgets_validation():
         mixture_budgets(10, {"a": 0, "b": 0})
 
 
+def test_mixture_budgets_properties_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        total=st.integers(1, 10**9),
+        weights=st.dictionaries(
+            st.text(min_size=1, max_size=5),
+            st.integers(0, 1000),
+            min_size=1,
+            max_size=8,
+        ),
+    )
+    def check(total, weights):
+        if sum(weights.values()) == 0:
+            weights[next(iter(weights))] = 1
+        out = mixture_budgets(total, weights)
+        # exact: non-negative ints summing to total
+        assert sum(out.values()) == total
+        assert all(isinstance(v, int) and v >= 0 for v in out.values())
+        assert set(out) == set(weights)
+        # each budget within 1 of its real-valued share
+        wsum = sum(weights.values())
+        for g, w in weights.items():
+            share = total * w / wsum
+            assert share - 1 < out[g] < share + 1
+
+    check()
+
+
 def test_mixture_budgets_compose_with_grouped_select(spark):
     rows = [(i, "ab"[i % 2], 4) for i in range(50)]
     budgets = mixture_budgets(60, {"a": 2, "b": 1})
