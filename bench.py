@@ -321,6 +321,8 @@ EXTRA_QUERIES_R4 = [
     "weighted_sample_docs",
     "quality_classifier_parity",
     "token_budget_selection",
+    "budget_mixture_by_lang",
+    "fd_gram_by_label",
 ]
 
 
