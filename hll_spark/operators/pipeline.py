@@ -164,6 +164,13 @@ def crawl_ingest(
     if need_host:
         out = out.drop("host")
     if clean:
+        # clean_corpus scans its input several times (digest groupBy +
+        # join-back, quality gates, near-dup candidate + verify);
+        # without a lineage cut each scan would REPLAY the
+        # latest_crawl aggregate and the cap's count-join. Same
+        # pattern as curate_corpus below; at cluster scale persist/
+        # checkpoint the ingested ledger the same way.
+        out = out.localCheckpoint(eager=False)
         out = clean_corpus(
             out, text_col=text_col, id_col=url_col, **clean_kwargs
         )
