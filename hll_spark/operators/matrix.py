@@ -127,6 +127,7 @@ def fd_gram_by(
     col: str,
     by: list[str],
     ell: int,
+    max_groups: int = 4096,
 ) -> DataFrame:
     """Per-group FD: one sketch per ``by`` cell, fully distributed.
 
@@ -134,13 +135,30 @@ def fd_gram_by(
     map-side combine that keeps a 10^12-row grouped covariance job
     from shuffling embedding rows; level 1 merges per group under
     ``groupBy(*by).applyInPandas`` and expands each group's sketched
-    Gram matrix to (by..., i, j, gram) rows (dim^2 per group)."""
+    Gram matrix to (by..., i, j, gram) rows (dim^2 per group).
+    ``max_groups`` caps level-0 worker memory on high-cardinality
+    keys (same early-flush rule as agg.py's grouped build: duplicate
+    partials per group are fine, level 1 merges them).
+
+    (Deliberately NOT folded into agg.py's SketchSpec scaffold: that
+    path projects one scalar/hashed value column through
+    _value_expr/_arrow_values; FD consumes array rows, so sharing the
+    scaffold would mean teaching the scalar hot path about arrays.)"""
     if ell < 1:
         raise ValueError("ell must be >= 1")
     if not by:
         raise ValueError("by must name at least one grouping column")
+    if max_groups < 1:
+        raise ValueError("max_groups must be >= 1")
+    reserved = {"__fd_v", "i", "j", "gram", "sketch", "rows_seen"}
+    clash = reserved.intersection(by)
+    if clash:
+        raise ValueError(
+            f"grouping column(s) {sorted(clash)} collide with the "
+            "operator's output/internal names; rename them first"
+        )
     proj = df.where(F.col(col).isNotNull()).select(
-        *by, F.col(col).alias("v")
+        *by, F.col(col).alias("__fd_v")
     )
     by_fields = [proj.schema[b] for b in by]
     partial_schema = StructType(
@@ -153,11 +171,27 @@ def fd_gram_by(
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict = {}
+
+        def flush():
+            keys = list(states)
+            out = pd.DataFrame(
+                {
+                    **{
+                        b: [k[i] for k in keys]
+                        for i, b in enumerate(by)
+                    },
+                    "sketch": [states[k].to_bytes() for k in keys],
+                    "rows_seen": [states[k].rows_seen for k in keys],
+                }
+            )
+            states.clear()
+            return out
+
         for b in batches:
             if not len(b):
                 continue
             for key, grp in b.groupby(by, sort=False, dropna=False):
-                block = _stack(grp["v"])
+                block = _stack(grp["__fd_v"])
                 if not block.size:
                     continue
                 key = key if isinstance(key, tuple) else (key,)
@@ -165,19 +199,10 @@ def fd_gram_by(
                 if st is None:
                     st = states[key] = FDSketch(ell, block.shape[1])
                 st.update(block)
-        if not states:
-            return
-        keys = list(states)
-        yield pd.DataFrame(
-            {
-                **{
-                    b: [k[i] for k in keys]
-                    for i, b in enumerate(by)
-                },
-                "sketch": [states[k].to_bytes() for k in keys],
-                "rows_seen": [states[k].rows_seen for k in keys],
-            }
-        )
+            if len(states) >= max_groups:
+                yield flush()
+        if states:
+            yield flush()
 
     partials = proj.mapInPandas(build, partial_schema)
     out_schema = StructType(

@@ -52,15 +52,34 @@ class FDSketch:
             raise ValueError("dim must be >= 1")
         self.ell = int(ell)
         self.dim = int(dim)
-        self.buf = np.zeros((2 * self.ell, self.dim), dtype=np.float64)
+        # capacity grows geometrically toward the logical 2*ell cap, so
+        # a barely-filled sketch (the exact-regime / many-groups case)
+        # never pays the full 2*ell x dim allocation up front
+        self.buf = np.zeros(
+            (min(2 * self.ell, 64), self.dim), dtype=np.float64
+        )
         self.filled = 0  # rows of buf currently occupied
         self.rows_seen = 0
         self.shrunk = False  # True once any shrink fired (exact bit)
 
+    def _reserve(self, want: int) -> int:
+        """Grow capacity toward min(2*ell, want); return capacity."""
+        cap_max = 2 * self.ell
+        cur = self.buf.shape[0]
+        if cur < cap_max and want > cur:
+            new = min(cap_max, max(want, 2 * cur))
+            grown = np.zeros((new, self.dim), dtype=np.float64)
+            grown[: self.filled] = self.buf[: self.filled]
+            self.buf = grown
+            cur = new
+        return cur
+
     # -- updates ---------------------------------------------------------
 
     def update(self, rows: np.ndarray) -> "FDSketch":
-        """Absorb a (n, dim) float block."""
+        """Absorb a (n, dim) float block. The shrink fires only when a
+        row arrives and the 2*ell buffer is already full — absorbing
+        exactly 2*ell rows total stays exact."""
         rows = np.asarray(rows, dtype=np.float64)
         if rows.ndim == 1:
             rows = rows[None, :]
@@ -71,18 +90,17 @@ class FDSketch:
         n = rows.shape[0]
         self.rows_seen += n
         pos = 0
-        cap = self.buf.shape[0]
         while pos < n:
+            cap = self._reserve(self.filled + (n - pos))
+            if self.filled == cap:
+                self._shrink()
+                continue
             take = min(cap - self.filled, n - pos)
             self.buf[self.filled : self.filled + take] = rows[
                 pos : pos + take
             ]
             self.filled += take
             pos += take
-            if self.filled == cap and pos < n:
-                self._shrink()
-        if self.filled == cap:
-            self._shrink()
         return self
 
     def _shrink(self) -> None:
@@ -100,9 +118,11 @@ class FDSketch:
             self.filled = s.shape[0]
             self.shrunk = True
             return
-        delta = s[k - 1] ** 2 if s.shape[0] >= k else 0.0
         # standard FD uses sigma_ell^2 of the TOP ell as the shrink;
         # with a 2*ell buffer this is s[k-1]^2 over the kept block
+        # (s.shape[0] > k holds here — the branch above returned
+        # otherwise)
+        delta = s[k - 1] ** 2
         s2 = np.maximum(s[:k] ** 2 - delta, 0.0)
         self.buf[:k] = np.sqrt(s2)[:, None] * vt[:k]
         self.buf[k:] = 0.0
@@ -176,6 +196,7 @@ class FDSketch:
         body = np.frombuffer(data[3 + 25 :], dtype=np.float64)
         if body.shape[0] != filled * dim:
             raise ValueError("FD blob length mismatch")
+        sk._reserve(filled)
         sk.buf[:filled] = body.reshape(filled, dim)
         sk.filled = filled
         sk.rows_seen = rows_seen

@@ -50,6 +50,32 @@ def test_exact_bit_drops_once_buffer_fills():
     assert not sk.exact
 
 
+def test_exact_at_exactly_two_ell_rows():
+    # the boundary the contract promises: absorbing EXACTLY 2*ell rows
+    # fits the buffer, so the shrink must not fire
+    rng = np.random.default_rng(9)
+    A = rng.integers(-9, 9, size=(32, 4)).astype(np.float64)
+    sk = FDSketch(ell=16, dim=4)
+    for i in range(0, 32, 5):
+        sk.update(A[i : i + 5])
+    assert sk.exact and sk.filled == 32
+    assert np.array_equal(sk.gram(), A.T @ A)
+    # the 33rd row is the first to compress
+    sk.update(np.ones((1, 4)))
+    assert not sk.exact
+
+
+def test_buffer_capacity_grows_lazily():
+    sk = FDSketch(ell=4096, dim=8)
+    assert sk.buf.shape[0] == 64  # not 8192 rows up front
+    sk.update(np.ones((300, 8)))
+    assert 300 <= sk.buf.shape[0] <= 1024
+    back = FDSketch.from_bytes(sk.to_bytes())
+    assert np.array_equal(back.gram(), sk.gram())
+    back.update(np.ones((1, 8)))  # deserialized sketch keeps absorbing
+    assert back.rows_seen == 301
+
+
 # ------------------------------------------------------- spectral bound
 
 
@@ -232,6 +258,38 @@ def test_fd_gram_by_validation(spark):
         fd_gram_by(df, "embedding", [], ell=4)
     with pytest.raises(ValueError, match="ell"):
         fd_gram_by(df, "embedding", ["grp"], ell=0)
+    with pytest.raises(ValueError, match="max_groups"):
+        fd_gram_by(df, "embedding", ["grp"], ell=4, max_groups=0)
+    bad = spark.createDataFrame(
+        [(0, "a", [1.0])], "vec_id long, i string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        fd_gram_by(bad, "embedding", ["i"], ell=4)
+
+
+def test_fd_gram_by_max_groups_flush_is_invisible(spark):
+    # tiny flush threshold forces many duplicate partials per group;
+    # level 1 must merge them back to the same exact answer
+    from hll_spark.operators.matrix import fd_gram_by
+
+    rng = np.random.default_rng(23)
+    mats = {g: rng.integers(-20, 20, size=(30, 3)).astype(np.float64)
+            for g in "abcde"}
+    rows = [
+        (g, m[r].tolist()) for g, m in mats.items() for r in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, embedding array<double>"
+    ).repartition(3)
+    got = fd_gram_by(df, "embedding", ["grp"], ell=64, max_groups=2)
+    by_grp = {}
+    for r in got.collect():
+        by_grp.setdefault(r.grp, {})[(r.i, r.j)] = r.gram
+    assert set(by_grp) == set(mats)
+    for g, A in mats.items():
+        want = A.T @ A
+        for (i, j), v in by_grp[g].items():
+            assert v == want[i, j]
 
 
 def test_fd_sketch_empty_column_raises(spark):
