@@ -267,6 +267,25 @@ def test_fd_gram_by_validation(spark):
         fd_gram_by(bad, "embedding", ["i"], ell=4)
 
 
+def test_fd_gram_by_null_group_key_kept(spark):
+    # dropna=False end to end: a null group is a real cell, not a drop
+    from hll_spark.operators.matrix import fd_gram_by
+
+    A = np.array([[2.0, 3.0]])
+    B = np.array([[5.0, 7.0], [1.0, 1.0]])
+    rows = [(None, A[0].tolist())] + [(u"g", r.tolist()) for r in B]
+    df = spark.createDataFrame(
+        rows, "grp string, embedding array<double>"
+    ).repartition(2)
+    got = fd_gram_by(df, "embedding", ["grp"], ell=8).collect()
+    cells = {}
+    for r in got:
+        cells.setdefault(r.grp, {})[(r.i, r.j)] = r.gram
+    assert set(cells) == {None, "g"}
+    assert cells[None][(0, 1)] == 6.0
+    assert cells["g"][(0, 0)] == 26.0
+
+
 def test_fd_gram_by_max_groups_flush_is_invisible(spark):
     # tiny flush threshold forces many duplicate partials per group;
     # level 1 must merge them back to the same exact answer
