@@ -503,3 +503,72 @@ def hll_intersect_udf():
         )
 
     return hll_intersect
+
+
+def hll_overlap_matrix(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    cfg: HllConfig | None = None,
+    hash_mode: str = "xxhash64",
+    merge_buckets: int = 16,
+) -> DataFrame:
+    """All-pairs audience overlap from ONE scan of the base table.
+
+    Builds one HLL sketch per ``group_col`` cell (the usual two-level
+    blob build), then answers every pairwise
+    union / intersection / Jaccard estimate from the k sketch blobs
+    alone — the second-order query sketches exist for: re-running
+    COUNT(DISTINCT) per pair needs O(k^2) passes or a k-way expansion
+    of the base table, this needs the one grouped build plus a k-row
+    self-join (broadcast by construction; k = group count).
+
+    Output, one row per unordered pair (g_a < g_b):
+    (g_a, g_b, distinct_a, distinct_b, union_est, intersect_est,
+    jaccard_est). Intersection is inclusion-exclusion, so its error
+    compounds both sketches' errors (small-overlap caveat,
+    README.md:74-81); everything is EXACT while every group and every
+    pairwise union stays within the EXPLICIT tier — the regime the
+    oracle tests pin.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.types import DoubleType
+
+    sk = hll_sketch_agg(
+        df, col, [group_col], cfg, hash_mode, merge_buckets
+    )
+    a = sk.select(
+        F.col(group_col).alias("g_a"), F.col("sketch").alias("sk_a")
+    )
+    b = sk.select(
+        F.col(group_col).alias("g_b"), F.col("sketch").alias("sk_b")
+    )
+    est = hll_estimate_udf()
+    uni = hll_union_udf()
+    inter = hll_intersect_udf()
+    pairs = a.join(broadcast(b), F.col("g_a") < F.col("g_b"))
+    out = (
+        pairs.withColumn("distinct_a", est(F.col("sk_a")))
+        .withColumn("distinct_b", est(F.col("sk_b")))
+        .withColumn("union_est", est(uni(F.col("sk_a"), F.col("sk_b"))))
+        .withColumn(
+            "intersect_est", inter(F.col("sk_a"), F.col("sk_b"))
+        )
+    )
+    out = out.withColumn(
+        "jaccard_est",
+        F.when(
+            F.col("union_est") > 0,
+            F.col("intersect_est").cast(DoubleType())
+            / F.col("union_est"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.select(
+        "g_a",
+        "g_b",
+        "distinct_a",
+        "distinct_b",
+        "union_est",
+        "intersect_est",
+        "jaccard_est",
+    )
