@@ -65,6 +65,51 @@ def test_overlap_duplicates_and_layout_invariance(spark):
     )
 
 
+def test_theta_overlap_matrix_exact_tier(spark):
+    # same engineered corpus, theta edition: DIRECT intersection, so
+    # the matrix is exact whenever groups and pairwise unions fit k
+    from hll_spark.operators.sketches import theta_overlap_matrix
+
+    sets = {
+        "a": set(range(0, 100)),
+        "b": set(range(50, 150)),
+        "c": set(range(90, 260)),
+        "d": set(range(1000, 1010)),
+    }
+    rows = [(g, v) for g, s in sets.items() for v in s]
+    df = spark.createDataFrame(rows, "grp string, user_id long").repartition(7)
+    got = {
+        (r.g_a, r.g_b): r
+        for r in theta_overlap_matrix(df, "user_id", "grp", k=1024).collect()
+    }
+    want = exact_overlaps(sets)
+    assert set(got) == set(want)
+    for pair, (na, nb, nu, ni) in want.items():
+        r = got[pair]
+        assert (r.distinct_a, r.distinct_b) == (na, nb)
+        assert r.union_est == nu
+        assert r.intersect_est == ni
+        assert r.jaccard_est == pytest.approx(ni / nu if nu else 0.0)
+
+
+def test_theta_overlap_matrix_estimation_tier_direct_error(spark):
+    # k << union: the DIRECT intersection error scales with the
+    # intersection's own KMV bound, not the compounded union terms
+    from hll_spark.operators.sketches import theta_overlap_matrix
+
+    n, ov, k = 30_000, 10_000, 1024
+    rows = [("p", v) for v in range(n)] + [
+        ("q", v) for v in range(n - ov, 2 * n - ov)
+    ]
+    df = spark.createDataFrame(rows, "grp string, user_id long").repartition(9)
+    r = theta_overlap_matrix(df, "user_id", "grp", k=k).collect()[0]
+    rse = 1.0 / np.sqrt(k - 1)
+    assert abs(r.union_est - (2 * n - ov)) < 4 * rse * (2 * n - ov)
+    # common-theta estimate: ~Binomial(k', ov/union) — allow 4x its rse
+    assert abs(r.intersect_est - ov) < 4 * rse * (2 * n - ov)
+    assert abs(r.jaccard_est - ov / (2 * n - ov)) < 4 * rse
+
+
 def test_probabilistic_tier_within_compounded_bound(spark):
     # two 30k-element groups with 10k overlap at p=12: union within the
     # published bound, intersection within the compounded 3-sketch bound
