@@ -101,6 +101,9 @@ GATED = [
     # bias rides a broadcast 1-row crossJoin; every model join is a
     # broadcast HASH join on feat)
     "token_budget_selection",  # range shuffle + mapInPandas, join-free
+    # closing-r4 additions
+    "budget_mixture_by_lang",  # same pruned scan, grouped
+    "fd_gram_by_label",  # per-group blob build + applyInPandas merge
 ]
 
 
