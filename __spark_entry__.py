@@ -179,6 +179,24 @@ def q_cms_event_type_counts(spark, sf):
                            alias="est_count")
 
 
+def q_countsketch_event_counts(spark, sf):
+    # Count-sketch (Charikar) point estimates over the same domain as
+    # q_cms_event_type_counts — the UNBIASED companion to CMS's
+    # one-sided estimator, and the only one of the two valid on
+    # signed/turnstile streams. depth=7 (odd -> exact integer
+    # medians), width=4096 >> |domain|, so every row of the sketch
+    # holds the exact count and the oracle is plain COUNT(*); the
+    # noisy-regime error law (~sqrt(F2/width), zero mean) is
+    # bound-asserted in tests/test_ams.py.
+    from hll_spark.operators.sketches import countsketch_frequencies
+
+    events = _t(spark, sf, "events")
+    items = events.select("event_type").distinct()
+    return countsketch_frequencies(
+        events, "event_type", items, depth=7, width=4096, alias="est_count"
+    )
+
+
 def q_cms_heavy_hitters(spark, sf):
     # top-3 heaviest event types by CMS estimate (deterministic tie-break);
     # exact here because width >> domain, so the oracle is plain COUNT(*)
@@ -2243,6 +2261,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rest of the active window -----------------------------------
         "skew_report_orders": q_skew_report_orders,
 
+        # head of the rotation tail: added post-window late-r4 (the 50
+        # in-window slots are all held by never-driver-checked queries
+        # — the pinned invariant); its ORACLE comparison still runs
+        # every pytest via test_entry_contract.py at sf0.01, and it is
+        # first in line for the r5 window
+        "countsketch_event_counts": q_countsketch_event_counts,
+
         # (rotated past the cap for the late-r4 vocab/split/BPE/
         # bucketing queries — every one ORACLE- or rows-green in r3
         # with code untouched, and each bound-asserted in a named
@@ -2357,6 +2382,10 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "cms_event_type_counts": """
+            SELECT event_type, COUNT(*) AS est_count
+            FROM events GROUP BY event_type
+        """,
+        "countsketch_event_counts": """
             SELECT event_type, COUNT(*) AS est_count
             FROM events GROUP BY event_type
         """,

@@ -685,6 +685,83 @@ def ams_join_size(
     )
 
 
+def countsketch_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 7,
+    width: int = 4096,
+    seed: int = 0,
+    max_driver_groups: int = 200_000,
+) -> bytes:
+    """Count-sketch build over ``col``; returns serialized AMS bytes
+    (the Fast-AMS layout IS the count sketch — sketchlib/ams.py).
+
+    Same scale shape as cms_build: the per-value counts are first
+    reduced JVM-side (``groupBy(xxhash64(col)).count()`` — whole-stage
+    codegen, one shuffle of (hash, count) pairs); when the distinct
+    count fits under ``max_driver_groups`` the weighted signed insert
+    runs once on the driver — bit-identical to n individual adds since
+    updates are pure signed-counter additions. Heavy-domain inputs
+    fall back to the distributed partial/tree-merge build.
+    """
+    from ..sketchlib.ams import AmsSketch
+
+    grouped = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.xxhash64(F.col(col)).alias("__h"))
+        .count()
+        .limit(max_driver_groups + 1)
+        .toPandas()
+    )
+    if len(grouped) <= max_driver_groups:
+        sk = AmsSketch(depth, width, seed)
+        sk.add_hashed(
+            grouped["__h"].to_numpy(np.int64),
+            grouped["count"].to_numpy(np.int64),
+        )
+        return sk.to_bytes()
+    return bytes(
+        ams_sketch_agg(df, col, depth=depth, width=width, seed=seed)
+        .collect()[0]["sketch"]
+    )
+
+
+def countsketch_frequencies(
+    df: DataFrame,
+    col: str,
+    items_df: DataFrame,
+    depth: int = 7,
+    width: int = 4096,
+    seed: int = 0,
+    alias: str = "est_count",
+) -> DataFrame:
+    """Unbiased frequency estimate for each row of ``items_df[col]``
+    via the count-sketch point estimator (AmsSketch.query_hashed).
+
+    The sketch is built over ``df`` then broadcast (a few hundred KB)
+    and probed with a vectorized pandas UDF — identical plan shape to
+    cms_frequencies, different estimator contract: unbiased with
+    ~sqrt(F2/width) error instead of CMS's one-sided eps*N
+    overestimate, and valid on signed/turnstile streams. Use odd
+    ``depth`` so integer medians stay exact.
+    """
+    from ..sketchlib.ams import AmsSketch
+
+    blob = countsketch_build(df, col, depth, width, seed)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(blob)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def probe(hashed: pd.Series) -> pd.Series:
+        sk = AmsSketch.from_bytes(bc.value)
+        est = sk.query_hashed(hashed.to_numpy(np.int64))
+        return pd.Series(est.astype(np.int64))
+
+    return items_df.withColumn(alias, probe(F.xxhash64(F.col(col))))
+
+
 def theta_jaccard_udf():
     """DIRECT Jaccard similarity estimate |A∩B| / |A∪B| between two
     theta-sketch columns — the set-similarity companion to the

@@ -78,6 +78,97 @@ def test_incompatible_params_raise():
         a.inner(AmsSketch(5, 512, 0))
 
 
+def test_point_query_exact_when_no_collisions():
+    # exact regime: width >> n, every counter holds at most one item's
+    # mass per row? (not guaranteed — but every ROW's estimate for an
+    # item that collides nowhere equals its true count, and the median
+    # needs only depth//2+1 clean rows). At n=64, width=8192, depth=7
+    # the seeded stream below has enough clean rows for every item.
+    n = 64
+    h = _hashes(n, salt=21)
+    f = np.arange(1, n + 1, dtype=np.int64) * 10
+    s = AmsSketch(depth=7, width=8192, seed=3)
+    s.add_hashed(h, f)
+    assert (s.query_hashed(h) == f).all()
+
+
+def test_point_query_unbiased_and_bounded_under_collisions():
+    # noisy regime: 20k distinct uniform items into width=1024 — heavy
+    # collisions. The count-sketch estimator must stay (a) near-zero
+    # mean error across items (unbiasedness) and (b) per-item bounded
+    # by a few sqrt(F2/width) (the per-row sigma; the depth-7 median
+    # concentrates harder).
+    n, width = 20_000, 1024
+    h = _hashes(n, salt=22)
+    s = AmsSketch(depth=7, width=width, seed=5)
+    s.add_hashed(h)
+    est = s.query_hashed(h)
+    err = est.astype(np.float64) - 1.0
+    sigma = np.sqrt(n / width)  # F2 = n for unit counts
+    assert abs(err.mean()) <= 0.2 * sigma  # unbiased across items
+    assert np.abs(err).max() <= 6 * sigma  # median concentration
+
+
+def test_point_query_beats_cms_on_zipf_tail():
+    # the "why both sketches" story, asserted: identical (depth, width)
+    # budgets on a Zipfian stream — CMS's min estimator is biased UP by
+    # the colliding heavy mass, the count-sketch's signed median cancels
+    # it. Compare mean absolute error on the tail (true count 1..3).
+    from hll_spark.sketchlib.cms import CountMinSketch
+
+    n = 30_000
+    f = (3_000 / np.arange(1, n + 1) ** 1.1).astype(np.int64) + 1
+    h = _hashes(n, salt=23)
+    cs = AmsSketch(depth=5, width=512, seed=7)
+    cs.add_hashed(h, f)
+    cms = CountMinSketch(depth=5, width=512)
+    cms.add_hashed(h, f.astype(np.uint64))
+    tail = f <= 3
+    cs_err = np.abs(cs.query_hashed(h[tail]).astype(np.float64) - f[tail])
+    cms_err = np.abs(
+        cms.query_hashed(h[tail]).astype(np.float64) - f[tail]
+    )
+    assert cs_err.mean() < cms_err.mean()
+
+
+def test_point_query_turnstile_delete():
+    # signed updates: insert a batch, delete half of it, point queries
+    # see the net counts exactly (exact regime so medians are clean),
+    # including zeros for fully-deleted items. CMS cannot represent
+    # this stream at all (unsigned counters).
+    h = _hashes(32, salt=24)
+    f = np.full(32, 5, dtype=np.int64)
+    s = AmsSketch(depth=7, width=4096, seed=9)
+    s.add_hashed(h, f)
+    s.add_hashed(h[:16], np.full(16, -5, dtype=np.int64))  # delete
+    est = s.query_hashed(h)
+    assert (est[:16] == 0).all()
+    assert (est[16:] == 5).all()
+    assert s.n_items == 32 * 5 - 16 * 5
+
+
+def test_point_query_empty_input():
+    s = AmsSketch(3, 64, 0)
+    assert s.query_hashed(np.zeros(0, dtype=np.uint64)).shape == (0,)
+
+
+def test_countsketch_frequencies_exact_regime(spark):
+    # Spark surface: build over a 5-type events-like frame, probe the
+    # distinct types — exact because width >> domain (the driver-query
+    # regime; q_countsketch_event_counts mirrors this on real testdata)
+    from pyspark.sql import functions as F
+
+    from hll_spark.operators.sketches import countsketch_frequencies
+
+    df = spark.range(10_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("k")
+    )
+    items = df.select("k").distinct()
+    out = countsketch_frequencies(df, "k", items, depth=7, width=4096)
+    got = {r["k"]: r["est_count"] for r in out.collect()}
+    assert got == {f"t{i}": 2000 for i in range(5)}
+
+
 def test_inner_product_join_size_within_bound():
     rng = np.random.default_rng(0)
     h = _hashes(10_000, salt=9)
