@@ -1475,6 +1475,67 @@ def q_skew_report_orders(spark, sf):
     )
 
 
+def q_profile_orders_columns(spark, sf):
+    # ANALYZE-TABLE-style column profiling from ONE pruned scan
+    # (operators/diagnostics.profile_table): per-column exact
+    # counts/extrema/length plus HLL distinct and Misra-Gries top
+    # values — every estimator in its exact regime here (EXPLICIT-tier
+    # HLL on 3- and 5-value columns; mg_k=16 >= distinct so counts are
+    # exact and the error bound is 0), which makes the full row
+    # value-oracle-able in SQL. Top values render as a canonical
+    # "v:c,v:c" string ordered (count desc, value asc) in both engines.
+    from hll_spark.operators.diagnostics import profile_table
+
+    prof = profile_table(
+        _t(spark, sf, "orders"),
+        columns=["o_orderstatus", "o_orderpriority"],
+        mg_k=16,
+        top_n=3,
+        quantiles=(),
+    )
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.col("n_distinct_est").alias("n_distinct"),
+        "min_str",
+        "max_str",
+        "total_len",
+        F.concat_ws(
+            ",",
+            F.zip_with(
+                "top_values",
+                "top_counts",
+                lambda v, c: F.concat(v, F.lit(":"), c.cast("string")),
+            ),
+        ).alias("top3"),
+    )
+
+
+def q_fk_discovery_tpch(spark, sf):
+    # cross-table key-containment / FK discovery
+    # (operators/diagnostics.fk_containment_report): one theta sketch
+    # per column, every ordered pair answered from the blob frame.
+    # k=65536 keeps all four columns exact at driver scale, so the
+    # whole report — distincts, intersections, containment ratios and
+    # the FK verdicts — is value-oracle-able in SQL. Expected verdicts:
+    # o_custkey ⊆ c_custkey and l_orderkey = o_orderkey (true FKs,
+    # containment 1.0 both ways on the order keys since every TPC-H
+    # order has lineitems), c_custkey ⊄ o_custkey (customers without
+    # orders exist).
+    from hll_spark.operators.diagnostics import fk_containment_report
+
+    return fk_containment_report(
+        [
+            (_t(spark, sf, "customer"), "c_custkey", "customer.c_custkey"),
+            (_t(spark, sf, "orders"), "o_custkey", "orders.o_custkey"),
+            (_t(spark, sf, "orders"), "o_orderkey", "orders.o_orderkey"),
+            (_t(spark, sf, "lineitem"), "l_orderkey", "lineitem.l_orderkey"),
+        ],
+        k=65536,
+    )
+
+
 def q_ams_join_size_orders(spark, sf):
     # Fast-AMS join-size estimation (sketchlib/ams.py): price
     # |orders JOIN customer ON custkey| WITHOUT running the join —
@@ -2267,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every pytest via test_entry_contract.py at sf0.01, and it is
         # first in line for the r5 window
         "countsketch_event_counts": q_countsketch_event_counts,
+        "profile_orders_columns": q_profile_orders_columns,
+        "fk_discovery_tpch": q_fk_discovery_tpch,
 
         # (rotated past the cap for the late-r4 vocab/split/BPE/
         # bucketing queries — every one ORACLE- or rows-green in r3
@@ -2388,6 +2451,78 @@ def oracle_sql() -> dict[str, str]:
         "countsketch_event_counts": """
             SELECT event_type, COUNT(*) AS est_count
             FROM events GROUP BY event_type
+        """,
+        "profile_orders_columns": """
+            WITH t AS (
+                SELECT 'o_orderstatus' AS col_name, o_orderstatus AS v
+                FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority' AS col_name, o_orderpriority AS v
+                FROM orders
+            ),
+            counts AS (
+                SELECT col_name, v, COUNT(*) AS c
+                FROM t WHERE v IS NOT NULL GROUP BY col_name, v
+            ),
+            ranked AS (
+                SELECT col_name, v, c,
+                       row_number() OVER (
+                           PARTITION BY col_name ORDER BY c DESC, v
+                       ) AS rn
+                FROM counts
+            ),
+            tops AS (
+                SELECT col_name,
+                       string_agg(v || ':' || c, ',' ORDER BY c DESC, v)
+                           AS top3
+                FROM ranked WHERE rn <= 3 GROUP BY col_name
+            ),
+            base AS (
+                SELECT col_name,
+                       COUNT(*) AS n_rows,
+                       COUNT(*) - COUNT(v) AS n_null,
+                       COUNT(DISTINCT v) AS n_distinct,
+                       MIN(v) AS min_str,
+                       MAX(v) AS max_str,
+                       CAST(COALESCE(SUM(LENGTH(v)), 0) AS BIGINT)
+                           AS total_len
+                FROM t GROUP BY col_name
+            )
+            SELECT base.col_name, n_rows, n_null, n_distinct,
+                   min_str, max_str, total_len, top3
+            FROM base JOIN tops USING (col_name)
+        """,
+        "fk_discovery_tpch": """
+            WITH t AS (
+                SELECT 'customer.c_custkey' AS label, c_custkey AS v
+                FROM customer
+                UNION ALL
+                SELECT 'orders.o_custkey', o_custkey FROM orders
+                UNION ALL
+                SELECT 'orders.o_orderkey', o_orderkey FROM orders
+                UNION ALL
+                SELECT 'lineitem.l_orderkey', l_orderkey FROM lineitem
+            ),
+            d AS (
+                SELECT DISTINCT label, v FROM t WHERE v IS NOT NULL
+            ),
+            card AS (SELECT label, COUNT(*) AS n FROM d GROUP BY label),
+            inter AS (
+                SELECT a.label AS child_label, b.label AS parent_label,
+                       COUNT(*) AS i
+                FROM d a JOIN d b ON a.v = b.v AND a.label <> b.label
+                GROUP BY 1, 2
+            )
+            SELECT ca.label AS child_label, cb.label AS parent_label,
+                   ca.n AS distinct_child, cb.n AS distinct_parent,
+                   COALESCE(i.i, 0) AS intersect_est,
+                   COALESCE(i.i, 0) / ca.n AS containment,
+                   (COALESCE(i.i, 0) / ca.n) >= 0.999 AS is_fk_candidate
+            FROM card ca
+            JOIN card cb ON ca.label <> cb.label
+            LEFT JOIN inter i
+              ON i.child_label = ca.label AND i.parent_label = cb.label
+            ORDER BY child_label, parent_label
         """,
         "bloom_fk_prefilter": """
             SELECT COUNT(*) AS n_rows FROM lineitem

@@ -59,6 +59,24 @@ class MisraGries:
         self._prune()
         return self
 
+    def update_counts(self, items, counts) -> "MisraGries":
+        """Add pre-aggregated (item, count) pairs — the map-side-combined
+        form (e.g. one Arrow ``value_counts`` per batch): the Python loop
+        runs over DISTINCT items, not rows. Equivalent to repeating each
+        item count times (counts must be >= 1)."""
+        c = self.counts
+        total = 0
+        for item, cnt in zip(items, counts):
+            cnt = int(cnt)
+            if cnt < 1:
+                raise ValueError("update_counts requires counts >= 1")
+            key = str(item)
+            c[key] = c.get(key, 0) + cnt
+            total += cnt
+        self.n_items += total
+        self._prune()
+        return self
+
     def _prune(self) -> None:
         if len(self.counts) <= self.k:
             return

@@ -64,3 +64,113 @@ def test_plan_has_no_collect_or_cartesian(skewed):
     # hint this compiles to a BroadcastNestedLoopJoin too, but assert
     # positively so losing the broadcast entirely cannot pass)
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# fk_containment_report — cross-table key containment / FK discovery
+
+
+@pytest.fixture(scope="module")
+def fk_frames(spark):
+    from pyspark.sql import functions as F
+
+    # parent: keys 0..99; child: keys 0..49 (each twice -> duplication
+    # must not matter); stray: 40..59 (half inside parent's key space)
+    parent = spark.range(100).select(F.col("id").alias("pk"))
+    child = (
+        spark.range(100)
+        .select((F.col("id") % 50).alias("fk"))
+        .repartition(5)
+    )
+    stray = spark.range(40, 60).select(F.col("id").alias("sk"))
+    return parent, child, stray
+
+
+def test_fk_report_exact_tier(spark, fk_frames):
+    from hll_spark.operators.diagnostics import fk_containment_report
+
+    parent, child, stray = fk_frames
+    out = {
+        (r["child_label"], r["parent_label"]): r.asDict()
+        for r in fk_containment_report(
+            [(parent, "pk", "parent"), (child, "fk", "child"),
+             (stray, "sk", "stray")],
+            k=1024,
+        ).collect()
+    }
+    assert len(out) == 6  # all ordered pairs
+    r = out[("child", "parent")]
+    assert (r["distinct_child"], r["distinct_parent"]) == (50, 100)
+    assert r["intersect_est"] == 50
+    assert r["containment"] == 1.0 and r["is_fk_candidate"]
+    r = out[("parent", "child")]
+    assert r["containment"] == 0.5 and not r["is_fk_candidate"]
+    r = out[("stray", "parent")]  # 40..59 vs 0..99 -> 40..59 all inside
+    assert r["containment"] == 1.0 and r["is_fk_candidate"]
+    r = out[("stray", "child")]  # 40..59 vs 0..49 -> 40..49 = 10 of 20
+    assert r["intersect_est"] == 10 and r["containment"] == 0.5
+    r = out[("parent", "stray")]  # 20 of 100
+    assert r["containment"] == pytest.approx(0.2)
+
+
+def test_fk_report_nulls_and_empty_child(spark, fk_frames):
+    from pyspark.sql import functions as F
+
+    from hll_spark.operators.diagnostics import fk_containment_report
+
+    parent, _, _ = fk_frames
+    # nulls never count as keys; an all-null child keeps its rows with
+    # distinct 0 / containment 0 instead of vanishing from the report
+    withnull = spark.range(10).select(
+        F.when(F.col("id") < 5, F.col("id")).alias("k")
+    )
+    allnull = spark.range(3).select(
+        F.lit(None).cast("long").alias("k")
+    )
+    out = {
+        (r["child_label"], r["parent_label"]): r.asDict()
+        for r in fk_containment_report(
+            [(parent, "pk", "parent"), (withnull, "k", "withnull"),
+             (allnull, "k", "allnull")],
+            k=1024,
+        ).collect()
+    }
+    r = out[("withnull", "parent")]
+    assert r["distinct_child"] == 5  # 0..4, nulls excluded
+    assert r["containment"] == 1.0 and r["is_fk_candidate"]
+    r = out[("allnull", "parent")]
+    assert r["distinct_child"] == 0
+    assert r["containment"] == 0.0 and not r["is_fk_candidate"]
+    r = out[("parent", "allnull")]
+    assert r["intersect_est"] == 0 and not r["is_fk_candidate"]
+
+
+def test_fk_report_validation(spark, fk_frames):
+    from hll_spark.operators.diagnostics import fk_containment_report
+
+    parent, child, _ = fk_frames
+    with pytest.raises(ValueError, match="at least two"):
+        fk_containment_report([(parent, "pk", "parent")])
+    with pytest.raises(ValueError, match="duplicate labels"):
+        fk_containment_report(
+            [(parent, "pk", "same"), (child, "fk", "same")]
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        fk_containment_report(
+            [(parent, "nope", "parent"), (child, "fk", "child")]
+        )
+
+
+def test_fk_report_partition_invariant(spark, fk_frames):
+    from hll_spark.operators.diagnostics import fk_containment_report
+
+    parent, child, stray = fk_frames
+    spec1 = [(parent.coalesce(1), "pk", "parent"),
+             (child.coalesce(1), "fk", "child"),
+             (stray.coalesce(1), "sk", "stray")]
+    spec7 = [(parent.repartition(7), "pk", "parent"),
+             (child.repartition(7), "fk", "child"),
+             (stray.repartition(7), "sk", "stray")]
+    a = [r.asDict() for r in fk_containment_report(spec1, k=1024).collect()]
+    b = [r.asDict() for r in fk_containment_report(spec7, k=1024).collect()]
+    assert a == b

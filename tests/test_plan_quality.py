@@ -104,6 +104,8 @@ GATED = [
     # closing-r4 additions
     "budget_mixture_by_lang",  # same pruned scan, grouped
     "fd_gram_by_label",  # per-group blob build + applyInPandas merge
+    "profile_orders_columns",  # one mapInArrow scan + per-column merge
+    "fk_discovery_tpch",  # per-column sketch scans + broadcast pair join
 ]
 
 
