@@ -1536,6 +1536,36 @@ def q_fk_discovery_tpch(spark, sf):
     )
 
 
+def q_hll_overlap_events(spark, sf):
+    # all-pairs audience overlap from ONE scan
+    # (operators/agg.hll_overlap_matrix): one HLL sketch per
+    # event_type, every unordered pair's union / inclusion-exclusion
+    # intersection / Jaccard answered from the 5-row blob frame.
+    # EXACT_CFG keeps every group and every pairwise union in the
+    # EXPLICIT tier at driver scale, so the whole 10-row matrix is
+    # value-oracle-able against exact SQL set arithmetic.
+    from hll_spark.operators.agg import hll_overlap_matrix
+
+    return hll_overlap_matrix(
+        _t(spark, sf, "events"), "user_id", "event_type", cfg=EXACT_CFG
+    ).orderBy("g_a", "g_b")
+
+
+def q_theta_overlap_orders(spark, sf):
+    # theta edition of the overlap matrix
+    # (operators/sketches.theta_overlap_matrix): same one-scan grouped
+    # build, but the intersection is the DIRECT common-theta estimate
+    # whose error scales with the overlap instead of compounding three
+    # inclusion-exclusion terms. k=65536 holds every o_orderpriority
+    # group's custkey set and every pairwise union exact at driver
+    # scale -> full value oracle.
+    from hll_spark.operators.sketches import theta_overlap_matrix
+
+    return theta_overlap_matrix(
+        _t(spark, sf, "orders"), "o_custkey", "o_orderpriority", k=65536
+    ).orderBy("g_a", "g_b")
+
+
 def q_ams_join_size_orders(spark, sf):
     # Fast-AMS join-size estimation (sketchlib/ams.py): price
     # |orders JOIN customer ON custkey| WITHOUT running the join —
@@ -2330,6 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_event_counts": q_countsketch_event_counts,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
+        "hll_overlap_events": q_hll_overlap_events,
+        "theta_overlap_orders": q_theta_overlap_orders,
 
         # (rotated past the cap for the late-r4 vocab/split/BPE/
         # bucketing queries — every one ORACLE- or rows-green in r3
@@ -2523,6 +2555,51 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i
               ON i.child_label = ca.label AND i.parent_label = cb.label
             ORDER BY child_label, parent_label
+        """,
+        "hll_overlap_events": """
+            WITH d AS (
+                SELECT DISTINCT event_type AS g, user_id AS v FROM events
+            ),
+            card AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+            inter AS (
+                SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS i
+                FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+                GROUP BY 1, 2
+            )
+            SELECT ca.g AS g_a, cb.g AS g_b,
+                   ca.n AS distinct_a, cb.n AS distinct_b,
+                   ca.n + cb.n - COALESCE(i.i, 0) AS union_est,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE) AS intersect_est,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE)
+                       / (ca.n + cb.n - COALESCE(i.i, 0)) AS jaccard_est
+            FROM card ca
+            JOIN card cb ON ca.g < cb.g
+            LEFT JOIN inter i ON i.g_a = ca.g AND i.g_b = cb.g
+            ORDER BY g_a, g_b
+        """,
+        "theta_overlap_orders": """
+            WITH d AS (
+                SELECT DISTINCT o_orderpriority AS g, o_custkey AS v
+                FROM orders
+            ),
+            card AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+            inter AS (
+                SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS i
+                FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+                GROUP BY 1, 2
+            )
+            SELECT ca.g AS g_a, cb.g AS g_b,
+                   CAST(ca.n AS DOUBLE) AS distinct_a,
+                   CAST(cb.n AS DOUBLE) AS distinct_b,
+                   CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE)
+                       AS union_est,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE) AS intersect_est,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE)
+                       / (ca.n + cb.n - COALESCE(i.i, 0)) AS jaccard_est
+            FROM card ca
+            JOIN card cb ON ca.g < cb.g
+            LEFT JOIN inter i ON i.g_a = ca.g AND i.g_b = cb.g
+            ORDER BY g_a, g_b
         """,
         "bloom_fk_prefilter": """
             SELECT COUNT(*) AS n_rows FROM lineitem

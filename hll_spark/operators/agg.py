@@ -530,45 +530,68 @@ def hll_overlap_matrix(
     README.md:74-81); everything is EXACT while every group and every
     pairwise union stays within the EXPLICIT tier — the regime the
     oracle tests pin.
+
+    Plan shape: the base table is scanned exactly ONCE (a self-join on
+    the grouped agg would recompute the whole build — Spark does not
+    reuse the exchange across the broadcast/probe sides). The g-row
+    blob frame is gathered into a single ``applyInPandas`` task (same
+    data volume a broadcast would move) which emits the full matrix;
+    the pair arithmetic is O(groups^2) over KB blobs, trivially small
+    wherever an all-pairs matrix is a sensible ask.
     """
-    from pyspark.sql.functions import broadcast
-    from pyspark.sql.types import DoubleType
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..sketchlib.hll import HllSketch, hll_intersect_estimate
 
     sk = hll_sketch_agg(
         df, col, [group_col], cfg, hash_mode, merge_buckets
     )
-    a = sk.select(
-        F.col(group_col).alias("g_a"), F.col("sketch").alias("sk_a")
+    gtype = sk.schema[group_col].dataType
+    out_schema = StructType(
+        [
+            StructField("g_a", gtype),
+            StructField("g_b", gtype),
+            StructField("distinct_a", LongType()),
+            StructField("distinct_b", LongType()),
+            StructField("union_est", LongType()),
+            StructField("intersect_est", DoubleType()),
+            StructField("jaccard_est", DoubleType()),
+        ]
     )
-    b = sk.select(
-        F.col(group_col).alias("g_b"), F.col("sketch").alias("sk_b")
-    )
-    est = hll_estimate_udf()
-    uni = hll_union_udf()
-    inter = hll_intersect_udf()
-    pairs = a.join(broadcast(b), F.col("g_a") < F.col("g_b"))
-    out = (
-        pairs.withColumn("distinct_a", est(F.col("sk_a")))
-        .withColumn("distinct_b", est(F.col("sk_b")))
-        .withColumn("union_est", est(uni(F.col("sk_a"), F.col("sk_b"))))
-        .withColumn(
-            "intersect_est", inter(F.col("sk_a"), F.col("sk_b"))
-        )
-    )
-    out = out.withColumn(
-        "jaccard_est",
-        F.when(
-            F.col("union_est") > 0,
-            F.col("intersect_est").cast(DoubleType())
-            / F.col("union_est"),
-        ).otherwise(F.lit(0.0)),
-    )
-    return out.select(
-        "g_a",
-        "g_b",
-        "distinct_a",
-        "distinct_b",
-        "union_est",
-        "intersect_est",
-        "jaccard_est",
+
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # a NULL group key never joins under the former g_a < g_b
+        # condition; keep that contract
+        pdf = pdf[pdf[group_col].notna()]
+        pdf = pdf.sort_values(group_col, kind="mergesort")
+        groups = list(pdf[group_col])
+        blobs = [bytes(b) for b in pdf["sketch"]]
+        sketches = [HllSketch.from_bytes(b) for b in blobs]
+        ests = [s.estimate() for s in sketches]
+        rows = []
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                union = sketches[i].clone().union(sketches[j]).estimate()
+                inter = hll_intersect_estimate(blobs[i], blobs[j])
+                rows.append(
+                    (
+                        groups[i],
+                        groups[j],
+                        ests[i],
+                        ests[j],
+                        union,
+                        inter,
+                        inter / union if union > 0 else 0.0,
+                    )
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return (
+        sk.groupBy(F.lit(0).alias("__all"))
+        .applyInPandas(lambda _, pdf: emit_pairs(pdf), out_schema)
     )

@@ -810,49 +810,65 @@ def theta_overlap_matrix(
 
     Output per pair (g_a < g_b): (g_a, g_b, distinct_a, distinct_b,
     union_est, intersect_est, jaccard_est), estimates as doubles.
+
+    Plan shape: the base table is scanned exactly ONCE (a self-join on
+    the grouped agg would recompute the whole build); the g-row blob
+    frame lands in a single ``applyInPandas`` task that emits the full
+    matrix — O(groups^2) arithmetic over KB blobs.
     """
-    from pyspark.sql.functions import broadcast, pandas_udf
+    from pyspark.sql.types import StructField, StructType
 
     from ..sketchlib.theta import ThetaSketch
 
     sk = theta_sketch_agg(df, col, k, [group_col], hash_mode)
-    a = sk.select(
-        F.col(group_col).alias("g_a"), F.col("sketch").alias("sk_a")
-    )
-    b = sk.select(
-        F.col(group_col).alias("g_b"), F.col("sketch").alias("sk_b")
+    gtype = sk.schema[group_col].dataType
+    out_schema = StructType(
+        [StructField("g_a", gtype), StructField("g_b", gtype)]
+        + [
+            StructField(name, DoubleType())
+            for name in (
+                "distinct_a",
+                "distinct_b",
+                "union_est",
+                "intersect_est",
+                "jaccard_est",
+            )
+        ]
     )
 
-    @pandas_udf(DoubleType())
-    def union_est(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                ThetaSketch.from_bytes(bytes(p))
-                .union(ThetaSketch.from_bytes(bytes(q)))
-                .estimate_float()
-                for p, q in zip(x, y)
-            ],
-            index=x.index,
-            dtype=float,
-        )
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL group keys never join under the former g_a < g_b
+        # condition; keep that contract
+        pdf = pdf[pdf[group_col].notna()]
+        pdf = pdf.sort_values(group_col, kind="mergesort")
+        groups = list(pdf[group_col])
+        blobs = [bytes(b) for b in pdf["sketch"]]
+        sketches = [ThetaSketch.from_bytes(b) for b in blobs]
+        ests = [s.estimate_float() for s in sketches]
+        rows = []
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                # union() mutates self: give it a throwaway copy
+                union = (
+                    ThetaSketch.from_bytes(blobs[i])
+                    .union(sketches[j])
+                    .estimate_float()
+                )
+                inter = sketches[i].intersect_estimate(sketches[j])
+                rows.append(
+                    (
+                        groups[i],
+                        groups[j],
+                        ests[i],
+                        ests[j],
+                        union,
+                        inter,
+                        inter / union if union > 0 else 0.0,
+                    )
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
-    est = theta_estimate_udf()
-    inter = theta_intersect_udf()
-    jac = theta_jaccard_udf()
-    pairs = a.join(broadcast(b), F.col("g_a") < F.col("g_b"))
     return (
-        pairs.withColumn("distinct_a", est(F.col("sk_a")))
-        .withColumn("distinct_b", est(F.col("sk_b")))
-        .withColumn("union_est", union_est(F.col("sk_a"), F.col("sk_b")))
-        .withColumn("intersect_est", inter(F.col("sk_a"), F.col("sk_b")))
-        .withColumn("jaccard_est", jac(F.col("sk_a"), F.col("sk_b")))
-        .select(
-            "g_a",
-            "g_b",
-            "distinct_a",
-            "distinct_b",
-            "union_est",
-            "intersect_est",
-            "jaccard_est",
-        )
+        sk.groupBy(F.lit(0).alias("__all"))
+        .applyInPandas(lambda _, pdf: emit_pairs(pdf), out_schema)
     )

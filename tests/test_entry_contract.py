@@ -125,6 +125,8 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "countsketch_event_counts",
         "profile_orders_columns",
         "fk_discovery_tpch",
+        "hll_overlap_events",
+        "theta_overlap_orders",
     }
 
     names = list(entry_mod.queries().keys())

@@ -126,3 +126,24 @@ def test_probabilistic_tier_within_compounded_bound(spark):
     # inclusion-exclusion compounds three estimates; scale by the
     # union size (the largest term), not the overlap
     assert abs(r.intersect_est - ov) < 4 * rel * (2 * n - ov) * 3
+
+
+def test_overlap_matrix_plans_scan_base_once(spark):
+    # a self-join on the grouped agg would rescan the base table (Spark
+    # does not reuse the exchange across the two sides — measured); the
+    # matrix must instead come from ONE build + a single pair-emit task
+    from pyspark.sql import functions as F
+
+    from hll_spark.operators.sketches import theta_overlap_matrix
+
+    base = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 300).alias("v")
+    )
+    for out in (
+        hll_overlap_matrix(base, "v", "g", cfg=HllConfig(expthresh=16)),
+        theta_overlap_matrix(base, "v", "g", k=1024),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+        assert plan.count("Range (") == 1, plan
+        assert len(out.collect()) == 6  # C(4,2) pairs

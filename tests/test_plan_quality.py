@@ -106,6 +106,8 @@ GATED = [
     "fd_gram_by_label",  # per-group blob build + applyInPandas merge
     "profile_orders_columns",  # one mapInArrow scan + per-column merge
     "fk_discovery_tpch",  # per-column sketch scans + broadcast pair join
+    "hll_overlap_events",  # ONE grouped build + single-task pair emit
+    "theta_overlap_orders",  # same shape, theta DIRECT intersections
 ]
 
 

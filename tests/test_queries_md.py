@@ -40,3 +40,34 @@ def test_every_query_has_a_row_with_the_right_gate():
     for name, gate in rows.items():
         want = "ORACLE" if name in oracles else "rows-only"
         assert gate == want, f"{name}: QUERIES.md says {gate}, registration says {want}"
+
+
+def test_bench_times_every_registered_query():
+    # bench.py's suite lists must stay chained to queries(): every
+    # listed name registered, no duplicates across lists, and every
+    # registered query timed except the documented exclusion
+    # (streaming_sink_distinct's wall time is micro-batch machinery
+    # startup, not data-volume work).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", QUERIES_MD.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    timed = (
+        bench.BASE_QUERIES
+        + bench.EXTRA_QUERIES
+        + bench.EXTRA_QUERIES_R3
+        + bench.EXTRA_QUERIES_R4
+        + bench.EXTRA_QUERIES_R4B
+    )
+    assert len(timed) == len(set(timed)), "duplicate bench query names"
+    qs = set(entry_mod.queries())
+    unknown = set(timed) - qs
+    assert not unknown, f"bench times unregistered queries: {sorted(unknown)}"
+    untimed = qs - set(timed)
+    assert untimed == {"streaming_sink_distinct"}, (
+        f"registered queries with no bench timing row: {sorted(untimed)}"
+    )
