@@ -1566,6 +1566,24 @@ def q_theta_overlap_orders(spark, sf):
     ).orderBy("g_a", "g_b")
 
 
+def q_chunk_documents(spark, sf):
+    # context-length chunking (operators/packing.chunk_documents):
+    # every doc split into 64-token chunks with a 16-token overlap
+    # carried between neighbours (stride 48). Pure JVM builtins —
+    # split -> sequence of starts -> posexplode -> slice/array_join —
+    # zero shuffles, so the whole operator is whole-stage codegen over
+    # the one scan. Fully deterministic -> exact DuckDB mirror.
+    from hll_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        max_tokens=64,
+        overlap=16,
+    )
+
+
 def q_ams_join_size_orders(spark, sf):
     # Fast-AMS join-size estimation (sketchlib/ams.py): price
     # |orders JOIN customer ON custkey| WITHOUT running the join —
@@ -2362,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
         "theta_overlap_orders": q_theta_overlap_orders,
+        "chunk_documents": q_chunk_documents,
 
         # (rotated past the cap for the late-r4 vocab/split/BPE/
         # bucketing queries — every one ORACLE- or rows-green in r3
@@ -2576,6 +2595,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN card cb ON ca.g < cb.g
             LEFT JOIN inter i ON i.g_a = ca.g AND i.g_b = cb.g
             ORDER BY g_a, g_b
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       -- explicit class: RE2 '\s' lacks \x0b, Java's has it
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text),
+                                                    '[ \t\n\x0b\f\r]+')
+                       END AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, toks, len(toks) AS n
+                FROM t WHERE len(toks) > 0
+            ),
+            st AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(
+                           0,
+                           (CASE WHEN n <= 64 THEN 0
+                                 ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT)
+                            END) * 48 + 1,
+                           48
+                       )) AS start
+                FROM s
+            )
+            SELECT doc_id,
+                   start // 48 AS chunk_id,
+                   least(64, n - start) AS n_tokens,
+                   array_to_string(
+                       list_slice(toks, start + 1, start + 64), ' '
+                   ) AS chunk_text
+            FROM st
         """,
         "theta_overlap_orders": """
             WITH d AS (

@@ -356,6 +356,7 @@ EXTRA_QUERIES_R4B = [
     "theta_except_partkeys",
     "duplicate_groups_documents",
     "text_quality_documents",
+    "chunk_documents",
 ]
 
 

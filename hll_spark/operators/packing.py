@@ -249,6 +249,75 @@ def select_to_token_budget(
     return ordered.mapInPandas(emit, _BUDGET_SCHEMA)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of at most
+    ``max_tokens`` tokens, with ``overlap`` tokens carried between
+    consecutive chunks — context-length chunking (RAG indexing, long-doc
+    pretraining with cross-boundary context).
+
+    Within a document, chunk ``i`` starts at token ``i * stride`` where
+    ``stride = max_tokens - overlap``; the last chunk always reaches the
+    document's final token, so every token appears in at least one
+    chunk and no chunk is a suffix of its predecessor. Zero-token
+    documents emit no row.
+
+    Output: (id_col, chunk_id, n_tokens, chunk_text) — chunk_id 0-based
+    within the document, n_tokens the chunk's token count, chunk_text
+    the tokens re-joined with single spaces.
+
+    100 TB design: entirely JVM builtins — one narrow projection
+    (split → sequence of chunk starts → posexplode → slice +
+    array_join), whole-stage codegen'd, zero shuffles, zero Python.
+    Chunk rows inherit the input partitioning.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"unknown column {c!r}")
+    stride = max_tokens - overlap
+
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n = F.size(toks)
+    # number of EXTRA chunks past the first: ceil((n - max_tokens) / stride)
+    extra = F.when(n <= max_tokens, F.lit(0).cast("long")).otherwise(
+        F.ceil((n - F.lit(max_tokens)) / F.lit(float(stride)))
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"), extra * stride, F.lit(stride).cast("long")
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), starts.alias("__starts")
+    ).where(F.size("__toks") > 0)
+    exploded = base.select(
+        id_col,
+        F.posexplode("__starts").alias("chunk_id", "__start"),
+        F.col("__toks"),
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__start").cast("int") + 1, max_tokens
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def _norm_order(order_by, id_col):
     """[(value Column, descending bool)] from the caller's order_by
     list of ``(expr, desc)`` pairs / bare exprs (see

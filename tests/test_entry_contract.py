@@ -127,6 +127,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "fk_discovery_tpch",
         "hll_overlap_events",
         "theta_overlap_orders",
+        "chunk_documents",
     }
 
     names = list(entry_mod.queries().keys())

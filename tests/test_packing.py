@@ -320,3 +320,85 @@ def test_mixture_budgets_compose_with_grouped_select(spark):
     kept_a = [r for r in got if r[1] == "a"]
     kept_b = [r for r in got if r[1] == "b"]
     assert len(kept_a) == 10 and len(kept_b) == 5  # 40/4, 20/4
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents — context-length chunking with overlap
+
+
+def _chunks(spark, rows, **kw):
+    from hll_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "text", "doc_id", **kw).collect()
+    }
+
+
+def test_chunk_documents_exact_small(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    out = _chunks(spark, [(1, text)], max_tokens=8, overlap=2)
+    # stride 6: starts 0 and 6 -> [t0..t7], [t6..t9]
+    assert out == {
+        (1, 0): (8, " ".join(f"t{i}" for i in range(8))),
+        (1, 1): (4, " ".join(f"t{i}" for i in range(6, 10))),
+    }
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    out = _chunks(
+        spark,
+        [(1, "a b c"), (2, ""), (3, "   "), (4, "solo")],
+        max_tokens=8,
+        overlap=2,
+    )
+    # short docs -> exactly one chunk; empty/whitespace docs -> no rows
+    assert out == {(1, 0): (3, "a b c"), (4, 0): (1, "solo")}
+
+
+def test_chunk_documents_covers_every_token(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(rng.randrange(0, 200))))
+        for i in range(30)
+    ]
+    max_tokens, overlap = 16, 5
+    stride = max_tokens - overlap
+    out = _chunks(spark, rows, max_tokens=max_tokens, overlap=overlap)
+    for doc_id, text in rows:
+        toks = text.split()
+        got = sorted(
+            (cid, v) for (d, cid), v in out.items() if d == doc_id
+        )
+        if not toks:
+            assert got == []
+            continue
+        # reconstruct: chunk i contributes its tokens past the overlap
+        # (all of chunk 0); concatenation must equal the original stream
+        rebuilt = []
+        for cid, (n_tok, ctext) in got:
+            ctoks = ctext.split()
+            assert n_tok == len(ctoks) <= max_tokens
+            assert ctoks == toks[cid * stride : cid * stride + len(ctoks)]
+            rebuilt.extend(ctoks if cid == 0 else ctoks[overlap:])
+        assert rebuilt == toks
+
+
+def test_chunk_documents_validation_and_plan(spark):
+    import pytest
+
+    from hll_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="unknown column"):
+        chunk_documents(df, text_col="nope")
+    out = chunk_documents(df, max_tokens=8, overlap=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # zero-shuffle operator

@@ -108,6 +108,7 @@ GATED = [
     "fk_discovery_tpch",  # per-column sketch scans + broadcast pair join
     "hll_overlap_events",  # ONE grouped build + single-task pair emit
     "theta_overlap_orders",  # same shape, theta DIRECT intersections
+    "chunk_documents",  # pure-JVM generator projection, zero shuffles
 ]
 
 
