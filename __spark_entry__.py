@@ -1584,6 +1584,25 @@ def q_chunk_documents(spark, sf):
     )
 
 
+def q_bm25_retrieval_documents(spark, sf):
+    # BM25 query->document retrieval (operators/vocab.bm25_retrieve):
+    # top-5 documents for three fixed queries under the quantized
+    # log-free scoring (per-term floor(idf*tfn*1e9) as BIGINT, summed
+    # — bit-exact cross-engine, see the operator docstring). Corpus
+    # pass is ONE scan; exploded tokens are pruned by a broadcast
+    # join against the query vocabulary BEFORE the tf shuffle.
+    from hll_spark.operators.vocab import bm25_retrieve
+
+    queries = spark.createDataFrame(
+        [(0, "hash join"), (1, "window agg stream"),
+         (2, "vector column scan")],
+        "query_id long, qtext string",
+    )
+    return bm25_retrieve(
+        _t(spark, sf, "documents"), queries, k=5
+    )
+
+
 def q_ams_join_size_orders(spark, sf):
     # Fast-AMS join-size estimation (sketchlib/ams.py): price
     # |orders JOIN customer ON custkey| WITHOUT running the join —
@@ -2381,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap_events": q_hll_overlap_events,
         "theta_overlap_orders": q_theta_overlap_orders,
         "chunk_documents": q_chunk_documents,
+        "bm25_retrieval_documents": q_bm25_retrieval_documents,
 
         # (rotated past the cap for the late-r4 vocab/split/BPE/
         # bucketing queries — every one ORACLE- or rows-green in r3
@@ -2628,6 +2648,61 @@ def oracle_sql() -> dict[str, str]:
                        list_slice(toks, start + 1, start + 64), ' '
                    ) AS chunk_text
             FROM st
+        """,
+        "bm25_retrieval_documents": r"""
+            -- quantized log-free BM25 (k1=1.2, b=0.75, k=5): every
+            -- per-term score is a chain of correctly-rounded IEEE ops
+            -- over exact integers, floored to a BIGINT e9 grid before
+            -- the (order-free) sum — bit-exact vs the Spark plan.
+            -- ::DOUBLE on every constant: DuckDB parses bare decimal
+            -- literals as DECIMAL, whose arithmetic is not IEEE.
+            WITH q(query_id, term) AS (
+                VALUES (0, 'hash'), (0, 'join'),
+                       (1, 'window'), (1, 'agg'), (1, 'stream'),
+                       (2, 'vector'), (2, 'column'), (2, 'scan')
+            ),
+            d AS (
+                SELECT doc_id,
+                       -- explicit class: RE2 '\s' lacks \x0b, Java's has it
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text),
+                                                    '[ \t\n\x0b\f\r]+')
+                       END AS toks
+                FROM documents
+            ),
+            dd AS (SELECT doc_id, len(toks) AS dl, toks FROM d),
+            stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dd),
+            post AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf FROM post
+                WHERE term IN (SELECT DISTINCT term FROM q)
+                GROUP BY doc_id, dl, term
+            ),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT CAST(q.query_id AS BIGINT) AS query_id, t.doc_id,
+                       CAST(SUM(CAST(floor(
+                         (((s.n - f.df) + 0.5::DOUBLE)
+                            / (f.df + 0.5::DOUBLE))
+                         * ((t.tf * 2.2::DOUBLE)
+                            / (t.tf + 1.2::DOUBLE
+                               * (0.25::DOUBLE + 0.75::DOUBLE
+                                  * (t.dl / (s.sdl / s.n)))))
+                         * 1000000000.0::DOUBLE
+                       ) AS BIGINT)) AS BIGINT) AS score_e9
+                FROM tf t
+                JOIN dfreq f USING (term)
+                JOIN q ON q.term = t.term
+                CROSS JOIN stats s
+                GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score_e9, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score_e9 DESC, doc_id ASC
+                )::INT AS rank FROM scored
+            ) WHERE rank <= 5
         """,
         "theta_overlap_orders": """
             WITH d AS (

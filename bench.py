@@ -357,6 +357,7 @@ EXTRA_QUERIES_R4B = [
     "duplicate_groups_documents",
     "text_quality_documents",
     "chunk_documents",
+    "bm25_retrieval_documents",
 ]
 
 

@@ -340,3 +340,130 @@ def bpe_encode(
         F.size(toks).cast("long").alias("n_pretokens"),
         n_bpe_tokens(toks).alias("n_bpe_tokens"),
     )
+
+
+def bm25_retrieve(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25 — the query→document
+    retrieval primitive (targeted curation, retrieval-based
+    decontamination triage, RAG index audits).
+
+    Terms are whitespace tokens on BOTH sides (the corpus convention
+    shared by the dedup/decontamination family; case-folding, if
+    wanted, is the caller's normalization step — see
+    ``normalize_unicode``). Per distinct query term t in document d::
+
+        idf(t)  = ((N - df_t) + 0.5) / (df_t + 0.5)        # log-free
+        tfn(t,d)= (tf * (k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl)))
+        score(q,d) = sum_t floor(idf * tfn * 1e9)          # BIGINT
+
+    The classic BM25 idf is ``ln(idf + 1)``; the log-free form keeps
+    every per-term score a chain of correctly-rounded IEEE ops over
+    EXACT integer inputs (tf, dl, df, N), so the quantized per-term
+    BIGINT is bit-identical across engines, and the per-(query, doc)
+    sum — BIGINT addition — is order-independent: the result is
+    hash-comparable against a SQL oracle despite Spark's
+    nondeterministic aggregation order. Ranking is unchanged for any
+    monotone idf transform at single-term queries and near-identical
+    otherwise; swap in ``log`` for the textbook weighting (the plan
+    below is unchanged, only the cross-engine bit-exactness argument
+    needs the log-free form).
+
+    Returns (qid, id, score_e9, rank), rank 1..k per query, ordered by
+    (score_e9 desc, id asc) — fully deterministic.
+
+    100 TB design: the corpus-sized work is ONE scan. Exploded tokens
+    are pruned by a broadcast hash join against the distinct query
+    vocabulary BEFORE any shuffle, so the tf aggregate's input is
+    bounded by query-term occurrences, not corpus tokens; df comes
+    from a second aggregate over the (already distinct) tf table;
+    corpus stats (N, sum dl) ride a deliberately-ONE-ROW broadcast
+    crossJoin (the tfidf_top_terms idiom — a 1-row nested loop IS the
+    correct plan); the final top-k window partitions by query over
+    scored pairs only. The query table is assumed small (it
+    broadcasts).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k1 <= 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got {k1}, {b}")
+    for c, frame, who in (
+        (text_col, docs, "docs"),
+        (id_col, docs, "docs"),
+        (qid_col, queries, "queries"),
+        (qtext_col, queries, "queries"),
+    ):
+        if c not in frame.columns:
+            raise ValueError(f"unknown column {c!r} on {who}")
+
+    def toks(col):
+        c = F.trim(F.col(col))
+        return F.when(
+            c.isNull() | (F.length(c) == 0),
+            F.array().cast("array<string>"),
+        ).otherwise(F.split(c, r"\s+"))
+
+    qterms = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(toks(qtext_col))).alias("term"),
+    )
+    qvocab = qterms.select("term").distinct()
+
+    base = docs.select(F.col(id_col), toks(text_col).alias("__toks"))
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        F.sum(F.size("__toks")).alias("__sdl"),
+    )
+
+    posting = (
+        base.select(
+            id_col,
+            F.size("__toks").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .join(F.broadcast(qvocab), "term")  # row-local vocab prune
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = posting.groupBy("term").agg(F.count("*").alias("__df"))
+
+    # every constant below is written identically in the SQL oracle;
+    # expression trees must stay aligned for bit-exact parity
+    avgdl = F.col("__sdl") / F.col("__n")
+    idf = ((F.col("__n") - F.col("__df")) + F.lit(0.5)) / (
+        F.col("__df") + F.lit(0.5)
+    )
+    tfn = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("__dl") / avgdl))
+    )
+    scored_terms = (
+        posting.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            F.floor(idf * tfn * F.lit(1000000000.0)).alias("__s"),
+        )
+    )
+    per_qd = (
+        scored_terms.join(F.broadcast(qterms), "term")
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("__s").alias("score_e9"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("score_e9"), F.asc(id_col)
+    )
+    return (
+        per_qd.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -128,6 +128,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "hll_overlap_events",
         "theta_overlap_orders",
         "chunk_documents",
+        "bm25_retrieval_documents",
     }
 
     names = list(entry_mod.queries().keys())
