@@ -406,3 +406,83 @@ def streaming_sketch_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_mg_topk(
+    stream_df: DataFrame,
+    item_col: str,
+    key_col: str,
+    k: int = 256,
+    top_n: int = 10,
+) -> DataFrame:
+    """Streaming heavy hitters: one Misra-Gries summary (at most ``k``
+    counters, see sketchlib/mg.py) per group key; each micro-batch is
+    folded in through the batch ``update`` (one C-speed ``value_counts``
+    per batch, Python cost O(distinct-per-batch)) and the CURRENT
+    top-``top_n`` is emitted per key per batch.
+
+    Emits (key, rank, item, est_count, max_undercount, rows_seen):
+    ``est_count`` is the MG lower bound — true count lies in
+    [est_count, est_count + max_undercount], and max_undercount <=
+    rows_seen/(k+1) after any batching (the mergeability theorem) —
+    rank 1..top_n by (est_count desc, item asc). Downstream dedupes on
+    the latest rows_seen per key (``update`` output mode), same as
+    :func:`streaming_sketch_distinct`.
+
+    State stays O(k) per key forever — the streaming top-k the exact
+    groupBy-count cannot provide at 100 TB/day: unlike CMS this needs
+    no candidate heap, and items with frequency > rows_seen/(k+1) are
+    GUARANTEED present.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from ..sketchlib.mg import MisraGries
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("rank", LongType()),
+            StructField("item", StringType()),
+            StructField("est_count", LongType()),
+            StructField("max_undercount", LongType()),
+            StructField("rows_seen", LongType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, rows = state.get
+            mg = MisraGries.from_bytes(bytes(blob))
+        else:
+            mg, rows = MisraGries(k), 0
+        for pdf in batches:
+            mg.update(pdf["__item"])
+            rows += len(pdf)
+        state.update((mg.to_bytes(), rows))
+        top = mg.top(top_n)
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(top),
+                "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                "item": [i for i, _ in top],
+                "est_count": np.array([c for _, c in top], dtype=np.int64),
+                "max_undercount": np.full(len(top), mg.offset, dtype=np.int64),
+                "rows_seen": np.full(len(top), rows, dtype=np.int64),
+            }
+        )
+
+    items = stream_df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(item_col).cast("string").alias("__item"),
+    )
+    return items.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

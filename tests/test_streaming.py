@@ -424,3 +424,135 @@ def test_sliding_windowed_distinct(spark, tmp_path):
         s = pd.Timestamp(start)
         mask = (pdf.ts >= s) & (pdf.ts < s + pd.Timedelta(hours=2))
         assert got[start] == pdf.loc[mask, "user_id"].nunique(), start
+
+
+def test_streaming_mg_topk_exact_regime(spark, tmp_path):
+    """k >= distinct items per key: MG counts are EXACT (offset 0)
+    whatever the micro-batching, so the streamed top-n must equal the
+    true frequency table of everything ingested so far."""
+    from hll_spark.streaming.stateful import streaming_mg_topk
+
+    src = str(tmp_path / "mgsrc")
+    ck = str(tmp_path / "mgck")
+    outd = str(tmp_path / "mgout")
+
+    def run_once(pdf):
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, source string")
+            .parquet(src)
+        )
+        out = streaming_mg_topk(stream, "source", "event_type", k=64, top_n=3)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(outd)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = pd.DataFrame(
+        {"event_type": ["a"] * 60 + ["b"] * 30,
+         "source": ["x"] * 40 + ["y"] * 15 + ["z"] * 5 + ["y"] * 30}
+    )
+    b2 = pd.DataFrame(
+        {"event_type": ["a"] * 50,
+         "source": ["z"] * 45 + ["x"] * 5}
+    )
+    run_once(b1)
+    run_once(b2)
+
+    rows = spark.read.parquet(outd).toPandas()
+    latest = rows[rows.groupby("key")["rows_seen"].transform("max")
+                  == rows["rows_seen"]]
+    a = latest[latest["key"] == "a"].sort_values("rank")
+    # cumulative 'a': x 45, y 15, z 50 -> top3 (z 50, x 45, y 15), exact
+    assert list(zip(a["rank"], a["item"], a["est_count"])) == [
+        (1, "z", 50), (2, "x", 45), (3, "y", 15)
+    ]
+    assert (a["max_undercount"] == 0).all()
+    assert (a["rows_seen"] == 110).all()
+    b = latest[latest["key"] == "b"].sort_values("rank")
+    assert list(zip(b["rank"], b["item"], b["est_count"])) == [(1, "y", 30)]
+
+
+def test_streaming_mg_topk_compressed_regime_bounds(spark, tmp_path):
+    """k << distinct: every streamed estimate is a lower bound within
+    max_undercount of the truth, max_undercount <= rows/(k+1), and the
+    guaranteed-frequent item (freq > rows/(k+1)) is present."""
+    from hll_spark.streaming.stateful import streaming_mg_topk
+
+    src = str(tmp_path / "mgcsrc")
+    ck = str(tmp_path / "mgcck")
+    outd = str(tmp_path / "mgcout")
+    K = 7
+
+    rng = np.random.default_rng(11)
+
+    def mk(n, heavy_frac):
+        tail = rng.integers(0, 500, size=n)
+        items = np.where(rng.random(n) < heavy_frac, -1, tail)
+        return pd.DataFrame(
+            {"event_type": ["a"] * n,
+             "source": [f"s{i}" if i >= 0 else "HEAVY" for i in items]}
+        )
+
+    frames = [mk(3000, 0.3), mk(2000, 0.25)]
+
+    def run_once(pdf):
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("event_type string, source string")
+            .parquet(src)
+        )
+        out = streaming_mg_topk(stream, "source", "event_type", k=K, top_n=5)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(outd)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for f in frames:
+        run_once(f)
+
+    truth = pd.concat(frames)["source"].value_counts()
+    n_rows = int(truth.sum())
+    rows = spark.read.parquet(outd).toPandas()
+    latest = rows[rows["rows_seen"] == n_rows]
+    assert len(latest) > 0
+    off = int(latest["max_undercount"].iloc[0])
+    assert 0 < off <= n_rows / (K + 1)
+    for r in latest.itertuples():
+        true_c = int(truth.get(r.item, 0))
+        assert r.est_count <= true_c <= r.est_count + off, r
+    # HEAVY has freq > n/(k+1) by construction -> must be rank 1
+    assert int(truth["HEAVY"]) > n_rows / (K + 1)
+    top1 = latest[latest["rank"] == 1]
+    assert top1["item"].iloc[0] == "HEAVY"
+
+
+def test_streaming_mg_topk_validation(spark, tmp_path):
+    from hll_spark.streaming.stateful import streaming_mg_topk
+
+    src = str(tmp_path / "mgvsrc")
+    spark.createDataFrame(
+        pd.DataFrame({"event_type": ["a"], "source": ["x"]})
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, source string")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="top_n"):
+        streaming_mg_topk(stream, "source", "event_type", top_n=0)
