@@ -1475,6 +1475,37 @@ def q_skew_report_orders(spark, sf):
     )
 
 
+def q_salted_join_brand_volume(spark, sf):
+    # Skew-aware join EXECUTOR under a full value oracle: salted_join
+    # (operators/relational.py) is the plan join_plan_report recommends
+    # when one key owns a shuffle partition — left rows of the hot keys
+    # fan out over (key, salt) reducer cells, the right hot rows
+    # replicate across salts, cold keys take the ordinary hash join.
+    # Result must equal the plain equi-join row-for-row, which the
+    # DuckDB oracle pins via the per-brand aggregate of the FULL join
+    # output. Hot keys are explicit literals here (TPC-H partkeys are
+    # uniform); auto-detection via Misra-Gries is covered in
+    # test_salted_join.py on a constructed 60%-skew corpus.
+    from hll_spark.operators.relational import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, "partkey", hot_keys=[1, 2, 3, 4, 5], salt=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def q_profile_orders_columns(spark, sf):
     # ANALYZE-TABLE-style column profiling from ONE pruned scan
     # (operators/diagnostics.profile_table): per-column exact
@@ -2395,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every pytest via test_entry_contract.py at sf0.01, and it is
         # first in line for the r5 window
         "countsketch_event_counts": q_countsketch_event_counts,
+        "salted_join_brand_volume": q_salted_join_brand_volume,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2522,6 +2554,15 @@ def oracle_sql() -> dict[str, str]:
         "countsketch_event_counts": """
             SELECT event_type, COUNT(*) AS est_count
             FROM events GROUP BY event_type
+        """,
+        "salted_join_brand_volume": """
+            SELECT p_brand,
+                   COUNT(*) AS n_items,
+                   SUM(l_quantity) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY p_brand
         """,
         "profile_orders_columns": """
             WITH t AS (

@@ -358,6 +358,7 @@ EXTRA_QUERIES_R4B = [
     "text_quality_documents",
     "chunk_documents",
     "bm25_retrieval_documents",
+    "salted_join_brand_volume",
 ]
 
 

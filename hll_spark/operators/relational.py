@@ -199,3 +199,89 @@ def range_join(
     for k in on:
         out = out.drop(r[k])
     return out.drop(l["__bin"]).drop(r["__bin"])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    hot_keys: list | None = None,
+    salt: int = 16,
+    how: str = "inner",
+    min_share: float = 0.05,
+    top_n: int = 20,
+    mg_k: int = 1024,
+) -> DataFrame:
+    """Skew-aware equi-join: the executor for ``join_plan_report``'s
+    'salted_join' recommendation (diagnostics.py).
+
+    A plain shuffle join hashes every row of both sides by the key; one
+    key owning 20% of a 100 TB side means one reducer owns 20 TB — the
+    job IS that straggler. This splits both sides by a bounded hot-key
+    set and runs two joins:
+
+    - COLD keys: the ordinary equi-join (hash/SMJ) — unchanged.
+    - HOT keys: left rows get a uniform salt in [0, salt); right rows
+      replicate across ALL salts (``explode`` of a literal array,
+      JVM-side). The join key becomes (key, salt), so each formerly
+      single-reducer key fans out over ``salt`` reducers. Replication
+      cost is |right_hot| * salt rows — bounded because the hot set is
+      bounded (top_n), chosen precisely because those keys are huge on
+      the LEFT, not the right.
+
+    ``hot_keys=None`` auto-detects via a Misra-Gries pass on the left
+    (items with count_lb >= min_share * rows). That costs one sketch
+    scan + one count job; at scale, pass the hot set straight from
+    ``join_plan_report`` / ``key_skew_report`` instead, which already
+    measured it. Hot-key membership compares on the key's STRING form
+    (MG items are strings); exotic key types should pass typed
+    ``hot_keys`` explicitly.
+
+    Result equals ``left.join(right, on, how)`` row-for-row for
+    ``how`` in {'inner', 'left'} (asserted in test_salted_join.py);
+    right/full outer would duplicate right-side null rows across salts
+    and are refused. The reference has no join layer; this exists for
+    the north-star dataflow around the sketches.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError(
+            "salted_join reserves the column name '__salt'; rename it "
+            "on the input first"
+        )
+    dup = (set(left.columns) & set(right.columns)) - {on}
+    if dup:
+        raise ValueError(f"ambiguous output columns, rename first: {sorted(dup)}")
+
+    if hot_keys is None:
+        from .sketches import mg_top_items
+
+        rows = left.count()
+        floor_count = max(1, int(min_share * rows))
+        tops = mg_top_items(left, on, top_n=top_n, k=mg_k).collect()
+        hot_keys = [t["item"] for t in tops if t["count_lb"] >= floor_count]
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return left.join(right, on, how)
+
+    # membership on the string form: MG items arrive stringified, and
+    # one casted comparison covers int/string keys alike
+    hot_strs = [str(k) for k in hot_keys]
+    is_hot = F.col(on).cast("string").isin(hot_strs)
+    l_hot, l_cold = left.where(is_hot), left.where(~is_hot | F.col(on).isNull())
+    r_hot, r_cold = right.where(is_hot), right.where(~is_hot | F.col(on).isNull())
+
+    cold = l_cold.join(r_cold, on, how)
+
+    salt_col = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), F.lit(on)), F.lit(salt)
+    )
+    l_salted = l_hot.withColumn("__salt", salt_col)
+    r_salted = r_hot.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    hot = l_salted.join(r_salted, [on, "__salt"], how).drop("__salt")
+    return cold.unionByName(hot)

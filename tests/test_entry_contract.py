@@ -123,6 +123,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
     window_exceptions = {"embedding_dup_pairs"}
     deferred = {
         "countsketch_event_counts",
+        "salted_join_brand_volume",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",
