@@ -1475,6 +1475,36 @@ def q_skew_report_orders(spark, sf):
     )
 
 
+def q_image_dup_pairs(spark, sf):
+    # Perceptual image near-dup under a FULL value oracle: 30 grayscale
+    # PNGs sized EXACTLY 8x9 — the dHash grid identity — with
+    # pixel(y,x) = (k^2*((s%11)+3) + s*31) % 256, k = y*9+x, s = id%20,
+    # so ids 20..29 are pixel-exact clones of 0..9 and the quadratic
+    # wrap gives all 20 distinct images distinct, bit-diverse hashes
+    # (truth set = exactly the 10 clone pairs). Every dhash bit is a
+    # closed-form integer comparison the DuckDB oracle replays, and the
+    # oracle enumerates ALL pairs brute-force with xor + bit_count — so
+    # the comparison also proves the pigeonhole banding's recall-1
+    # claim, the real decode path (PNG bytes -> pixels), and the
+    # two's-complement i64 packing, end to end.
+    import numpy as np
+
+    from hll_spark.operators.dedup import image_dup_pairs
+    from hll_spark.operators.multimodal import encode_png
+
+    y, x = np.mgrid[0:8, 0:9]
+    k = y * 9 + x
+    rows = []
+    for i in range(30):
+        s = i % 20
+        img = ((k * k * ((s % 11) + 3) + s * 31) % 256).astype(np.uint8)
+        rows.append((i, bytearray(encode_png(img))))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    return image_dup_pairs(
+        media, "payload", "media_id", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
 def q_salted_join_brand_volume(spark, sf):
     # Skew-aware join EXECUTOR under a full value oracle: salted_join
     # (operators/relational.py) is the plan join_plan_report recommends
@@ -2427,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first in line for the r5 window
         "countsketch_event_counts": q_countsketch_event_counts,
         "salted_join_brand_volume": q_salted_join_brand_volume,
+        "image_dup_pairs_parity": q_image_dup_pairs,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2554,6 +2585,42 @@ def oracle_sql() -> dict[str, str]:
         "countsketch_event_counts": """
             SELECT event_type, COUNT(*) AS est_count
             FROM events GROUP BY event_type
+        """,
+        "image_dup_pairs_parity": """
+            -- closed-form dHash replay: 8x9 images ARE the dHash grid,
+            -- so bit k=y*8+x is the pixel comparison itself; HUGEINT
+            -- accumulates the u64, two's complement casts to BIGINT,
+            -- brute-force xor+bit_count enumerates the truth set
+            WITH bits AS (
+              SELECT id, y, x,
+                     CASE WHEN
+                       (kk * kk * ((s % 11) + 3) + s * 31) % 256
+                       >
+                       ((kk + 1) * (kk + 1) * ((s % 11) + 3) + s * 31) % 256
+                     THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+              FROM (
+                SELECT i.range AS id, i.range % 20 AS s,
+                       y.range AS y, x.range AS x,
+                       y.range * 9 + x.range AS kk
+                FROM range(30) i, range(8) y, range(8) x
+              )
+            ),
+            dh AS (
+              SELECT id,
+                     CASE WHEN s >= 9223372036854775808::HUGEINT
+                          THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+                          ELSE s::BIGINT END AS dhash
+              FROM (
+                SELECT id, SUM(bit * (1::HUGEINT << (y * 8 + x))) AS s
+                FROM bits GROUP BY id
+              )
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER)
+                       AS hamming
+            FROM dh a JOIN dh b ON a.id < b.id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+            ORDER BY id_a, id_b
         """,
         "salted_join_brand_volume": """
             SELECT p_brand,

@@ -359,6 +359,7 @@ EXTRA_QUERIES_R4B = [
     "chunk_documents",
     "bm25_retrieval_documents",
     "salted_join_brand_volume",
+    "image_dup_pairs_parity",
 ]
 
 

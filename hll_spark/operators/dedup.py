@@ -444,20 +444,37 @@ def simhash_pairs(
     so candidates come from an equality self-join per chunk — never a
     cross join.
     """
+    hashed = df.select(
+        F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash")
+    )
+    return hamming_band_pairs(hashed, id_col, "simhash", max_hamming)
+
+
+def hamming_band_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """All pairs with Hamming(hash) <= max_hamming over a 64-bit hash
+    column, via pigeonhole banding (the simhash/dhash candidate rule):
+    split into ``max_hamming + 1`` chunks — any pair within budget
+    agrees on >= 1 chunk, so candidates come from per-chunk equality
+    self-joins and recall is exactly 1. The hashed frame is cached
+    because the self-join evaluates it twice (the hash may be an
+    expensive UDF — simhash tokenization, image decode)."""
     n_chunks = max_hamming + 1
     base_w = 64 // n_chunks
     widths = [base_w + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    hashed = df.select(
-        F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash")
-    ).cache()
+    hashed = hashed.cache()
     chunks = hashed.select(
         id_col,
-        "simhash",
+        hash_col,
         F.posexplode(
             F.array(
                 *[
-                    (F.shiftrightunsigned(F.col("simhash"), off)).bitwiseAND(
+                    (F.shiftrightunsigned(F.col(hash_col), off)).bitwiseAND(
                         F.lit((1 << w) - 1)
                     )
                     for off, w in zip(offsets, widths)
@@ -475,9 +492,9 @@ def simhash_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col("a.simhash").alias("sh_a"),
+            F.col(f"a.{hash_col}").alias("sh_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col(f"b.{hash_col}").alias("sh_b"),
         )
         .distinct()
     )
@@ -487,6 +504,30 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual dHash (real in-partition
+    decode — multimodal.image_dhash) + the same pigeonhole Hamming
+    banding as simhash_pairs. The CommonCrawl-image dedup shape: the
+    binary column never shuffles (each task decodes its own partition
+    and emits 16-byte (id, hash) rows), candidates come from chunk
+    equality self-joins — never a cross join — and recall within the
+    Hamming budget is exactly 1 by pigeonhole. Undecodable payloads
+    (NULL dhash) drop out of the pair search instead of failing it."""
+    from .multimodal import image_dhash
+
+    hashed = (
+        image_dhash(df, payload_col=payload_col, id_col=id_col)
+        .where(F.col("dhash").isNotNull())
+        .withColumnRenamed("media_id", id_col)
+    )
+    return hamming_band_pairs(hashed, id_col, "dhash", max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -848,3 +848,102 @@ def frame_sample_plan(
             "frame_no"
         ),
     )
+
+
+# -- perceptual image hashing (dHash) --------------------------------------
+
+
+def dhash_image(img: np.ndarray) -> int:
+    """64-bit difference hash of an image — the standard perceptual
+    near-dup fingerprint (robust to re-encoding and mild resizing,
+    unlike byte/content hashes).
+
+    Pinned convention (portable, library-free — this exact recipe is
+    what the SQL oracle mirrors):
+
+    - grayscale = float64 mean across channels (video: first frame)
+    - tiny images are first integer-upscaled by pixel repetition so
+      both dims reach the grid
+    - box-downsample to 8 rows x 9 cols: rows/cols split into
+      near-equal contiguous bands (``np.array_split`` boundaries),
+      cell = mean of its band intersection
+    - bit k = r*8 + c is 1 iff g[r, c] > g[r, c+1]
+
+    Returns the hash as a Python int in [0, 2^64). An 8x9 input maps
+    to the grid identity, so every bit is a closed-form function of
+    the pixel formula — the driver oracle exploits that.
+    """
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim == 4:  # video: (frames, h, w, ch) -> first frame
+        a = a[0]
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("dhash_image needs a non-empty 2-D image")
+    if a.shape[0] < 8:
+        a = np.repeat(a, -(-8 // a.shape[0]), axis=0)
+    if a.shape[1] < 9:
+        a = np.repeat(a, -(-9 // a.shape[1]), axis=1)
+    rows = [b.mean(axis=0) for b in np.array_split(a, 8, axis=0)]
+    g = np.stack(
+        [
+            np.array([c.mean() for c in np.array_split(r, 9)])
+            for r in rows
+        ]
+    )
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder=decode_media,
+) -> DataFrame:
+    """(media_id, dhash) per image via in-partition decode + dHash.
+
+    The heavy binary column never shuffles — each task decodes its own
+    partition's images and emits 16-byte rows, the same traffic shape
+    as ``media_sample_stats``. Null / undecodable / non-image payloads
+    (web-scale corpora are full of them) yield a NULL dhash instead of
+    failing the scan; 1-D decodes (audio) are rejected as non-images.
+    The dhash lands as a SIGNED int64 (two's complement of the u64
+    hash) so downstream XOR/bit_count stay in Spark's LONG space.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                try:
+                    arr = np.asarray(decoder(bytes(payload), "image"))
+                    if arr.ndim < 2:
+                        out.append(None)
+                        continue
+                    out.append(
+                        int(np.uint64(dhash_image(arr)).astype(np.int64))
+                    )
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(np.int64),
+                    "dhash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, DHASH_SCHEMA)

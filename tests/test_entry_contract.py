@@ -124,6 +124,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
     deferred = {
         "countsketch_event_counts",
         "salted_join_brand_volume",
+        "image_dup_pairs_parity",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",
