@@ -1505,6 +1505,34 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_audio_dup_pairs(spark, sf):
+    # Audio near-dup under a FULL value oracle, the WAV twin of
+    # image_dup_pairs_parity: 30 PCM clips of 650 int16 samples with
+    # sample(t) = ((p*13 + t^2*((p%5)+2)) % 211) - 100, p = id % 20,
+    # so ids 20..29 are sample-exact clones of 0..9 and all 20
+    # distinct clips get distinct fingerprints (truth set = the 10
+    # clone pairs). 650 = 65 equal windows of 10, so every
+    # energy-comparison bit is closed-form; DuckDB replays |sample|
+    # window sums, packs the u64 in HUGEINT, and brute-force
+    # enumerates all pairs — decode, integer energy convention,
+    # packing and banding recall all value-checked.
+    import numpy as np
+
+    from hll_spark.operators.dedup import audio_dup_pairs
+    from hll_spark.operators.multimodal import encode_wav
+
+    t = np.arange(650)
+    rows = []
+    for i in range(30):
+        p = i % 20
+        s = (((p * 13 + t * t * ((p % 5) + 2)) % 211) - 100).astype(np.int16)
+        rows.append((i, bytearray(encode_wav(s))))
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    return audio_dup_pairs(
+        media, "payload", "media_id", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
 def q_salted_join_brand_volume(spark, sf):
     # Skew-aware join EXECUTOR under a full value oracle: salted_join
     # (operators/relational.py) is the plan join_plan_report recommends
@@ -2458,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_event_counts": q_countsketch_event_counts,
         "salted_join_brand_volume": q_salted_join_brand_volume,
         "image_dup_pairs_parity": q_image_dup_pairs,
+        "audio_dup_pairs_parity": q_audio_dup_pairs,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2620,6 +2649,44 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+            ORDER BY id_a, id_b
+        """,
+        "audio_dup_pairs_parity": """
+            -- closed-form energy-fingerprint replay: 65 equal windows
+            -- of 10 samples, bit k = E(k) > E(k+1); HUGEINT packs the
+            -- u64, two's complement casts to BIGINT, brute-force
+            -- xor+bit_count enumerates the truth set
+            WITH e AS (
+              SELECT i.range AS id, t.range // 10 AS w,
+                     SUM(ABS(((i.range % 20) * 13
+                              + t.range * t.range
+                                * ((i.range % 20) % 5 + 2)) % 211
+                             - 100)) AS en
+              FROM range(30) i, range(650) t
+              GROUP BY 1, 2
+            ),
+            bits AS (
+              SELECT a.id, a.w AS k,
+                     CASE WHEN a.en > b.en
+                          THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+              FROM e a JOIN e b ON a.id = b.id AND b.w = a.w + 1
+              WHERE a.w < 64
+            ),
+            dh AS (
+              SELECT id,
+                     CASE WHEN s >= 9223372036854775808::HUGEINT
+                          THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+                          ELSE s::BIGINT END AS afp
+              FROM (
+                SELECT id, SUM(bit * (1::HUGEINT << k)) AS s
+                FROM bits GROUP BY id
+              )
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER)
+                       AS hamming
+            FROM dh a JOIN dh b ON a.id < b.id
+            WHERE bit_count(xor(a.afp, b.afp)) <= 6
             ORDER BY id_a, id_b
         """,
         "salted_join_brand_volume": """

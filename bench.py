@@ -360,6 +360,7 @@ EXTRA_QUERIES_R4B = [
     "bm25_retrieval_documents",
     "salted_join_brand_volume",
     "image_dup_pairs_parity",
+    "audio_dup_pairs_parity",
 ]
 
 

@@ -1355,3 +1355,24 @@ def semdedup_keep(
         )
         .select(id_col)
     )
+
+
+def audio_dup_pairs(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: time-domain energy fingerprint
+    (real in-partition WAV decode — multimodal.audio_afp) + the shared
+    pigeonhole Hamming banding. Same scale shape as image_dup_pairs:
+    bytes never shuffle, recall within the budget is exactly 1, and
+    non-audio / undecodable payloads drop out instead of failing."""
+    from .multimodal import audio_afp
+
+    hashed = (
+        audio_afp(df, payload_col=payload_col, id_col=id_col)
+        .where(F.col("afp").isNotNull())
+        .withColumnRenamed("media_id", id_col)
+    )
+    return hamming_band_pairs(hashed, id_col, "afp", max_hamming)

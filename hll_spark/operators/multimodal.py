@@ -918,6 +918,9 @@ def image_dhash(
     failing the scan; 1-D decodes (audio) are rejected as non-images.
     The dhash lands as a SIGNED int64 (two's complement of the u64
     hash) so downstream XOR/bit_count stay in Spark's LONG space.
+    Modality is decided by container magic BEFORE decoding (PNG / GIF
+    / JPEG / MJPEG-AVI), not by decoded array shape — a stereo WAV
+    also decodes 2-D and must not masquerade as an image.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -929,8 +932,17 @@ def image_dhash(
                 if payload is None:
                     out.append(None)
                     continue
+                b = bytes(payload)
+                if not (
+                    b[:8] == _PNG_SIG
+                    or (b[:3] == b"GIF" and b[3:6] in (b"87a", b"89a"))
+                    or b[:2] == b"\xff\xd8"
+                    or (b[:4] == b"RIFF" and b[8:12] == b"AVI ")
+                ):
+                    out.append(None)
+                    continue
                 try:
-                    arr = np.asarray(decoder(bytes(payload), "image"))
+                    arr = np.asarray(decoder(b, "image"))
                     if arr.ndim < 2:
                         out.append(None)
                         continue
@@ -947,3 +959,97 @@ def image_dhash(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, DHASH_SCHEMA)
+
+
+# -- perceptual audio fingerprinting ---------------------------------------
+
+
+def audio_fingerprint(samples: np.ndarray) -> int:
+    """64-bit time-domain energy fingerprint — the audio analogue of
+    :func:`dhash_image` (robust to level-preserving re-encoding and
+    small trims, unlike byte hashes; no FFT dependency).
+
+    Pinned convention (portable, exact-integer — the SQL oracle
+    mirrors it verbatim):
+
+    - multi-channel input: per-frame energy = sum of |sample| across
+      channels (keeps everything in integers)
+    - clips shorter than 65 frames are first integer-upsampled by
+      frame repetition
+    - split into 65 near-equal contiguous windows (``np.array_split``
+      boundaries); window energy = sum of per-frame energies
+    - bit k is 1 iff window k's MEAN energy exceeds window k+1's,
+      compared exactly by cross-multiplication:
+      ``sum[k] * len[k+1] > sum[k+1] * len[k]``
+
+    A 650-frame mono clip gives 65 equal windows of 10, so every bit
+    is a closed-form function of the sample formula — the driver
+    oracle exploits that.
+    """
+    a = np.asarray(samples)
+    if a.size == 0:
+        raise ValueError("audio_fingerprint needs a non-empty sample array")
+    e = np.abs(a.astype(np.int64, copy=False))
+    if e.ndim == 2:
+        e = e.sum(axis=1)
+    if e.ndim != 1:
+        raise ValueError("audio_fingerprint needs (n,) or (n, channels)")
+    if e.shape[0] < 65:
+        e = np.repeat(e, -(-65 // e.shape[0]))
+    parts = np.array_split(e, 65)
+    sums = np.array([int(p.sum()) for p in parts], dtype=object)
+    lens = np.array([len(p) for p in parts], dtype=object)
+    bits = [
+        int(sums[k] * lens[k + 1] > sums[k + 1] * lens[k]) for k in range(64)
+    ]
+    return sum(b << k for k, b in enumerate(bits))
+
+
+def audio_afp(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder=decode_media,
+) -> DataFrame:
+    """(media_id, afp) per audio clip via in-partition decode +
+    :func:`audio_fingerprint` — same traffic shape and null policy as
+    :func:`image_dhash`: bytes never shuffle, undecodable / non-audio
+    payloads yield NULL. Modality is decided by container magic (WAV
+    RIFF header) BEFORE decoding — a grayscale PNG also decodes to a
+    2-D int array and must not masquerade as audio. Output column
+    ``afp`` is the signed-i64 packing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                b = bytes(payload)
+                if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
+                    out.append(None)
+                    continue
+                try:
+                    arr = np.asarray(decoder(b, "audio"))
+                    out.append(
+                        int(np.uint64(audio_fingerprint(arr)).astype(np.int64))
+                    )
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].to_numpy(np.int64),
+                    "afp": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("afp", LongType()),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -164,3 +164,102 @@ def test_simhash_pairs_unchanged_by_refactor(spark):
         simhash_pairs(docs, "text", "doc_id", max_hamming=10).collect()
     }
     assert (0, 1) in got and (0, 2) not in got
+
+
+# -- audio fingerprint ------------------------------------------------------
+
+
+def _afp_reference(samples):
+    # independent reference: exact integer cross-multiplied means
+    e = np.abs(np.asarray(samples).astype(np.int64))
+    if e.ndim == 2:
+        e = e.sum(axis=1)
+    parts = np.array_split(e, 65)
+    s = [int(p.sum()) for p in parts]
+    n = [len(p) for p in parts]
+    return sum(
+        int(s[k] * n[k + 1] > s[k + 1] * n[k]) << k for k in range(64)
+    )
+
+
+def test_audio_fingerprint_matches_reference():
+    from hll_spark.operators.multimodal import audio_fingerprint
+
+    rng = np.random.default_rng(23)
+    for n in (650, 653, 64, 1):
+        s = rng.integers(-30000, 30000, n).astype(np.int16)
+        assert audio_fingerprint(s) == _afp_reference(
+            np.repeat(s, -(-65 // n)) if n < 65 else s
+        )
+
+
+def test_audio_fingerprint_stereo_channel_sum():
+    from hll_spark.operators.multimodal import audio_fingerprint
+
+    rng = np.random.default_rng(29)
+    st = rng.integers(-1000, 1000, (650, 2)).astype(np.int16)
+    mono_e = np.abs(st.astype(np.int64)).sum(axis=1)
+    assert audio_fingerprint(st) == _afp_reference(mono_e)
+
+
+def test_audio_wav_roundtrip_invariant():
+    from hll_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(31)
+    s = rng.integers(-30000, 30000, 650).astype(np.int16)
+    assert audio_fingerprint(s) == audio_fingerprint(decode_wav(encode_wav(s)))
+
+
+def test_modality_magic_sniffing(spark):
+    # a grayscale PNG must NOT fingerprint as audio; a stereo WAV must
+    # NOT dhash as an image — magic decides, not decoded array shape
+    import wave as _wave  # noqa: F401  (documents the stdlib path)
+
+    from hll_spark.operators.multimodal import audio_afp, image_dhash
+
+    rng = np.random.default_rng(37)
+    png = encode_png(rng.integers(0, 256, (16, 18)).astype(np.uint8))
+    stereo = rng.integers(-1000, 1000, (100, 2)).astype(np.int16)
+    import io
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(stereo.tobytes())
+    wav2 = buf.getvalue()
+    df = spark.createDataFrame(
+        [(0, bytearray(png)), (1, bytearray(wav2))],
+        "media_id bigint, payload binary",
+    )
+    afp = {r["media_id"]: r["afp"] for r in audio_afp(df).collect()}
+    dh = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert afp[0] is None and afp[1] is not None
+    assert dh[0] is not None and dh[1] is None
+
+
+def test_audio_dup_pairs_end_to_end(spark):
+    from hll_spark.operators.dedup import audio_dup_pairs
+    from hll_spark.operators.multimodal import encode_wav
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for i in range(8):
+        s = rng.integers(-30000, 30000, 650).astype(np.int16)
+        rows.append((2 * i, bytearray(encode_wav(s))))
+        rows.append((2 * i + 1, bytearray(encode_wav(s))))  # clone
+    rows.append((100, bytearray(b"RIFFjunkWAVEbroken")))
+    rows.append((101, None))
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in audio_dup_pairs(df, "payload", "media_id", 2).collect()
+    }
+    assert {(2 * i, 2 * i + 1) for i in range(8)} <= got
+    flat = {x for p in got for x in p}
+    assert 100 not in flat and 101 not in flat
