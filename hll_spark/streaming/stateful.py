@@ -486,3 +486,77 @@ def streaming_mg_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_quantiles(
+    stream_df: DataFrame,
+    col: str,
+    key_col: str,
+    spec=None,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-key STREAMING QUANTILES: one mergeable quantile sketch (KLL
+    by default; pass ``sketches.tdigest_spec(...)`` for tails) per key,
+    each micro-batch folded in and the current quantile estimates
+    emitted as (key, sketch, rows_seen, p50, p90, ...).
+
+    The projection difference from :func:`streaming_sketch_distinct`
+    is the point: quantile sketches ORDER raw values, so the column
+    streams in as doubles, never hashed. NULL/NaN values are dropped
+    (SQL aggregate semantics). State stays bounded by the sketch's own
+    size contract (KLL: O(k log(n/k)) items per key) regardless of
+    stream length — the percentile dashboard the exact sort cannot
+    provide over an unbounded stream. Quantile columns are named
+    ``p50``-style from ``qs`` (dots -> underscores, so 0.999 -> p99_9).
+    """
+    from ..operators.sketches import kll_spec
+
+    spec = spec or kll_spec()
+    names = [("p" + format(q * 100, "g")).replace(".", "_") for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile columns from qs={qs}")
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("sketch", BinaryType()),
+            StructField("rows_seen", LongType()),
+        ]
+        + [StructField(n, DoubleType()) for n in names]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, rows = state.get
+            sketch = spec.from_bytes_fn(bytes(blob))
+        else:
+            sketch, rows = spec.zero_fn(), 0
+        for pdf in batches:
+            vals = pdf["__v"].to_numpy(np.float64)
+            vals = vals[~np.isnan(vals)]
+            if len(vals):
+                sketch = spec.update_fn(sketch, vals)
+                rows += len(vals)
+        blob = spec.to_bytes_fn(sketch)
+        state.update((blob, rows))
+        row = {"key": [str(key[0])], "sketch": [blob], "rows_seen": [rows]}
+        for n, q in zip(names, qs):
+            row[n] = [float(sketch.quantile(q)) if rows else float("nan")]
+        yield pd.DataFrame(row)
+
+    projected = stream_df.select(
+        F.col(key_col).cast("string").alias(key_col),
+        F.col(col).cast("double").alias("__v"),
+    ).where(F.col("__v").isNotNull())
+    return projected.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -556,3 +556,122 @@ def test_streaming_mg_topk_validation(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="top_n"):
         streaming_mg_topk(stream, "source", "event_type", top_n=0)
+
+
+def test_streaming_quantiles_kll(spark, tmp_path):
+    """Per-key streaming quantiles: two real micro-batches through a
+    checkpoint must yield EXACTLY the quantiles of a local mirror that
+    updates batch1 then (after a bytes round-trip) batch2 — the same
+    fold the stateful operator performs — and land within the KLL rank
+    bound of the true order statistics."""
+    from hll_spark.operators.sketches import kll_spec
+    from hll_spark.sketchlib.kll import KllSketch
+    from hll_spark.streaming.stateful import streaming_quantiles
+
+    src = str(tmp_path / "qsrc")
+    ck = str(tmp_path / "qck")
+    outd = str(tmp_path / "qout")
+    spec = kll_spec(k=200)
+
+    def run_once(pdf):
+        spark.createDataFrame(pdf).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("grp string, value double")
+            .parquet(src)
+        )
+        out = streaming_quantiles(
+            stream, "value", "grp", spec=spec, qs=(0.5, 0.9)
+        )
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(outd)
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rng = np.random.default_rng(43)
+    b1 = {
+        "a": rng.normal(100, 15, 4000),
+        "b": rng.exponential(10, 3000),
+    }
+    b2 = {
+        "a": rng.normal(300, 5, 2500),
+        "b": rng.exponential(10, 1500),
+    }
+    nan_mix = np.array([np.nan, np.nan])
+    run_once(
+        pd.DataFrame(
+            {
+                "grp": ["a"] * 4000 + ["b"] * 3000 + ["a"] * 2,
+                "value": np.concatenate([b1["a"], b1["b"], nan_mix]),
+            }
+        )
+    )
+    run_once(
+        pd.DataFrame(
+            {
+                "grp": ["a"] * 2500 + ["b"] * 1500,
+                "value": np.concatenate([b2["a"], b2["b"]]),
+            }
+        )
+    )
+
+    rows = spark.read.parquet(outd).toPandas()
+    latest = rows.sort_values("rows_seen").groupby("key").last()
+    for g in ("a", "b"):
+        # mirror the exact fold: update b1, serialize, restore, update b2
+        s = KllSketch(200)
+        s.update(b1[g])
+        s = KllSketch.from_bytes(s.to_bytes())
+        s.update(b2[g])
+        assert latest.loc[g, "rows_seen"] == len(b1[g]) + len(b2[g])
+        assert latest.loc[g, "p50"] == pytest.approx(s.quantile(0.5))
+        assert latest.loc[g, "p90"] == pytest.approx(s.quantile(0.9))
+        # rank bound vs the true order statistics (5/k rank error)
+        allv = np.sort(np.concatenate([b1[g], b2[g]]))
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            est = latest.loc[g, col]
+            true_rank = np.searchsorted(allv, est) / len(allv)
+            assert abs(true_rank - q) <= 5.0 / 200 + 0.01
+
+
+def test_streaming_quantiles_tdigest_and_name_guard(spark, tmp_path):
+    from hll_spark.operators.sketches import tdigest_spec
+    from hll_spark.streaming.stateful import streaming_quantiles
+
+    src = str(tmp_path / "tsrc")
+    ck = str(tmp_path / "tck")
+    outd = str(tmp_path / "tout")
+    rng = np.random.default_rng(47)
+    vals = rng.normal(0, 1, 5000)
+    pdf = pd.DataFrame({"grp": ["x"] * 5000, "value": vals})
+    spark.createDataFrame(pdf).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("grp string, value double").parquet(src)
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        streaming_quantiles(stream, "value", "grp", qs=(0.5, 0.50))
+    out = streaming_quantiles(
+        stream, "value", "grp", spec=tdigest_spec(200.0), qs=(0.99,)
+    )
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(outd)
+
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(outd).toPandas().iloc[0]
+    true99 = np.quantile(vals, 0.99)
+    assert abs(got["p99"] - true99) < 0.15
