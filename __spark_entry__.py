@@ -1505,6 +1505,61 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_warc_ingest(spark, sf):
+    # WARC ingestion (ISO 28500 / Common Crawl layout) under a FULL
+    # value oracle: 3 archive blobs (one with per-record gzip members
+    # — the actual CC layout) of closed-form response records; the
+    # distributed parse (sources/warc.py, mapInPandas over the binary
+    # column — the same kernel read_warc feeds from binaryFile) must
+    # reproduce url, timestamp, HTTP status, content type, byte length
+    # and body md5 exactly as DuckDB recomputes them from the
+    # generation formulas. Framing, gzip member handling, HTTP header
+    # split and payload slicing are all value-checked.
+    from hll_spark.sources.warc import encode_warc, parse_warc_records
+
+    blobs = []
+    for b in range(3):
+        recs = [
+            {
+                "type": "warcinfo",
+                "date": "2024-03-01T00:00:00Z",
+                "body": b"software: fixture",
+            }
+        ]
+        for i in range(b * 15, b * 15 + 15):
+            recs.append(
+                {
+                    "type": "response",
+                    "url": f"https://host{i % 7}.example.com/p/{i}",
+                    "date": f"2024-03-01T00:00:{i % 60:02d}Z",
+                    "http_status": 200 + (i % 3) * 100,
+                    "content_type": "text/html",
+                    "body": (
+                        f"<html><body>payload-{i}-"
+                        + "ab" * (i % 9)
+                        + "</body></html>"
+                    ).encode(),
+                }
+            )
+        blobs.append(
+            (b, bytearray(encode_warc(recs, gzip_members=(b == 1))))
+        )
+    files = spark.createDataFrame(blobs, "file_id bigint, payload binary")
+    pages = parse_warc_records(files)
+    return (
+        pages.where(F.col("record_type") == "response")
+        .select(
+            "url",
+            "warc_ts",
+            "http_status",
+            "content_type",
+            F.length("html").cast("long").alias("n_bytes"),
+            F.md5(F.col("html")).alias("body_md5"),
+        )
+        .orderBy("url")
+    )
+
+
 def q_audio_dup_pairs(spark, sf):
     # Audio near-dup under a FULL value oracle, the WAV twin of
     # image_dup_pairs_parity: 30 PCM clips of 650 int16 samples with
@@ -2487,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_brand_volume": q_salted_join_brand_volume,
         "image_dup_pairs_parity": q_image_dup_pairs,
         "audio_dup_pairs_parity": q_audio_dup_pairs,
+        "warc_ingest_parity": q_warc_ingest,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2650,6 +2706,25 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "warc_ingest_parity": """
+            -- closed-form replay of the WARC fixture: url/ts/status/
+            -- type/length/md5 recomputed from the generation formulas
+            SELECT 'https://host' || (i.range % 7)
+                       || '.example.com/p/' || i.range AS url,
+                   make_timestamp(2024, 3, 1, 0, 0,
+                                  (i.range % 60)::DOUBLE) AS warc_ts,
+                   CAST(200 + (i.range % 3) * 100 AS INTEGER)
+                       AS http_status,
+                   'text/html' AS content_type,
+                   CAST(length('<html><body>payload-' || i.range || '-'
+                               || repeat('ab', i.range % 9)
+                               || '</body></html>') AS BIGINT) AS n_bytes,
+                   md5('<html><body>payload-' || i.range || '-'
+                       || repeat('ab', i.range % 9)
+                       || '</body></html>') AS body_md5
+            FROM range(45) i
+            ORDER BY url
         """,
         "audio_dup_pairs_parity": """
             -- closed-form energy-fingerprint replay: 65 equal windows

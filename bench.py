@@ -361,6 +361,7 @@ EXTRA_QUERIES_R4B = [
     "salted_join_brand_volume",
     "image_dup_pairs_parity",
     "audio_dup_pairs_parity",
+    "warc_ingest_parity",
 ]
 
 

@@ -126,6 +126,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "salted_join_brand_volume",
         "image_dup_pairs_parity",
         "audio_dup_pairs_parity",
+        "warc_ingest_parity",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",
