@@ -1505,6 +1505,37 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_host_pagerank(spark, sf):
+    # Link-graph domain ranking under a FULL value oracle: 60 html
+    # docs with 3 closed-form hrefs each (src host i%9, dst host
+    # (i*5+j*7+1)%9) flow through extract_links (JVM regexp) ->
+    # host_link_graph (canonical hosts, self-loops dropped, weighted)
+    # -> 3 iterations of EXACT INTEGER micro-unit PageRank. DuckDB
+    # rebuilds the edge list from the formulas and unrolls the three
+    # iterations as CTEs with the same truncating integer divisions —
+    # bitwise equality is the operator's determinism contract, so a
+    # single value hash checks extraction, graph build and every
+    # arithmetic step at once.
+    from hll_spark.operators.graph import (
+        extract_links,
+        host_link_graph,
+        pagerank_hosts,
+    )
+
+    rows = []
+    for i in range(60):
+        hrefs = "".join(
+            f'<a href="https://h{(i * 5 + j * 7 + 1) % 9}.example.com/x">l</a>'
+            for j in range(3)
+        )
+        rows.append(
+            (f"https://h{i % 9}.example.com/p/{i}", f"<html>{hrefs}</html>")
+        )
+    docs = spark.createDataFrame(rows, "url string, html string")
+    g = host_link_graph(extract_links(docs, "html", "url"))
+    return pagerank_hosts(g, iterations=3).orderBy("host")
+
+
 def q_warc_ingest(spark, sf):
     # WARC ingestion (ISO 28500 / Common Crawl layout) under a FULL
     # value oracle: 3 archive blobs (one with per-record gzip members
@@ -2543,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_pairs_parity": q_image_dup_pairs,
         "audio_dup_pairs_parity": q_audio_dup_pairs,
         "warc_ingest_parity": q_warc_ingest,
+        "host_pagerank_parity": q_host_pagerank,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2706,6 +2738,61 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "host_pagerank_parity": """
+            -- rebuild the closed-form edge list, then unroll 3 exact
+            -- integer PageRank iterations (truncating //) as CTEs
+            WITH links AS (
+              SELECT 'h' || (i.range % 9) || '.example.com' AS s,
+                     'h' || ((i.range * 5 + j.range * 7 + 1) % 9)
+                         || '.example.com' AS d
+              FROM range(60) i, range(3) j
+            ),
+            edges AS (
+              SELECT s, d, COUNT(*)::BIGINT AS w
+              FROM links WHERE s <> d GROUP BY s, d
+            ),
+            nodes AS (
+              SELECT DISTINCT s AS host FROM edges
+              UNION SELECT DISTINCT d FROM edges
+            ),
+            wout AS (SELECT s, SUM(w) AS w_out FROM edges GROUP BY s),
+            r0 AS (SELECT host, 1000000::BIGINT AS r FROM nodes),
+            r1 AS (
+              SELECT n.host,
+                     150000 + COALESCE(SUM(
+                       e.w * ((r.r * 850000) // (1000000 * wo.w_out))
+                     ), 0) AS r
+              FROM nodes n
+              LEFT JOIN edges e ON e.d = n.host
+              LEFT JOIN wout wo ON wo.s = e.s
+              LEFT JOIN r0 r ON r.host = e.s
+              GROUP BY n.host
+            ),
+            r2 AS (
+              SELECT n.host,
+                     150000 + COALESCE(SUM(
+                       e.w * ((r.r * 850000) // (1000000 * wo.w_out))
+                     ), 0) AS r
+              FROM nodes n
+              LEFT JOIN edges e ON e.d = n.host
+              LEFT JOIN wout wo ON wo.s = e.s
+              LEFT JOIN r1 r ON r.host = e.s
+              GROUP BY n.host
+            ),
+            r3 AS (
+              SELECT n.host,
+                     150000 + COALESCE(SUM(
+                       e.w * ((r.r * 850000) // (1000000 * wo.w_out))
+                     ), 0) AS r
+              FROM nodes n
+              LEFT JOIN edges e ON e.d = n.host
+              LEFT JOIN wout wo ON wo.s = e.s
+              LEFT JOIN r2 r ON r.host = e.s
+              GROUP BY n.host
+            )
+            SELECT host, CAST(r AS BIGINT) AS rank_micro
+            FROM r3 ORDER BY host
         """,
         "warc_ingest_parity": """
             -- closed-form replay of the WARC fixture: url/ts/status/

@@ -362,6 +362,7 @@ EXTRA_QUERIES_R4B = [
     "image_dup_pairs_parity",
     "audio_dup_pairs_parity",
     "warc_ingest_parity",
+    "host_pagerank_parity",
 ]
 
 

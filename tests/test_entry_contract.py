@@ -127,6 +127,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "image_dup_pairs_parity",
         "audio_dup_pairs_parity",
         "warc_ingest_parity",
+        "host_pagerank_parity",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",
