@@ -1505,6 +1505,56 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_robots_filter(spark, sf):
+    # robots.txt politeness under a FULL value oracle: three literal
+    # robots bodies (multi-group, comments, empty-Disallow allow-all
+    # marker, non-star groups to ignore) parse through parse_robots,
+    # and 60 closed-form urls pass robots_filter's longest-prefix
+    # election (ties -> Allow). DuckDB replays the RESULTING rule
+    # table literally and the same election as max(len*2 + allow) —
+    # parity proves the parser produced exactly those rules AND the
+    # election math. Cases exercised: allow overriding a shorter
+    # disallow, equal-length tie-break, rule-less host, host absent
+    # from the robots table.
+    from hll_spark.operators.crawl import parse_robots, robots_filter
+
+    bodies = [
+        (
+            "h0.example.com",
+            "# fixture\n"
+            "User-agent: Googlebot\n"
+            "Disallow: /secret/\n"
+            "\n"
+            "User-agent: *\n"
+            "DISALLOW: /p1\n"
+            "Allow: /p1/x44\n"
+            "Disallow: /p2/\n"
+            "Allow: /p2/\n",
+        ),
+        (
+            "h1.example.com",
+            "User-agent: *\nDisallow:\n\nUser-agent: badbot\nDisallow: /\n",
+        ),
+        (
+            "h2.example.com",
+            "User-agent: x\nUser-agent: *\nDisallow: /p3\nDisallow: /p4\n",
+        ),
+    ]
+    robots = spark.createDataFrame(bodies, "host string, body string")
+    rules = parse_robots(robots, "host", "body")
+    urls = spark.range(60).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("id") % 4).cast("string"),
+            F.lit(".example.com/p"),
+            ((F.col("id") / 4).cast("long") % 10).cast("string"),
+            F.lit("/x"),
+            F.col("id").cast("string"),
+        ).alias("url")
+    )
+    return robots_filter(urls, rules).orderBy("url")
+
+
 def q_host_pagerank(spark, sf):
     # Link-graph domain ranking under a FULL value oracle: 60 html
     # docs with 3 closed-form hrefs each (src host i%9, dst host
@@ -2575,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_pairs_parity": q_audio_dup_pairs,
         "warc_ingest_parity": q_warc_ingest,
         "host_pagerank_parity": q_host_pagerank,
+        "robots_filter_parity": q_robots_filter,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2738,6 +2789,36 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "robots_filter_parity": """
+            -- the rule table parse_robots must produce, stated as
+            -- literals; election = max(len*2 + allow), blocked iff
+            -- the winning score is even (a Disallow won)
+            WITH u AS (
+              SELECT 'https://h' || (i.range % 4) || '.example.com/p'
+                         || ((i.range // 4) % 10) || '/x' || i.range AS url,
+                     'h' || (i.range % 4) || '.example.com' AS host,
+                     '/p' || ((i.range // 4) % 10) || '/x' || i.range AS path
+              FROM range(60) i
+            ),
+            r(host, prefix, allow) AS (VALUES
+              ('h0.example.com', '/p1', 0),
+              ('h0.example.com', '/p1/x44', 1),
+              ('h0.example.com', '/p2/', 0),
+              ('h0.example.com', '/p2/', 1),
+              ('h2.example.com', '/p3', 0),
+              ('h2.example.com', '/p4', 0)
+            ),
+            m AS (
+              SELECT u.url,
+                     MAX(length(r.prefix) * 2 + r.allow) AS score
+              FROM u JOIN r ON u.host = r.host
+                           AND starts_with(u.path, r.prefix)
+              GROUP BY u.url
+            )
+            SELECT url FROM u
+            WHERE url NOT IN (SELECT url FROM m WHERE score % 2 = 0)
+            ORDER BY url
         """,
         "host_pagerank_parity": """
             -- rebuild the closed-form edge list, then unroll 3 exact

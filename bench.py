@@ -363,6 +363,7 @@ EXTRA_QUERIES_R4B = [
     "audio_dup_pairs_parity",
     "warc_ingest_parity",
     "host_pagerank_parity",
+    "robots_filter_parity",
 ]
 
 

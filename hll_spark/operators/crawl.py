@@ -321,3 +321,155 @@ def cap_per_key(
         .unionByName(capped_big)
         .unionByName(windowed(nulls))
     )
+
+
+# -- robots.txt politeness ---------------------------------------------------
+
+
+def parse_robots(df: DataFrame, host_col: str, body_col: str) -> DataFrame:
+    """(host, prefix, allow, wildcard) rules from robots.txt bodies —
+    the ``User-agent: *`` group of each host, original-REP prefix
+    semantics (every rule is a path prefix; ``Allow`` per the common
+    extension).
+
+    One robots.txt per host and bodies are ~KB, so an Arrow-batched
+    Python parse is the honest shape (the stateful section scan has no
+    JVM-builtin form); rows out are tiny (host, prefix, flags).
+    Google-extension wildcard rules (``*``/``$`` inside the path) are
+    NOT evaluated — they surface with ``wildcard=true`` so callers can
+    count/route them instead of silently mis-filtering; empty
+    ``Disallow:`` lines (allow-all markers) produce no rule, matching
+    the spec. Agent-group parsing follows the REP grouping rule:
+    consecutive ``User-agent`` lines share the rule block that
+    follows; comments (#) stripped; header matching is
+    case-insensitive.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("prefix", StringType()),
+            StructField("allow", BooleanType()),
+            StructField("wildcard", BooleanType()),
+        ]
+    )
+
+    def parse_one(host: str, body: str) -> list[tuple]:
+        rules = []
+        agents: list[str] = []
+        in_star = False
+        block_started = False
+        for raw in (body or "").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if block_started:  # new group starts
+                    agents, block_started = [], False
+                agents.append(value.lower())
+                in_star = "*" in agents
+                continue
+            if field in ("allow", "disallow"):
+                block_started = True
+                if not in_star or not value:
+                    continue  # empty Disallow: allow-all marker, no rule
+                rules.append(
+                    (
+                        host,
+                        value,
+                        field == "allow",
+                        "*" in value or "$" in value,
+                    )
+                )
+        return rules
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                if host is None:
+                    continue
+                out.extend(parse_one(host, body))
+            yield pd.DataFrame(
+                out, columns=["host", "prefix", "allow", "wildcard"]
+            )
+
+    return df.select(host_col, body_col).mapInPandas(run, schema)
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Input rows whose URL the host's robots rules permit — the
+    longest-matching-prefix election (ties: Allow wins, the
+    least-restrictive REP tie-break), hosts with no rules allowed.
+
+    Plan: derive (host, path) from the URL JVM-side, hash-join the
+    bounded rules frame (exact prefix rules only — wildcard rows are
+    refused loudly), keep matching prefixes with ``startswith``, elect
+    per-URL via ONE ``max(struct(len(prefix), allow))`` hash aggregate
+    (map-side combine; never a window sort), then a broadcast-friendly
+    join back. Disallowed and rule-less URLs cost the shuffle one
+    candidate row per matching rule — bounded by rules-per-host, not
+    corpus size.
+    """
+    from .url import _AFTER_AUTH_RE, url_host
+
+    if "__host" in urls.columns or "__path" in urls.columns:
+        raise ValueError(
+            "robots_filter reserves '__host'/'__path'; rename them first"
+        )
+    wild = rules.where(F.col("wildcard")).limit(1).count()
+    if wild:
+        raise ValueError(
+            "rules contain wildcard entries (wildcard=true); filter them "
+            "out (and count them!) before robots_filter — prefix "
+            "semantics would silently mis-apply them"
+        )
+    u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
+        "__path",
+        F.when(
+            F.regexp_replace(F.col(url_col), _AFTER_AUTH_RE, "") == "",
+            F.lit("/"),
+        ).otherwise(F.regexp_replace(F.col(url_col), _AFTER_AUTH_RE, "")),
+    )
+    r = rules.select(
+        F.col("host").alias("__host"),
+        F.col("prefix"),
+        F.col("allow").cast("int").alias("__allow"),
+    )
+    verdict = (
+        u.select(url_col, "__host", "__path")
+        .join(r, "__host")
+        .where(F.col("__path").startswith(F.col("prefix")))
+        .groupBy(url_col)
+        .agg(
+            F.max(
+                F.struct(F.length("prefix").alias("l"), F.col("__allow"))
+            ).alias("best")
+        )
+        .where(F.col("best.__allow") == 0)
+        .select(F.col(url_col).alias("__blocked_url"))
+    )
+    return (
+        u.join(
+            verdict,
+            u[url_col] == verdict["__blocked_url"],
+            "left_anti",
+        )
+        .drop("__host", "__path")
+    )

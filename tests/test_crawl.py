@@ -363,3 +363,92 @@ def test_duplicate_ngram_fraction_matches_python_reference(spark):
                 (len(grams) - len(set(grams))) / len(grams) if grams else 0.0
             )
             assert abs(got[i] - round(want, 9)) < 1e-9, (text, n)
+
+
+# -- robots.txt -------------------------------------------------------------
+
+
+def _rules_of(spark, body, host="h.com"):
+    from hll_spark.operators.crawl import parse_robots
+
+    df = spark.createDataFrame([(host, body)], "host string, body string")
+    return sorted(
+        (r["prefix"], r["allow"], r["wildcard"])
+        for r in parse_robots(df, "host", "body").collect()
+    )
+
+
+def test_parse_robots_groups_and_markers(spark):
+    body = (
+        "# top comment\n"
+        "User-agent: Googlebot\n"
+        "Disallow: /g/\n"
+        "\n"
+        "User-agent: a\n"
+        "USER-AGENT: *\n"          # consecutive agents share the block
+        "Disallow: /x  # trailing comment\n"
+        "Allow: /x/ok\n"
+        "Disallow:\n"              # empty: allow-all marker, no rule
+        "Disallow: /wild/*/end$\n" # wildcard flagged, not silently used
+        "\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+    )
+    assert _rules_of(spark, body) == [
+        ("/wild/*/end$", False, True),
+        ("/x", False, False),
+        ("/x/ok", True, False),
+    ]
+
+
+def test_parse_robots_star_only_other_groups_ignored(spark):
+    body = "User-agent: bot\nDisallow: /all\n"
+    assert _rules_of(spark, body) == []
+
+
+def test_robots_filter_election(spark):
+    from hll_spark.operators.crawl import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("h.com", "/a", False, False),
+            ("h.com", "/a/keep", True, False),
+            ("h.com", "/t/", False, False),  # equal-length tie ...
+            ("h.com", "/t/", True, False),   # ... Allow wins
+        ],
+        "host string, prefix string, allow boolean, wildcard boolean",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h.com/a/blocked",),
+            ("https://h.com/a/keep/deeper",),
+            ("https://h.com/t/tie",),
+            ("https://h.com/free",),
+            ("https://other.com/a/blocked",),  # no rules for this host
+            ("https://h.com",),                # bare url -> path '/'
+        ],
+        "url string",
+    )
+    got = sorted(r["url"] for r in robots_filter(urls, rules).collect())
+    assert got == [
+        "https://h.com",
+        "https://h.com/a/keep/deeper",
+        "https://h.com/free",
+        "https://h.com/t/tie",
+        "https://other.com/a/blocked",
+    ]
+
+
+def test_robots_filter_guards(spark):
+    from hll_spark.operators.crawl import robots_filter
+
+    rules = spark.createDataFrame(
+        [("h.com", "/w*", False, True)],
+        "host string, prefix string, allow boolean, wildcard boolean",
+    )
+    urls = spark.createDataFrame([("https://h.com/x",)], "url string")
+    with pytest.raises(ValueError, match="wildcard"):
+        robots_filter(urls, rules)
+    ok_rules = rules.where(~F.col("wildcard"))
+    with pytest.raises(ValueError, match="__host"):
+        robots_filter(urls.withColumn("__host", F.lit("x")), ok_rules)

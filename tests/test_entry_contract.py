@@ -128,6 +128,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "audio_dup_pairs_parity",
         "warc_ingest_parity",
         "host_pagerank_parity",
+        "robots_filter_parity",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",

@@ -114,6 +114,7 @@ GATED = [
     "audio_dup_pairs_parity",  # same banding shape over WAV energy hash
     "warc_ingest_parity",  # one mapInPandas parse pass, no joins
     "host_pagerank_parity",  # hash joins + map-side sums per iteration
+    "robots_filter_parity",  # rules hash join + max-struct election
     # (bm25_retrieval_documents excluded like tfidf_top_terms: its only
     # nested loop broadcasts the deliberately-1-row corpus-stats frame;
     # test_retrieval.py asserts exactly one NLJ and >= 3 broadcast HASH
