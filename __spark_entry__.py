@@ -1505,6 +1505,32 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_pseudonymize_docs(spark, sf):
+    # GDPR-style keyed pseudonymization under a FULL value oracle:
+    # sha256(secret:col:value) tokens are pure JVM builtins, so DuckDB
+    # reproduces every token byte-for-byte — determinism, column
+    # salting and null passthrough all in one hash. Join-stability and
+    # secret separation are pinned in test_privacy.py.
+    from hll_spark.operators.privacy import pseudonymize
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "lang")
+    return pseudonymize(docs, ["source"], secret="fixture-secret").orderBy(
+        "doc_id"
+    )
+
+
+def q_k_anonymity_orders(spark, sf):
+    # the k-anonymity release gate as ONE map-side-combined aggregate:
+    # group sizes over the quasi-identifier combo, groups/rows below
+    # k, min group size and the verdict — mirrored literally in SQL.
+    from hll_spark.operators.privacy import k_anonymity_report
+
+    orders = _t(spark, sf, "orders")
+    return k_anonymity_report(
+        orders, ["o_orderstatus", "o_orderpriority"], k=1000
+    )
+
+
 def q_robots_filter(spark, sf):
     # robots.txt politeness under a FULL value oracle: three literal
     # robots bodies (multi-group, comments, empty-Disallow allow-all
@@ -2626,6 +2652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_parity": q_warc_ingest,
         "host_pagerank_parity": q_host_pagerank,
         "robots_filter_parity": q_robots_filter,
+        "pseudonymize_docs": q_pseudonymize_docs,
+        "k_anonymity_orders": q_k_anonymity_orders,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2789,6 +2817,29 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "pseudonymize_docs": """
+            SELECT doc_id,
+                   substr(sha256('fixture-secret:source:' || source),
+                          1, 16) AS source,
+                   lang
+            FROM documents ORDER BY doc_id
+        """,
+        "k_anonymity_orders": """
+            WITH g AS (
+              SELECT o_orderstatus, o_orderpriority,
+                     COUNT(*) AS n
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN n < 1000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_groups_below_k,
+                   CAST(SUM(CASE WHEN n < 1000 THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_below_k,
+                   CAST(MIN(n) AS BIGINT) AS min_group_size,
+                   MIN(n) >= 1000 AS is_k_anonymous
+            FROM g
         """,
         "robots_filter_parity": """
             -- the rule table parse_robots must produce, stated as

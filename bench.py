@@ -364,6 +364,8 @@ EXTRA_QUERIES_R4B = [
     "warc_ingest_parity",
     "host_pagerank_parity",
     "robots_filter_parity",
+    "pseudonymize_docs",
+    "k_anonymity_orders",
 ]
 
 

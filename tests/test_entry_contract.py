@@ -129,6 +129,8 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "warc_ingest_parity",
         "host_pagerank_parity",
         "robots_filter_parity",
+        "pseudonymize_docs",
+        "k_anonymity_orders",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",

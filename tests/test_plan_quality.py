@@ -115,6 +115,8 @@ GATED = [
     "warc_ingest_parity",  # one mapInPandas parse pass, no joins
     "host_pagerank_parity",  # hash joins + map-side sums per iteration
     "robots_filter_parity",  # rules hash join + max-struct election
+    "pseudonymize_docs",  # pure codegen projection
+    "k_anonymity_orders",  # two-level hash aggregate
     # (bm25_retrieval_documents excluded like tfidf_top_terms: its only
     # nested loop broadcasts the deliberately-1-row corpus-stats frame;
     # test_retrieval.py asserts exactly one NLJ and >= 3 broadcast HASH
