@@ -1505,6 +1505,61 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_split_sentences(spark, sf):
+    # rule-based sentence segmentation under a FULL value oracle: one
+    # pinned RE2-AND-Java-compatible pattern (no lookbehind), trim +
+    # empty-drop, 0-based ordinals — DuckDB replays the identical
+    # regexp over the documents table, so segmentation, ordering and
+    # trim semantics are all value-checked on real corpus text.
+    from hll_spark.operators.text import split_sentences
+
+    docs = _t(spark, sf, "documents")
+    return split_sentences(docs, "text", "doc_id").orderBy(
+        "doc_id", "sentence_no"
+    )
+
+
+def q_page_meta(spark, sf):
+    # html metadata sidecar under a FULL value oracle: 30 closed-form
+    # pages exercising case-insensitive tags, absent fields ('' — the
+    # pinned no-match value), and single-quoted attributes that must
+    # NOT match the double-quote-pinned patterns; DuckDB rebuilds the
+    # same html strings and applies the identical RE2 patterns.
+    from hll_spark.operators.extract import extract_page_meta
+
+    rows = []
+    for i in range(30):
+        title = (
+            ""
+            if i % 5 == 0
+            else (
+                f"<TITLE>Doc {i}</TITLE>"
+                if i % 7 == 0
+                else f"<title>Doc {i}</title>"
+            )
+        )
+        desc = (
+            f"<meta name='description' content='skip {i}'>"
+            if i % 4 == 0
+            else f'<meta name="description" content="desc {i}">'
+        )
+        html = (
+            f'<html lang="en-{i % 3}"><head>{title}{desc}'
+            f'<link rel="canonical" href="https://c.example.com/{i}">'
+            f"</head><body>body {i}</body></html>"
+        )
+        rows.append((i, html))
+    pages = spark.createDataFrame(rows, "page_id bigint, html string")
+    return (
+        extract_page_meta(pages, "html")
+        .select(
+            "page_id", "title", "meta_description", "html_lang",
+            "canonical_url",
+        )
+        .orderBy("page_id")
+    )
+
+
 def q_pseudonymize_docs(spark, sf):
     # GDPR-style keyed pseudonymization under a FULL value oracle:
     # sha256(secret:col:value) tokens are pure JVM builtins, so DuckDB
@@ -2654,6 +2709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter_parity": q_robots_filter,
         "pseudonymize_docs": q_pseudonymize_docs,
         "k_anonymity_orders": q_k_anonymity_orders,
+        "split_sentences_docs": q_split_sentences,
+        "page_meta_parity": q_page_meta,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2817,6 +2874,62 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "split_sentences_docs": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         regexp_extract_all(coalesce(text, ''),
+                                            '[^.!?]+[.!?]+|[^.!?]+'),
+                         x -> trim(x)),
+                       x -> x <> '') AS sents
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(u.i - 1 AS INTEGER) AS sentence_no,
+                   u.s AS sentence
+            FROM (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       sents, (x, i) -> struct_pack(s := x, i := i))) AS u
+              FROM s
+            )
+            ORDER BY doc_id, sentence_no
+        """,
+        "page_meta_parity": """
+            WITH p AS (
+              SELECT i.range AS page_id,
+                     '<html lang="en-' || (i.range % 3) || '"><head>'
+                     || CASE WHEN i.range % 5 = 0 THEN ''
+                             WHEN i.range % 7 = 0
+                             THEN '<TITLE>Doc ' || i.range || '</TITLE>'
+                             ELSE '<title>Doc ' || i.range || '</title>'
+                        END
+                     || CASE WHEN i.range % 4 = 0
+                             THEN '<meta name=''description'' '
+                                  || 'content=''skip ' || i.range || '''>'
+                             ELSE '<meta name="description" '
+                                  || 'content="desc ' || i.range || '">'
+                        END
+                     || '<link rel="canonical" '
+                     || 'href="https://c.example.com/' || i.range || '">'
+                     || '</head><body>body ' || i.range
+                     || '</body></html>' AS html
+              FROM range(30) i
+            )
+            SELECT page_id,
+                   regexp_extract(html, '(?i)<title[^>]*>([^<]*)', 1)
+                       AS title,
+                   regexp_extract(html,
+                     '(?i)<meta\\s+name="description"\\s+content="([^"]*)"',
+                     1) AS meta_description,
+                   regexp_extract(html, '(?i)<html[^>]*\\slang="([^"]*)"', 1)
+                       AS html_lang,
+                   regexp_extract(html,
+                     '(?i)<link\\s+rel="canonical"\\s+href="([^"]*)"', 1)
+                       AS canonical_url
+            FROM p ORDER BY page_id
         """,
         "pseudonymize_docs": """
             SELECT doc_id,

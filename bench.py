@@ -366,6 +366,8 @@ EXTRA_QUERIES_R4B = [
     "robots_filter_parity",
     "pseudonymize_docs",
     "k_anonymity_orders",
+    "split_sentences_docs",
+    "page_meta_parity",
 ]
 
 

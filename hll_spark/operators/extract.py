@@ -353,3 +353,32 @@ def extract_sketch_agg(
 
     partials = df.select(html_col).mapInArrow(build, out_schema)
     return merge_sketch_partials(partials, spec, by=None)
+
+
+# -- page metadata extraction ------------------------------------------------
+
+# RE2-AND-Java-compatible patterns (inline (?i), no lookarounds, no
+# backrefs) so the DuckDB mirror replays them verbatim. Attribute
+# order/quoting is pinned to the dominant double-quoted form; pages
+# that deviate yield '' for that field rather than a guess.
+_TITLE_RE = r'(?i)<title[^>]*>([^<]*)'
+_META_DESC_RE = r'(?i)<meta\s+name="description"\s+content="([^"]*)"'
+_HTML_LANG_RE = r'(?i)<html[^>]*\slang="([^"]*)"'
+_CANONICAL_RE = r'(?i)<link\s+rel="canonical"\s+href="([^"]*)"'
+
+
+def extract_page_meta(df: DataFrame, html_col: str) -> DataFrame:
+    """Adds title / meta_description / html_lang / canonical_url
+    columns from raw html — four JVM regexp_extract's, whole-stage
+    codegen, zero Python rows (the metadata sidecar of
+    :func:`extract_text`). First match wins; absent fields are ''
+    (regexp_extract's no-match value), matching the SQL mirror."""
+    h = F.col(html_col)
+    return df.withColumns(
+        {
+            "title": F.regexp_extract(h, _TITLE_RE, 1),
+            "meta_description": F.regexp_extract(h, _META_DESC_RE, 1),
+            "html_lang": F.regexp_extract(h, _HTML_LANG_RE, 1),
+            "canonical_url": F.regexp_extract(h, _CANONICAL_RE, 1),
+        }
+    )

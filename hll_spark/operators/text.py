@@ -522,3 +522,33 @@ def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
             / (F.col("n_chars") * F.lit(1e6) * F.lit(math.log10(2.0))),
         ),
     )
+
+
+# -- sentence segmentation ---------------------------------------------------
+
+# One pinned RE2-AND-Java-compatible rule (no lookbehind, which RE2
+# lacks): a sentence is a maximal run of non-terminators followed by a
+# run of terminators, or a trailing unterminated run. '...' glues to
+# the preceding run; whitespace is trimmed (space chars — both engines'
+# default trim set); empty pieces are dropped.
+_SENTENCE_RE = r"[^.!?]+[.!?]+|[^.!?]+"
+
+
+def split_sentences(df, text_col: str, id_col: str):
+    """(id, sentence_no, sentence) — rule-based sentence segmentation
+    as ONE JVM regexp_extract_all + posexplode: zero shuffles, rows
+    inherit the input partitioning (the chunking/packing front end for
+    sentence-level dedup and quality scoring). The rule is pinned to
+    an RE2-compatible pattern so the DuckDB oracle replays it
+    verbatim; abbreviation handling is deliberately out of scope (a
+    documented trade of recall for engine-exact portability)."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(_SENTENCE_RE), F.lit(0)
+    )
+    trimmed = F.filter(
+        F.transform(pieces, lambda s: F.trim(s)), lambda s: s != ""
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(trimmed).alias("sentence_no", "sentence"),
+    )

@@ -117,6 +117,8 @@ GATED = [
     "robots_filter_parity",  # rules hash join + max-struct election
     "pseudonymize_docs",  # pure codegen projection
     "k_anonymity_orders",  # two-level hash aggregate
+    "split_sentences_docs",  # regexp_extract_all + posexplode, no joins
+    "page_meta_parity",  # four codegen regexp_extract's
     # (bm25_retrieval_documents excluded like tfidf_top_terms: its only
     # nested loop broadcasts the deliberately-1-row corpus-stats frame;
     # test_retrieval.py asserts exactly one NLJ and >= 3 broadcast HASH

@@ -324,3 +324,58 @@ def test_char_entropy_matches_counter_reference(spark):
             for cnt in c.values()
         ) if n else 0
         assert got[i] == (n, ent), t
+
+
+# -- sentence segmentation + page metadata (late r4) ------------------------
+
+
+def test_split_sentences_semantics(spark):
+    from hll_spark.operators.text import split_sentences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "One. Two!  Three? trailing tail"),
+            (1, "Ellipsis wait... then more."),
+            (2, "no terminator at all"),
+            (3, ""),
+            (4, None),
+            (5, "..."),  # punctuation only -> no sentences
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {}
+    for r in split_sentences(docs, "text", "doc_id").collect():
+        got.setdefault(r["doc_id"], []).append((r["sentence_no"], r["sentence"]))
+    for v in got.values():
+        v.sort()
+    assert got[0] == [(0, "One."), (1, "Two!"), (2, "Three?"), (3, "trailing tail")]
+    assert got[1] == [(0, "Ellipsis wait..."), (1, "then more.")]
+    assert got[2] == [(0, "no terminator at all")]
+    assert 3 not in got and 4 not in got and 5 not in got
+
+
+def test_extract_page_meta_semantics(spark):
+    from hll_spark.operators.extract import extract_page_meta
+
+    pages = spark.createDataFrame(
+        [
+            (
+                0,
+                '<html lang="fr"><head><TITLE>Up</TITLE>'
+                '<meta name="description" content="d0">'
+                '<link rel="canonical" href="https://c/0"></head></html>',
+            ),
+            (1, "<html><head><title>T1</title></head><body></body></html>"),
+            (2, "<html><meta name='description' content='single-quoted'>"),
+        ],
+        "page_id bigint, html string",
+    )
+    got = {r["page_id"]: r for r in extract_page_meta(pages, "html").collect()}
+    assert got[0]["title"] == "Up"  # case-insensitive tag
+    assert got[0]["meta_description"] == "d0"
+    assert got[0]["html_lang"] == "fr"
+    assert got[0]["canonical_url"] == "https://c/0"
+    assert got[1]["title"] == "T1"
+    assert got[1]["html_lang"] == "" and got[1]["canonical_url"] == ""
+    # single-quoted attrs deliberately do not match the pinned form
+    assert got[2]["meta_description"] == ""
