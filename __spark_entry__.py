@@ -1505,6 +1505,72 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_warc_corpus(spark, sf):
+    # the full Common-Crawl ingestion composition under one oracle:
+    # WARC bytes -> parse -> keep (response, 200, text/html) ->
+    # extract_text -> corpus rows. Non-200s, non-html and
+    # warcinfo/request records must drop; the survivors' extracted
+    # text must equal the closed-form fixture text byte-for-byte
+    # (wrap_html is the byte-exact inverse of extract_text on this
+    # alphabet). Proves the source and the extraction kernel compose
+    # without framing or typing bugs.
+    from hll_spark.operators.extract import extract_text, wrap_html_py
+    from hll_spark.sources.warc import encode_warc, parse_warc_records
+
+    recs = [
+        {
+            "type": "warcinfo",
+            "date": "2024-04-01T00:00:00Z",
+            "body": b"software: fixture",
+        }
+    ]
+    for i in range(35):
+        if i % 7 == 5:
+            status, ctype = 404, "text/html"
+        elif i % 7 == 6:
+            status, ctype = 200, "application/pdf"
+        else:
+            status, ctype = 200, "text/html; charset=utf-8"
+        recs.append(
+            {
+                "type": "response",
+                "url": f"https://w{i % 4}.example.com/p/{i}",
+                "date": f"2024-04-01T00:00:{i % 60:02d}Z",
+                "http_status": status,
+                "content_type": ctype,
+                "body": wrap_html_py(
+                    f"alpha beta {i} gamma delta"
+                ).encode(),
+            }
+        )
+        recs.append(
+            {
+                "type": "request",
+                "url": f"https://w{i % 4}.example.com/p/{i}",
+                "date": f"2024-04-01T00:00:{i % 60:02d}Z",
+                "body": b"GET",
+            }
+        )
+    blob = encode_warc(recs, gzip_members=True)
+    files = spark.createDataFrame(
+        [(0, bytearray(blob))], "file_id bigint, payload binary"
+    )
+    pages = parse_warc_records(files)
+    kept = pages.where(
+        (F.col("record_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    return (
+        kept.select(
+            "url",
+            extract_text(F.col("html").cast("string")).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .orderBy("url")
+    )
+
+
 def q_split_sentences(spark, sf):
     # rule-based sentence segmentation under a FULL value oracle: one
     # pinned RE2-AND-Java-compatible pattern (no lookbehind), trim +
@@ -2711,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_orders": q_k_anonymity_orders,
         "split_sentences_docs": q_split_sentences,
         "page_meta_parity": q_page_meta,
+        "warc_corpus_parity": q_warc_corpus,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2874,6 +2941,19 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "warc_corpus_parity": """
+            -- survivors = i where i%7 not in (5,6); text is the
+            -- fixture string verbatim (extract_text inverts wrap_html
+            -- on this alphabet)
+            SELECT 'https://w' || (i.range % 4) || '.example.com/p/'
+                       || i.range AS url,
+                   'alpha beta ' || i.range || ' gamma delta' AS text,
+                   CAST(length('alpha beta ' || i.range
+                               || ' gamma delta') AS BIGINT) AS n_chars
+            FROM range(35) i
+            WHERE i.range % 7 NOT IN (5, 6)
+            ORDER BY url
         """,
         "split_sentences_docs": """
             WITH s AS (

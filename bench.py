@@ -368,6 +368,7 @@ EXTRA_QUERIES_R4B = [
     "k_anonymity_orders",
     "split_sentences_docs",
     "page_meta_parity",
+    "warc_corpus_parity",
 ]
 
 

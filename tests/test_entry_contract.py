@@ -133,6 +133,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "k_anonymity_orders",
         "split_sentences_docs",
         "page_meta_parity",
+        "warc_corpus_parity",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",

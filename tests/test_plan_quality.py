@@ -119,6 +119,7 @@ GATED = [
     "k_anonymity_orders",  # two-level hash aggregate
     "split_sentences_docs",  # regexp_extract_all + posexplode, no joins
     "page_meta_parity",  # four codegen regexp_extract's
+    "warc_corpus_parity",  # parse pass + codegen filter/extract chain
     # (bm25_retrieval_documents excluded like tfidf_top_terms: its only
     # nested loop broadcasts the deliberately-1-row corpus-stats frame;
     # test_retrieval.py asserts exactly one NLJ and >= 3 broadcast HASH
