@@ -1505,6 +1505,33 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_fix_mojibake(spark, sf):
+    # mojibake repair under a stated-expectation oracle: the garbled
+    # inputs are constructed IN the query from known texts (encode
+    # utf-8, decode cp1252 — the dominant web corruption), and DuckDB
+    # states the expected repaired output literally. The strong
+    # evidence is the Hypothesis round-trip property in
+    # test_text_ops.py; this row pins the Spark path's bytes
+    # cross-engine, including clean-text fixed points that must
+    # survive untouched.
+    from hll_spark.operators.text import fix_mojibake
+
+    texts = [
+        "café crème brûlée",
+        "naïve façade",
+        "über größe",
+        "smart — dash",
+        "check ✓ done",
+        "日本語テキスト",
+    ]
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t.encode("utf-8").decode("cp1252")))
+        rows.append((2 * i + 1, t))  # clean sibling: fixed point
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return fix_mojibake(docs, "text").orderBy("doc_id")
+
+
 def q_warc_corpus(spark, sf):
     # the full Common-Crawl ingestion composition under one oracle:
     # WARC bytes -> parse -> keep (response, 200, text/html) ->
@@ -2778,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences_docs": q_split_sentences,
         "page_meta_parity": q_page_meta,
         "warc_corpus_parity": q_warc_corpus,
+        "fix_mojibake_parity": q_fix_mojibake,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2941,6 +2969,18 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "fix_mojibake_parity": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+            FROM (VALUES
+              (0, 'café crème brûlée'), (1, 'café crème brûlée'),
+              (2, 'naïve façade'), (3, 'naïve façade'),
+              (4, 'über größe'), (5, 'über größe'),
+              (6, 'smart — dash'), (7, 'smart — dash'),
+              (8, 'check ✓ done'), (9, 'check ✓ done'),
+              (10, '日本語テキスト'), (11, '日本語テキスト')
+            ) t(doc_id, text)
+            ORDER BY doc_id
         """,
         "warc_corpus_parity": """
             -- survivors = i where i%7 not in (5,6); text is the

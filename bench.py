@@ -369,6 +369,7 @@ EXTRA_QUERIES_R4B = [
     "split_sentences_docs",
     "page_meta_parity",
     "warc_corpus_parity",
+    "fix_mojibake_parity",
 ]
 
 

@@ -552,3 +552,51 @@ def split_sentences(df, text_col: str, id_col: str):
         F.col(id_col),
         F.posexplode(trimmed).alias("sentence_no", "sentence"),
     )
+
+
+# -- mojibake repair ---------------------------------------------------------
+
+
+def _fix_mojibake_one(s: str, max_passes: int = 2) -> str:
+    """Reverse utf-8-bytes-read-as-cp1252/latin-1 (the dominant web
+    mojibake): re-encode the chars to their byte values and try a
+    utf-8 decode; keep the result only if the whole string decodes.
+    Up to ``max_passes`` rounds unwind double-encoding. Clean text is
+    a fixed point: correctly-decoded 'é' encodes to one byte that is
+    not a valid utf-8 sequence, so the decode fails and the input
+    survives untouched."""
+    for _ in range(max_passes):
+        try:
+            b = s.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                b = s.encode("latin-1")
+            except UnicodeEncodeError:
+                return s
+        try:
+            fixed = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return s
+        if fixed == s:
+            return s
+        s = fixed
+    return s
+
+
+def fix_mojibake(df, text_col: str, out_col: str | None = None):
+    """Repair utf-8-as-cp1252 mojibake in ``text_col`` (in place by
+    default). Arrow-batched Python — the codec tables are CPython C
+    code, and the common case (no mojibake) costs one failed decode
+    probe per row. Deterministic pure function; NULLs pass through.
+    Pairs with ``normalize_unicode``: repair bytes first, then
+    normalize forms."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def fix(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: _fix_mojibake_one(s) if s is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, fix(F.col(text_col)))

@@ -134,6 +134,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "split_sentences_docs",
         "page_meta_parity",
         "warc_corpus_parity",
+        "fix_mojibake_parity",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",

@@ -120,6 +120,7 @@ GATED = [
     "split_sentences_docs",  # regexp_extract_all + posexplode, no joins
     "page_meta_parity",  # four codegen regexp_extract's
     "warc_corpus_parity",  # parse pass + codegen filter/extract chain
+    "fix_mojibake_parity",  # one Arrow-batched projection, no joins
     # (bm25_retrieval_documents excluded like tfidf_top_terms: its only
     # nested loop broadcasts the deliberately-1-row corpus-stats frame;
     # test_retrieval.py asserts exactly one NLJ and >= 3 broadcast HASH

@@ -379,3 +379,65 @@ def test_extract_page_meta_semantics(spark):
     assert got[1]["html_lang"] == "" and got[1]["canonical_url"] == ""
     # single-quoted attrs deliberately do not match the pinned form
     assert got[2]["meta_description"] == ""
+
+
+def test_fix_mojibake_kernel_and_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    from hll_spark.operators.text import _fix_mojibake_one
+
+    # chars whose utf-8 bytes all exist in cp1252 (0x81/0x8d/0x8f/
+    # 0x90/0x9d are unmapped) — the reversible mojibake domain
+    def encodable(s):
+        try:
+            s.encode("utf-8").decode("cp1252")
+            return True
+        except UnicodeDecodeError:
+            return False
+
+    @given(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=0x20, max_codepoint=0x2FFF
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def roundtrip(s):
+        if not encodable(s):
+            return
+        # restrict to originals that are NOT themselves mojibake-
+        # shaped (a string like 'Ñ\\x91' legitimately unwinds one
+        # level further — the repair cannot know it was intended)
+        if _fix_mojibake_one(s) != s:
+            return
+        garbled = s.encode("utf-8").decode("cp1252")
+        assert _fix_mojibake_one(garbled) == s
+
+    roundtrip()
+
+
+def test_fix_mojibake_spark(spark):
+    from hll_spark.operators.text import fix_mojibake
+
+    docs = spark.createDataFrame(
+        [
+            (0, "cafÃ© crÃ¨me"),
+            (1, "already fine é ✓"),
+            (2, "plain"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in fix_mojibake(docs, "text").collect()
+    }
+    assert got == {
+        0: "café crème",
+        1: "already fine é ✓",
+        2: "plain",
+        3: None,
+    }
