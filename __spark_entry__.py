@@ -1505,6 +1505,32 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_anchor_texts(spark, sf):
+    # anchor-text aggregation under a FULL value oracle: 48 docs with
+    # two closed-form <a> links each plus a self-link (must drop), an
+    # empty-anchor link (must drop) and a relative link (must not
+    # match); DuckDB rebuilds the (dst_host, anchor) pairs from the
+    # formulas and aggregates identically. Proves the dual-group
+    # regexp zip alignment and the host/blank/self rules.
+    from hll_spark.operators.graph import anchor_texts
+
+    rows = []
+    for i in range(48):
+        parts = [
+            f'<a href="https://h{(i + j * 2 + 1) % 6}.example.com/x">'
+            f"site {(i + j) % 4}</a>"
+            for j in range(2)
+        ]
+        parts.append(f'<a href="https://h{i % 6}.example.com/self">me</a>')
+        parts.append(f'<a href="https://h{(i + 1) % 6}.example.com/e"></a>')
+        parts.append('<a href="/relative">rel</a>')
+        rows.append(
+            (f"https://h{i % 6}.example.com/p/{i}", "".join(parts))
+        )
+    docs = spark.createDataFrame(rows, "url string, html string")
+    return anchor_texts(docs, "html", "url").orderBy("dst_host", "anchor")
+
+
 def q_fix_mojibake(spark, sf):
     # mojibake repair under a stated-expectation oracle: the garbled
     # inputs are constructed IN the query from known texts (encode
@@ -2806,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta_parity": q_page_meta,
         "warc_corpus_parity": q_warc_corpus,
         "fix_mojibake_parity": q_fix_mojibake,
+        "anchor_texts_parity": q_anchor_texts,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2969,6 +2996,17 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "anchor_texts_parity": """
+            WITH pairs AS (
+              SELECT 'h' || ((i.range + j.range * 2 + 1) % 6)
+                         || '.example.com' AS dst_host,
+                     'site ' || ((i.range + j.range) % 4) AS anchor
+              FROM range(48) i, range(2) j
+            )
+            SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY dst_host, anchor
+            ORDER BY dst_host, anchor
         """,
         "fix_mojibake_parity": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, text

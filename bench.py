@@ -370,6 +370,7 @@ EXTRA_QUERIES_R4B = [
     "page_meta_parity",
     "warc_corpus_parity",
     "fix_mojibake_parity",
+    "anchor_texts_parity",
 ]
 
 

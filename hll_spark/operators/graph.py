@@ -150,3 +150,41 @@ def pagerank_hosts(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+_ANCHOR_RE = r'(?i)<a\s+href="(https?://[^"#\s]+)"[^>]*>([^<]*)</a>'
+
+
+def anchor_texts(df: DataFrame, html_col: str, src_col: str) -> DataFrame:
+    """(dst_host, anchor, n) — what the web CALLS each host: anchor
+    text aggregated over absolute links, the classic relevance /
+    quality signal (and a retrieval-index sidecar) that PageRank's
+    pure topology misses.
+
+    Two ``regexp_extract_all`` passes over the SAME pinned pattern
+    (href group, anchor group) are zipped positionally — identical
+    patterns guarantee alignment — then exploded, self-links dropped
+    under the canonical host rule, anchors trimmed, blanks dropped,
+    one hash aggregate. Entirely JVM-side.
+    """
+    from .url import url_host
+
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), F.lit(1))
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), F.lit(2))
+    pairs = df.select(
+        url_host(F.col(src_col)).alias("src_host"),
+        F.explode(F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))).alias("z"),
+    ).select(
+        "src_host",
+        url_host(F.col("z.href")).alias("dst_host"),
+        F.trim(F.col("z.anchor")).alias("anchor"),
+    )
+    return (
+        pairs.where(
+            (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+            & (F.col("anchor") != "")
+        )
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

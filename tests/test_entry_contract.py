@@ -135,6 +135,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "page_meta_parity",
         "warc_corpus_parity",
         "fix_mojibake_parity",
+        "anchor_texts_parity",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",

@@ -157,3 +157,31 @@ def test_end_to_end_composition(spark):
         for r in pagerank_hosts(g, iterations=3).collect()
     }
     assert got == _ref_pagerank(edges, 3)
+
+
+def test_anchor_texts_semantics(spark):
+    from hll_spark.operators.graph import anchor_texts
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "https://a.example.com/p",
+                '<a href="https://b.example.com/x">Click Here</a>'
+                '<a href="https://b.example.com/y"> Click Here </a>'  # trims to same
+                '<a href="https://c.example.com/z">other</a>'
+                '<a href="https://a.example.com/self">self link</a>'  # dropped
+                '<a href="https://b.example.com/e"></a>'  # empty anchor
+                '<a href="/rel">relative</a>'  # not absolute
+                '<a href="https://d.example.com/n"><b>nested</b></a>',  # [^<]* -> ''
+            ),
+        ],
+        "url string, html string",
+    )
+    got = {
+        (r["dst_host"], r["anchor"]): r["n"]
+        for r in anchor_texts(docs, "html", "url").collect()
+    }
+    assert got == {
+        ("b.example.com", "Click Here"): 2,
+        ("c.example.com", "other"): 1,
+    }
