@@ -1505,6 +1505,35 @@ def q_image_dup_pairs(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def q_corpus_diff(spark, sf):
+    # dataset-version diff under a FULL value oracle: 'new' is derived
+    # from orders in-query (keys %10==0 removed, %7==0 repriced,
+    # synthetic keys added), so added/removed/changed/unchanged are
+    # all closed-form; DuckDB replays the derivation and the same
+    # null-safe comparison over a FULL OUTER JOIN. The exact tier of
+    # snapshot diffing — one id-keyed join, one aggregate.
+    from hll_spark.operators.diagnostics import corpus_diff
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    modified = orders.where(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = spark.range(50).select(
+        (F.col("id") + 900_000_000).alias("o_orderkey"),
+        F.lit("X").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    new = modified.unionByName(added)
+    return corpus_diff(
+        orders, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+
+
 def q_anchor_texts(spark, sf):
     # anchor-text aggregation under a FULL value oracle: 48 docs with
     # two closed-form <a> links each plus a self-link (must drop), an
@@ -2833,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_corpus_parity": q_warc_corpus,
         "fix_mojibake_parity": q_fix_mojibake,
         "anchor_texts_parity": q_anchor_texts,
+        "corpus_diff_orders": q_corpus_diff,
         "profile_orders_columns": q_profile_orders_columns,
         "fk_discovery_tpch": q_fk_discovery_tpch,
         "hll_overlap_events": q_hll_overlap_events,
@@ -2996,6 +3026,42 @@ def oracle_sql() -> dict[str, str]:
             FROM dh a JOIN dh b ON a.id < b.id
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY id_a, id_b
+        """,
+        "corpus_diff_orders": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ),
+            n AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 10 <> 0
+              UNION ALL
+              SELECT 900000000 + i.range, 'X', 1.0 FROM range(50) i
+            ),
+            j AS (
+              SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+                     (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                     AND (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                         AS same
+              FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT CAST(SUM(CASE WHEN ok IS NOT NULL THEN 1 END) AS BIGINT)
+                       AS n_old,
+                   CAST(SUM(CASE WHEN nk IS NOT NULL THEN 1 END) AS BIGINT)
+                       AS n_new,
+                   CAST(SUM(CASE WHEN ok IS NULL THEN 1 END) AS BIGINT)
+                       AS n_added,
+                   CAST(SUM(CASE WHEN nk IS NULL THEN 1 END) AS BIGINT)
+                       AS n_removed,
+                   CAST(SUM(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                                      AND NOT same THEN 1 END) AS BIGINT)
+                       AS n_changed,
+                   CAST(SUM(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                                      AND same THEN 1 END) AS BIGINT)
+                       AS n_unchanged
+            FROM j
         """,
         "anchor_texts_parity": """
             WITH pairs AS (

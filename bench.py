@@ -371,6 +371,7 @@ EXTRA_QUERIES_R4B = [
     "warc_corpus_parity",
     "fix_mojibake_parity",
     "anchor_texts_parity",
+    "corpus_diff_orders",
 ]
 
 

@@ -547,3 +547,56 @@ def fk_containment_report(
         "containment",
         "is_fk_candidate",
     ).orderBy("child_label", "parent_label")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """One-row dataset-version report: what changed between two corpus
+    snapshots — (n_old, n_new, n_added, n_removed, n_changed,
+    n_unchanged). 'Changed' = same id, any of ``cols`` differs under
+    null-safe comparison (so NULL -> value and value -> NULL both
+    count).
+
+    Plan: ONE full-outer hash join on the id (the minimal exact plan —
+    both sides shuffle once on the key; at 100 TB pre-bucket both
+    snapshots by id to make it a zero-exchange SortMergeJoin), then a
+    map-side-combined single aggregate. For an approximate
+    no-shuffle diff, compare theta sketches of the id column instead
+    (``fk_containment_report`` machinery); this operator is the exact
+    tier.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    for frame, name in ((old, "old"), (new, "new")):
+        missing = [c for c in [id_col] + cols if c not in frame.columns]
+        if missing:
+            raise ValueError(f"{name} side missing columns: {missing}")
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    j = o.join(n, "__id", "full_outer")
+    same = None
+    for c in cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    return j.agg(
+        F.sum(in_old.cast("long")).alias("n_old"),
+        F.sum(in_new.cast("long")).alias("n_new"),
+        F.sum((in_new & ~in_old).cast("long")).alias("n_added"),
+        F.sum((in_old & ~in_new).cast("long")).alias("n_removed"),
+        F.sum((in_old & in_new & ~same).cast("long")).alias("n_changed"),
+        F.sum((in_old & in_new & same).cast("long")).alias("n_unchanged"),
+    )

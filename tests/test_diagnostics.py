@@ -174,3 +174,65 @@ def test_fk_report_partition_invariant(spark, fk_frames):
     a = [r.asDict() for r in fk_containment_report(spec1, k=1024).collect()]
     b = [r.asDict() for r in fk_containment_report(spec7, k=1024).collect()]
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def diff_frames(spark):
+    # old: ids 1-5. new: id 1 unchanged, id 2 value change, id 3
+    # value->NULL, id 4 NULL->value, id 5 removed, id 6 added.
+    old = spark.createDataFrame(
+        [
+            Row(id=1, s="a", v=1.0),
+            Row(id=2, s="a", v=2.0),
+            Row(id=3, s="a", v=3.0),
+            Row(id=4, s=None, v=4.0),
+            Row(id=5, s="a", v=5.0),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(id=1, s="a", v=1.0),
+            Row(id=2, s="a", v=2.5),
+            Row(id=3, s=None, v=3.0),
+            Row(id=4, s="x", v=4.0),
+            Row(id=6, s="a", v=6.0),
+        ]
+    )
+    return old, new
+
+
+def test_corpus_diff_counts(diff_frames):
+    from hll_spark.operators.diagnostics import corpus_diff
+
+    old, new = diff_frames
+    row = corpus_diff(old, new, "id", ["s", "v"]).collect()[0]
+    assert row.asDict() == {
+        "n_old": 5,
+        "n_new": 5,
+        "n_added": 1,
+        "n_removed": 1,
+        # null-safe: value->NULL (id 3) and NULL->value (id 4) both
+        # count as changed, not unchanged
+        "n_changed": 3,
+        "n_unchanged": 1,
+    }
+
+
+def test_corpus_diff_single_col_and_identity(diff_frames):
+    from hll_spark.operators.diagnostics import corpus_diff
+
+    old, _ = diff_frames
+    row = corpus_diff(old, old, "id", ["v"]).collect()[0]
+    assert (row.n_added, row.n_removed, row.n_changed, row.n_unchanged) == (
+        0, 0, 0, 5,
+    )
+
+
+def test_corpus_diff_validation(diff_frames):
+    from hll_spark.operators.diagnostics import corpus_diff
+
+    old, new = diff_frames
+    with pytest.raises(ValueError, match="non-empty"):
+        corpus_diff(old, new, "id", [])
+    with pytest.raises(ValueError, match="missing columns"):
+        corpus_diff(old.drop("v"), new, "id", ["v"])

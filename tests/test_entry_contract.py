@@ -136,6 +136,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "warc_corpus_parity",
         "fix_mojibake_parity",
         "anchor_texts_parity",
+        "corpus_diff_orders",
         "profile_orders_columns",
         "fk_discovery_tpch",
         "hll_overlap_events",

@@ -122,6 +122,7 @@ GATED = [
     "warc_corpus_parity",  # parse pass + codegen filter/extract chain
     "fix_mojibake_parity",  # one Arrow-batched projection, no joins
     "anchor_texts_parity",  # dual-group regexp zip + hash aggregate
+    "corpus_diff_orders",  # ONE full-outer hash join + single aggregate
     # (bm25_retrieval_documents excluded like tfidf_top_terms: its only
     # nested loop broadcasts the deliberately-1-row corpus-stats frame;
     # test_retrieval.py asserts exactly one NLJ and >= 3 broadcast HASH
