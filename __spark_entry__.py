@@ -323,6 +323,29 @@ def q_window_distinct_users_hopping(spark, sf):
     )
 
 
+def q_sliding_distinct_users(spark, sf):
+    # Sliding HyperLogLog (Chabchoub & Hebrail, ICDMW'10): ONE sketch
+    # built in ONE pass answers distinct-user counts for ANY trailing
+    # window after the fact (per-register list of future possible
+    # maxima, dominance-pruned, mergeable). EXACT tier at driver SF
+    # (explicit_threshold >> distinct users) so the three window
+    # answers equal COUNT(DISTINCT) exactly; LFPM-tier accuracy and
+    # merge canonicity are bound-asserted in tests/test_slidinghll.py
+    from hll_spark.operators.sliding import sliding_distinct_windows
+
+    out = sliding_distinct_windows(
+        _t(spark, sf, "events"),
+        "user_id",
+        "ts",
+        windows={"w1_1d": 86400, "w2_7d": 7 * 86400, "w3_30d": 30 * 86400},
+        cfg=EXACT_CFG,
+        explicit_threshold=1 << 18,
+    )
+    return out.select(
+        F.col("window").alias("win"), F.col("distinct").alias("distinct_users")
+    )
+
+
 def q_theta_estimate_orderkeys(spark, sf):
     # theta ESTIMATION tier: k=1024 << distinct l_orderkey (1.5k/15k/147k
     # at sf0.001/0.01/0.1) forces the KMV estimator (k-1)/theta — the
@@ -2849,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every pytest via test_entry_contract.py at sf0.01, and it is
         # first in line for the r5 window
         "countsketch_event_counts": q_countsketch_event_counts,
+        "sliding_distinct_users": q_sliding_distinct_users,
         "salted_join_brand_volume": q_salted_join_brand_volume,
         "image_dup_pairs_parity": q_image_dup_pairs,
         "audio_dup_pairs_parity": q_audio_dup_pairs,
@@ -2990,6 +3014,22 @@ def oracle_sql() -> dict[str, str]:
         "countsketch_event_counts": """
             SELECT event_type, COUNT(*) AS est_count
             FROM events GROUP BY event_type
+        """,
+        "sliding_distinct_users": """
+            -- trailing windows anchored at the max event time,
+            -- inclusive start — mirrors the sketch's t >= anchor-span
+            -- test in exact micro arithmetic
+            WITH mx AS (SELECT max(ts) AS mt FROM events),
+            w(win, span_s) AS (VALUES ('w1_1d', 86400),
+                                      ('w2_7d', 604800),
+                                      ('w3_30d', 2592000))
+            SELECT w.win AS win,
+                   COUNT(DISTINCT e.user_id) AS distinct_users
+            FROM events e, mx, w
+            WHERE e.user_id IS NOT NULL
+              AND e.ts >= mx.mt
+                  - to_microseconds(CAST(span_s AS BIGINT) * 1000000)
+            GROUP BY w.win ORDER BY win
         """,
         "image_dup_pairs_parity": """
             -- closed-form dHash replay: 8x9 images ARE the dHash grid,

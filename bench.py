@@ -372,6 +372,7 @@ EXTRA_QUERIES_R4B = [
     "fix_mojibake_parity",
     "anchor_texts_parity",
     "corpus_diff_orders",
+    "sliding_distinct_users",
 ]
 
 
