@@ -346,6 +346,22 @@ def q_sliding_distinct_users(spark, sf):
     )
 
 
+def q_kmeans_clusters_embeddings(spark, sf):
+    # Distributed Lloyd k-means, ORACLE form: floats never compare
+    # bit-stably across engines, so the driver row runs ONE exact
+    # assignment step on the integer grid q = floor(v*2^20 + 0.5)
+    # (same IEEE float64 arithmetic in Spark and DuckDB) from the
+    # deterministic id-ordered init, and profiles the clusters with
+    # exact int64 costs. The multi-iteration float fit (kmeans_fit:
+    # P x k partial-sum reduction per scan, nothing else shuffles) is
+    # differential-tested against a single-node numpy Lloyd in
+    # tests/test_clustering.py.
+    from hll_spark.operators.clustering import kmeans_quantized_profile
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_quantized_profile(emb, "embedding", "vec_id", k=8)
+
+
 def q_theta_estimate_orderkeys(spark, sf):
     # theta ESTIMATION tier: k=1024 << distinct l_orderkey (1.5k/15k/147k
     # at sf0.001/0.01/0.1) forces the KMV estimator (k-1)/theta — the
@@ -2873,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first in line for the r5 window
         "countsketch_event_counts": q_countsketch_event_counts,
         "sliding_distinct_users": q_sliding_distinct_users,
+        "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
         "salted_join_brand_volume": q_salted_join_brand_volume,
         "image_dup_pairs_parity": q_image_dup_pairs,
         "audio_dup_pairs_parity": q_audio_dup_pairs,
@@ -3030,6 +3047,42 @@ def oracle_sql() -> dict[str, str]:
               AND e.ts >= mx.mt
                   - to_microseconds(CAST(span_s AS BIGINT) * 1000000)
             GROUP BY w.win ORDER BY win
+        """,
+        "kmeans_clusters_embeddings": """
+            -- one exact Lloyd assignment step on the integer grid
+            -- q = floor(v*2^20 + 0.5): centroids are the 8 id-smallest
+            -- rows, distance is int64 (no float compare anywhere),
+            -- ties go to the smaller centroid rank
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                            AS BIGINT)) AS qv
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+            ),
+            cent AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS c, qv AS qc
+              FROM q ORDER BY vec_id LIMIT 8
+            ),
+            dist AS (
+              SELECT q.vec_id, cent.c,
+                     CAST(list_sum(list_transform(list_zip(q.qv, cent.qc),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])))
+                          AS BIGINT) AS d2,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY CAST(list_sum(list_transform(
+                           list_zip(q.qv, cent.qc),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])))
+                           AS BIGINT), cent.c) AS rk
+              FROM q CROSS JOIN cent
+            )
+            SELECT c AS cluster, COUNT(*) AS n_members,
+                   CAST(SUM(d2) AS BIGINT) AS cost_q
+            FROM dist WHERE rk = 1
+            GROUP BY c ORDER BY c
         """,
         "image_dup_pairs_parity": """
             -- closed-form dHash replay: 8x9 images ARE the dHash grid,

@@ -373,6 +373,7 @@ EXTRA_QUERIES_R4B = [
     "anchor_texts_parity",
     "corpus_diff_orders",
     "sliding_distinct_users",
+    "kmeans_clusters_embeddings",
 ]
 
 

@@ -123,6 +123,8 @@ GATED = [
     "fix_mojibake_parity",  # one Arrow-batched projection, no joins
     "anchor_texts_parity",  # dual-group regexp zip + hash aggregate
     "corpus_diff_orders",  # ONE full-outer hash join + single aggregate
+    "sliding_distinct_users",  # mapInArrow partials + grouped merges, join-free
+    "kmeans_clusters_embeddings",  # one Arrow-batched assign + hash aggregate
     # (bm25_retrieval_documents excluded like tfidf_top_terms: its only
     # nested loop broadcasts the deliberately-1-row corpus-stats frame;
     # test_retrieval.py asserts exactly one NLJ and >= 3 broadcast HASH
