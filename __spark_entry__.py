@@ -346,6 +346,30 @@ def q_sliding_distinct_users(spark, sf):
     )
 
 
+def q_sliding_distinct_by_type(spark, sf):
+    # the GROUPED sliding-HLL path: one mergeable LFPM sketch per
+    # event_type (per-partition partials with a bounded combine map ->
+    # grouped merge; only blobs shuffle), every group anchored at the
+    # GLOBAL max event time via a 1-row broadcast. EXACT tier at driver
+    # SF; grouped LFPM invariance in tests/test_slidinghll.py
+    from hll_spark.operators.sliding import sliding_distinct_windows
+
+    out = sliding_distinct_windows(
+        _t(spark, sf, "events"),
+        "user_id",
+        "ts",
+        windows={"w1_1d": 86400, "w2_30d": 30 * 86400},
+        cfg=EXACT_CFG,
+        explicit_threshold=1 << 18,
+        by=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        F.col("window").alias("win"),
+        F.col("distinct").alias("distinct_users"),
+    )
+
+
 def q_kmeans_clusters_embeddings(spark, sf):
     # Distributed Lloyd k-means, ORACLE form: floats never compare
     # bit-stably across engines, so the driver row runs ONE exact
@@ -2890,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_event_counts": q_countsketch_event_counts,
         "sliding_distinct_users": q_sliding_distinct_users,
         "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
+        "sliding_distinct_by_type": q_sliding_distinct_by_type,
         "salted_join_brand_volume": q_salted_join_brand_volume,
         "image_dup_pairs_parity": q_image_dup_pairs,
         "audio_dup_pairs_parity": q_audio_dup_pairs,
@@ -3047,6 +3072,23 @@ def oracle_sql() -> dict[str, str]:
               AND e.ts >= mx.mt
                   - to_microseconds(CAST(span_s AS BIGINT) * 1000000)
             GROUP BY w.win ORDER BY win
+        """,
+        "sliding_distinct_by_type": """
+            -- grouped trailing windows, GLOBAL anchor (cross-key
+            -- comparable convention); groups with no qualifying events
+            -- emit no row, like grouped COUNT(DISTINCT)
+            WITH mx AS (SELECT max(ts) AS mt FROM events
+                        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            w(win, span_s) AS (VALUES ('w1_1d', 86400),
+                                      ('w2_30d', 2592000))
+            SELECT e.event_type, w.win AS win,
+                   COUNT(DISTINCT e.user_id) AS distinct_users
+            FROM events e, mx, w
+            WHERE e.user_id IS NOT NULL
+              AND e.ts >= mx.mt
+                  - to_microseconds(CAST(span_s AS BIGINT) * 1000000)
+            GROUP BY e.event_type, w.win
+            ORDER BY e.event_type, win
         """,
         "kmeans_clusters_embeddings": """
             -- one exact Lloyd assignment step on the integer grid

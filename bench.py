@@ -374,6 +374,7 @@ EXTRA_QUERIES_R4B = [
     "corpus_diff_orders",
     "sliding_distinct_users",
     "kmeans_clusters_embeddings",
+    "sliding_distinct_by_type",
 ]
 
 

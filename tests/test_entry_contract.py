@@ -125,6 +125,7 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
         "countsketch_event_counts",
         "sliding_distinct_users",
         "kmeans_clusters_embeddings",
+        "sliding_distinct_by_type",
         "salted_join_brand_volume",
         "image_dup_pairs_parity",
         "audio_dup_pairs_parity",

@@ -125,6 +125,9 @@ GATED = [
     "corpus_diff_orders",  # ONE full-outer hash join + single aggregate
     "sliding_distinct_users",  # mapInArrow partials + grouped merges, join-free
     "kmeans_clusters_embeddings",  # one Arrow-batched assign + hash aggregate
+    # (sliding_distinct_by_type excluded like the theta/cms queries:
+    # its only cross join broadcasts the deliberately-1-row global
+    # anchor frame against the per-group blob frame)
     # (bm25_retrieval_documents excluded like tfidf_top_terms: its only
     # nested loop broadcasts the deliberately-1-row corpus-stats frame;
     # test_retrieval.py asserts exactly one NLJ and >= 3 broadcast HASH

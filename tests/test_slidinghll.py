@@ -247,3 +247,59 @@ class TestSlidingOperator:
         exact = ev.selectExpr("count(distinct user_id) c").collect()[0]["c"]
         sigma = 1.04 / np.sqrt(cfg.m)
         assert abs(out[0]["distinct"] - exact) <= max(3 * sigma * exact, 3)
+
+    def test_grouped_windows_match_duckdb_exact(self, spark, sf_dir):
+        import duckdb
+
+        from hll_spark.operators.sliding import sliding_distinct_windows
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(7)
+        out = sliding_distinct_windows(
+            ev,
+            "user_id",
+            "ts",
+            windows={"w1_1d": 86400, "w2_30d": 30 * 86400},
+            cfg=HllConfig(log2m=14, regwidth=5),
+            explicit_threshold=1 << 18,
+            by=["event_type"],
+        ).collect()
+        got = {(r["event_type"], r["window"]): r["distinct"] for r in out}
+        ref = dict(
+            (
+                ((et, win), c)
+                for et, win, c in duckdb.connect()
+                .execute(
+                    f"""
+                WITH mx AS (SELECT max(ts) AS mt
+                            FROM '{sf_dir}/events.parquet'
+                            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+                w(win, span_s) AS (VALUES ('w1_1d', 86400),
+                                          ('w2_30d', 2592000))
+                SELECT e.event_type, w.win, COUNT(DISTINCT e.user_id)
+                FROM '{sf_dir}/events.parquet' e, mx, w
+                WHERE e.user_id IS NOT NULL
+                  AND e.ts >= mx.mt - to_microseconds(
+                        CAST(span_s AS BIGINT) * 1000000)
+                GROUP BY e.event_type, w.win
+                """
+                )
+                .fetchall()
+            )
+        )
+        assert got == ref
+
+    def test_grouped_partition_invariance(self, spark, sf_dir):
+        from hll_spark.operators.sliding import sliding_distinct_windows
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        kw = dict(
+            windows={"w": 7 * 86400},
+            cfg=HllConfig(log2m=11, regwidth=5),
+            by=["event_type"],
+        )
+        a = sliding_distinct_windows(ev.repartition(1), "user_id", "ts", **kw)
+        b = sliding_distinct_windows(ev.repartition(13), "user_id", "ts", **kw)
+        rows_a = sorted(tuple(r) for r in a.collect())
+        rows_b = sorted(tuple(r) for r in b.collect())
+        # canonical merge: LFPM estimates identical at ANY partitioning
+        assert rows_a == rows_b and rows_a
