@@ -904,6 +904,64 @@ def q_minhash_pairs_parity(spark, sf):
     return minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.9)
 
 
+def _parity_increment_corpora(spark, n_clone: int, n_new: int, n_corp: int):
+    """(new, corpus) for the cross-corpus join oracles: new doc i and
+    corpus doc i are EXACT clones for i < n_clone (60 shared c{i}_{j}
+    tokens, disjoint across i); new docs n_clone..n_clone+n_new-1 and
+    corpus docs n_clone..n_clone+n_corp-1 are disjoint-token
+    singletons. Exact clones -> identical signatures -> LSH recall
+    provably 1, so the join result is derivable in SQL."""
+
+    def frame(n_total, single_prefix):
+        ids = spark.range(n_total).withColumnRenamed("id", "doc_id")
+        clone_txt = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(60)),
+                lambda j: F.format_string("c%d_%d", F.col("doc_id"), j),
+            ),
+            " ",
+        )
+        single_txt = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(10)),
+                lambda j: F.format_string(
+                    single_prefix + "%d_%d", F.col("doc_id"), j
+                ),
+            ),
+            " ",
+        )
+        return ids.select(
+            "doc_id",
+            F.when(F.col("doc_id") < n_clone, clone_txt)
+            .otherwise(single_txt)
+            .alias("text"),
+        )
+
+    return frame(n_clone + n_new, "l"), frame(n_clone + n_corp, "r")
+
+
+def q_minhash_join_parity(spark, sf):
+    # Oracle-visible CROSS-CORPUS near-dup join (the incremental-dedup
+    # shape: today's crawl vs the standing corpus, no self-join of the
+    # big side): on the cross-table clone corpora every clone pair is
+    # emitted with jaccard_est exactly 1.0 and nothing else clears 0.9.
+    from hll_spark.operators.dedup import minhash_join
+
+    new, corpus = _parity_increment_corpora(spark, 300, 150, 200)
+    return minhash_join(new, corpus, "text", "doc_id", threshold=0.9)
+
+
+def q_dedup_increment_parity(spark, sf):
+    # The keep-set half: new docs that near-duplicate a corpus doc are
+    # dropped; the provable keep-set is exactly the novel singletons.
+    from hll_spark.operators.dedup import dedup_increment
+
+    new, corpus = _parity_increment_corpora(spark, 300, 150, 200)
+    return dedup_increment(new, corpus, "text", "doc_id", threshold=0.9).select(
+        "doc_id"
+    )
+
+
 def q_simhash_pairs_parity(spark, sf):
     # Oracle-visible SimHash pair enumeration: clone pairs have
     # Hamming 0 (found with certainty by the pigeonhole chunk join);
@@ -2911,6 +2969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — the pinned invariant); its ORACLE comparison still runs
         # every pytest via test_entry_contract.py at sf0.01, and it is
         # first in line for the r5 window
+        "minhash_join_parity": q_minhash_join_parity,
+        "dedup_increment_parity": q_dedup_increment_parity,
         "countsketch_event_counts": q_countsketch_event_counts,
         "sliding_distinct_users": q_sliding_distinct_users,
         "kmeans_clusters_embeddings": q_kmeans_clusters_embeddings,
@@ -3869,6 +3929,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT i * 2 AS id_a, i * 2 + 1 AS id_b,
                    CAST(1.0 AS DOUBLE) AS jaccard_est
             FROM range(400) t(i)
+        """,
+        "minhash_join_parity": """
+            -- cross-table clones i<->i only; est exactly 1.0
+            SELECT i AS left_id, i AS right_id,
+                   CAST(1.0 AS DOUBLE) AS jaccard_est
+            FROM range(300) t(i)
+        """,
+        "dedup_increment_parity": """
+            -- kept = the novel singletons of the increment
+            SELECT 300 + i AS doc_id FROM range(150) t(i)
         """,
         "simhash_pairs_parity": """
             SELECT i * 2 AS id_a, i * 2 + 1 AS id_b,

@@ -375,6 +375,8 @@ EXTRA_QUERIES_R4B = [
     "sliding_distinct_users",
     "kmeans_clusters_embeddings",
     "sliding_distinct_by_type",
+    "minhash_join_parity",
+    "dedup_increment_parity",
 ]
 
 

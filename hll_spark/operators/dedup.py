@@ -122,9 +122,13 @@ def _minhash_enriched(
     k: int,
     bands: int,
     shingle_n: int,
+    slot: str = "minhash",
 ) -> DataFrame:
     """(id, __s struct<sig array<long>, bk array<long>>) — ONE Python
-    pass computes signatures AND band keys; cached for reuse."""
+    pass computes signatures AND band keys; cached for reuse. ``slot``
+    names the bounded-cache slot: two-table operators (minhash_join)
+    must enrich both inputs without the second eviction-racing the
+    first out of the single default slot."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     r = k // bands
@@ -149,7 +153,7 @@ def _minhash_enriched(
     enriched = df.select(
         F.col(id_col), sig_and_bands(F.col(text_col)).alias("__s")
     )
-    return _remember_enriched(enriched)
+    return _remember_enriched(enriched, slot)
 
 
 # Signature/shingle frames are cached because every caller reads them
@@ -193,8 +197,8 @@ def _bounded_cache(slot: str, df: DataFrame) -> DataFrame:
         return cached
 
 
-def _remember_enriched(df: DataFrame) -> DataFrame:
-    return _bounded_cache("minhash", df)
+def _remember_enriched(df: DataFrame, slot: str = "minhash") -> DataFrame:
+    return _bounded_cache(slot, df)
 
 
 def clear_minhash_cache() -> None:
@@ -334,6 +338,114 @@ def minhash_dedup_keep(
         .select(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus near-duplicate JOIN: (left_id, right_id,
+    jaccard_est) for every pair with one side from each input and
+    estimated Jaccard >= threshold.
+
+    This is the incremental-dedup / decontamination-by-similarity
+    shape: "which of today's crawl increment near-duplicate something
+    already in the standing corpus?" — a question the self-join
+    operators (:func:`minhash_lsh_pairs`) cannot answer without
+    unioning the increment into the corpus and re-joining ALL of it.
+    Here the two sides stay separate: each is enriched once
+    (signatures + band keys, one Arrow pass), exploded to
+    (band_id, band_hash, id) triples, and inner-joined across tables
+    on the banded bucket; signatures rejoin only on the distinct
+    candidate pairs and the verify (matching-minhash fraction,
+    zip_with/filter/size) is fully JVM-side.
+
+    100 TB design: the corpus side's banded triples and signatures are
+    pure functions of (text, k, bands, shingle_n) — in production you
+    materialize them ONCE (bucketed by band_hash) and every daily
+    increment joins against the precomputed table, so the standing
+    corpus is never re-hashed. Candidate volume is bounded by bucket
+    co-occupancy exactly as in the self-join case, and the output is
+    proportional to true cross-corpus near-dup pairs, not |corpus|.
+
+    Note both inputs must expose the SAME text/id column names (rename
+    upstream if they differ); ids may overlap across tables — the
+    output keeps them in separate columns.
+    """
+    enr_l = _minhash_enriched(
+        left, text_col, id_col, k, bands, shingle_n, slot="minhash_join_l"
+    )
+    enr_r = _minhash_enriched(
+        right, text_col, id_col, k, bands, shingle_n, slot="minhash_join_r"
+    )
+    banded_l = enr_l.select(
+        F.col(id_col).alias("left_id"),
+        F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
+    )
+    banded_r = enr_r.select(
+        F.col(id_col).alias("right_id"),
+        F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
+    )
+    candidates = (
+        banded_l.join(banded_r, ["band_id", "band_hash"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sig_l = enr_l.select(
+        F.col(id_col).alias("left_id"), F.col("__s.sig").alias("__sig_l")
+    )
+    sig_r = enr_r.select(
+        F.col(id_col).alias("right_id"), F.col("__s.sig").alias("__sig_r")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("__sig_l", "__sig_r", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return (
+        candidates.join(sig_l, "left_id")
+        .join(sig_r, "right_id")
+        .withColumn("jaccard_est", n_match.cast("double") / F.lit(float(k)))
+        .where(F.col("jaccard_est") >= threshold)
+        .select("left_id", "right_id", "jaccard_est")
+    )
+
+
+def dedup_increment(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Rows of ``new`` that do NOT near-duplicate anything in
+    ``corpus`` — the keep-set of an incremental crawl ingest.
+
+    Composition of :func:`minhash_join` + left_anti: a new doc is
+    dropped iff it shares a band bucket with some corpus doc AND the
+    signature verify clears ``threshold``. O(|new|) verification rows
+    per matched doc-bucket, never a corpus self-join; at production
+    scale the corpus's banded/signature tables are precomputed (see
+    minhash_join) so each increment costs one enrich pass over the
+    increment plus one bucket join.
+    """
+    matched = (
+        minhash_join(
+            new, corpus, text_col, id_col, threshold, k, bands, shingle_n
+        )
+        .select(F.col("left_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(matched, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

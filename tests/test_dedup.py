@@ -388,3 +388,84 @@ def test_semdedup_validates_inputs(spark):
     empty = df.where(F.col("doc_id") < 0)
     with pytest.raises(ValueError):
         semdedup_keep(empty, "embedding", "doc_id")
+
+
+# -- cross-corpus join / incremental dedup -------------------------------
+
+
+@pytest.fixture(scope="module")
+def increment_corpora(spark):
+    """(new, corpus): new docs 0/1 clone corpus docs 100/101; new doc 2
+    is a near-dup (55/60 shared tokens, J = 55/65 ~ 0.846) of corpus
+    doc 102; new docs 3-6 and corpus docs 103-109 are disjoint-token
+    singletons. ids overlap nothing across tables by construction but
+    the operator must not rely on that."""
+    def toks(prefix, i, n):
+        return " ".join(f"{prefix}{i}_{j}" for j in range(n))
+
+    shared0, shared1, shared2 = toks("c", 0, 60), toks("c", 1, 60), toks("c", 2, 60)
+    near2 = " ".join(shared2.split()[:55] + [f"x_{j}" for j in range(10)])
+    new_pdf = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "text": [shared0, shared1, near2]
+            + [toks("n", i, 12) for i in range(3, 7)],
+        }
+    )
+    corp_pdf = pd.DataFrame(
+        {
+            "doc_id": range(100, 110),
+            "text": [shared0, shared1, shared2]
+            + [toks("k", i, 12) for i in range(103, 110)],
+        }
+    )
+    return spark.createDataFrame(new_pdf), spark.createDataFrame(corp_pdf)
+
+
+def test_minhash_join_finds_cross_corpus_clones(spark, increment_corpora):
+    from hll_spark.operators.dedup import minhash_join
+
+    new, corpus = increment_corpora
+    got = {
+        (r["left_id"], r["right_id"], r["jaccard_est"])
+        for r in minhash_join(new, corpus, "text", "doc_id", threshold=0.9).collect()
+    }
+    # exact clones: identical signatures -> jaccard_est exactly 1.0,
+    # and nothing else clears 0.9
+    assert got == {(0, 100, 1.0), (1, 101, 1.0)}
+
+
+def test_minhash_join_near_clone_at_loose_threshold(spark, increment_corpora):
+    from hll_spark.operators.dedup import minhash_join
+
+    new, corpus = increment_corpora
+    pairs = {
+        (r["left_id"], r["right_id"]): r["jaccard_est"]
+        for r in minhash_join(new, corpus, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert (2, 102) in pairs  # true J ~ 0.846 -> candidate prob ~ 1 at b=32,r=4
+    assert 0.6 <= pairs[(2, 102)] <= 1.0
+    assert set(pairs) == {(0, 100), (1, 101), (2, 102)}
+
+
+def test_dedup_increment_keeps_only_novel_docs(spark, increment_corpora):
+    from hll_spark.operators.dedup import dedup_increment
+
+    new, corpus = increment_corpora
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_increment(new, corpus, "text", "doc_id", threshold=0.5)
+        .select("doc_id")
+        .collect()
+    )
+    assert kept == [3, 4, 5, 6]
+    # corpus side is untouched: the operator filters new only
+    assert corpus.count() == 10
+
+
+def test_minhash_join_validates_band_divisibility(spark, increment_corpora):
+    from hll_spark.operators.dedup import minhash_join
+
+    new, corpus = increment_corpora
+    with pytest.raises(ValueError):
+        minhash_join(new, corpus, "text", "doc_id", k=128, bands=33)

@@ -122,6 +122,8 @@ def test_never_driver_checked_queries_sit_in_the_driver_window():
     #     in this suite meanwhile (test_oracle_parity covers them).
     window_exceptions = {"embedding_dup_pairs"}
     deferred = {
+        "minhash_join_parity",
+        "dedup_increment_parity",
         "countsketch_event_counts",
         "sliding_distinct_users",
         "kmeans_clusters_embeddings",

@@ -63,6 +63,8 @@ GATED = [
     # round-4 additions
     "minhash_pairs_parity",
     "simhash_pairs_parity",
+    "minhash_join_parity",  # cross-corpus banded bucket join, hash only
+    "dedup_increment_parity",  # minhash_join + left_anti hash join
     # (paragraph_dedup_parity and decontaminate_documents are excluded
     # like cms/bloom: each cross-joins ONE deliberately-1-row broadcast
     # frame — the shared-paragraph / collected-snippet-array scaffold —
