@@ -378,30 +378,100 @@ def minhash_join(
     upstream if they differ); ids may overlap across tables — the
     output keeps them in separate columns.
     """
+    idx_r = minhash_index(
+        right, text_col, id_col, k, bands, shingle_n, _slot="minhash_join_r"
+    )
+    return minhash_join_index(
+        left, idx_r, text_col, id_col, threshold, k, bands, shingle_n
+    )
+
+
+def minhash_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    _slot: str = "minhash_index",
+) -> DataFrame:
+    """Materializable near-dup index of a corpus: one row per doc,
+    (id, sig array<long>, bk array<long>).
+
+    The index is a pure function of (text, k, bands, shingle_n) —
+    write it to parquet/Iceberg ONCE and every later increment joins
+    against the stored table via :func:`minhash_join_index`, so the
+    standing corpus is hashed exactly once in its lifetime. At 10^12
+    docs the index is ~1.1 KB/doc (k=128 longs + bands keys); store it
+    partitioned however the corpus is partitioned — the bucket join
+    re-shuffles only the exploded (band_id, band_hash, id) triples.
+    """
+    enr = _minhash_enriched(
+        corpus, text_col, id_col, k, bands, shingle_n, slot=_slot
+    )
+    return enr.select(
+        F.col(id_col),
+        F.col("__s.sig").alias("sig"),
+        F.col("__s.bk").alias("bk"),
+    )
+
+
+def minhash_join_index(
+    new: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`minhash_join` against a PRECOMPUTED corpus index (from
+    :func:`minhash_index`, possibly read back from storage): only the
+    ``new`` side is hashed; the index side contributes its stored
+    (sig, bk) columns directly. (k, bands, shingle_n) must match the
+    values the index was built with — sig length is checked at plan
+    build, band-key semantics can't be (store them with the table).
+    """
+    if index.schema["sig"].dataType.simpleString() != "array<bigint>":
+        raise ValueError("index.sig must be array<long> (from minhash_index)")
     enr_l = _minhash_enriched(
-        left, text_col, id_col, k, bands, shingle_n, slot="minhash_join_l"
+        new, text_col, id_col, k, bands, shingle_n, slot="minhash_join_l"
     )
-    enr_r = _minhash_enriched(
-        right, text_col, id_col, k, bands, shingle_n, slot="minhash_join_r"
+    idx_l = enr_l.select(
+        F.col(id_col),
+        F.col("__s.sig").alias("sig"),
+        F.col("__s.bk").alias("bk"),
     )
-    banded_l = enr_l.select(
+    return _banded_index_join(idx_l, index, id_col, threshold, k)
+
+
+def _banded_index_join(
+    idx_l: DataFrame,
+    idx_r: DataFrame,
+    id_col: str,
+    threshold: float,
+    k: int,
+) -> DataFrame:
+    """Candidate generation + verify over two (id, sig, bk) frames."""
+    banded_l = idx_l.select(
         F.col(id_col).alias("left_id"),
-        F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
+        F.posexplode(F.col("bk")).alias("band_id", "band_hash"),
     )
-    banded_r = enr_r.select(
+    banded_r = idx_r.select(
         F.col(id_col).alias("right_id"),
-        F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
+        F.posexplode(F.col("bk")).alias("band_id", "band_hash"),
     )
     candidates = (
         banded_l.join(banded_r, ["band_id", "band_hash"])
         .select("left_id", "right_id")
         .distinct()
     )
-    sig_l = enr_l.select(
-        F.col(id_col).alias("left_id"), F.col("__s.sig").alias("__sig_l")
+    sig_l = idx_l.select(
+        F.col(id_col).alias("left_id"), F.col("sig").alias("__sig_l")
     )
-    sig_r = enr_r.select(
-        F.col(id_col).alias("right_id"), F.col("__s.sig").alias("__sig_r")
+    sig_r = idx_r.select(
+        F.col(id_col).alias("right_id"), F.col("sig").alias("__sig_r")
     )
     n_match = F.size(
         F.filter(

@@ -469,3 +469,41 @@ def test_minhash_join_validates_band_divisibility(spark, increment_corpora):
     new, corpus = increment_corpora
     with pytest.raises(ValueError):
         minhash_join(new, corpus, "text", "doc_id", k=128, bands=33)
+
+
+def test_minhash_index_parquet_roundtrip_equals_direct_join(
+    spark, increment_corpora, tmp_path
+):
+    # the at-scale shape: the corpus index is materialized once and
+    # increments join the STORED table — results must equal the
+    # direct two-table join exactly
+    from hll_spark.operators.dedup import (
+        minhash_index,
+        minhash_join,
+        minhash_join_index,
+    )
+
+    new, corpus = increment_corpora
+    path = str(tmp_path / "corpus_idx.parquet")
+    minhash_index(corpus, "text", "doc_id").write.parquet(path)
+    stored = spark.read.parquet(path)
+    via_index = {
+        (r["left_id"], r["right_id"], r["jaccard_est"])
+        for r in minhash_join_index(
+            new, stored, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    direct = {
+        (r["left_id"], r["right_id"], r["jaccard_est"])
+        for r in minhash_join(new, corpus, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert via_index == direct and len(direct) == 3
+
+
+def test_minhash_join_index_rejects_wrong_schema(spark, increment_corpora):
+    from hll_spark.operators.dedup import minhash_join_index
+
+    new, corpus = increment_corpora
+    bad = corpus.selectExpr("doc_id", "array(1.0) AS sig", "array(1L) AS bk")
+    with pytest.raises(ValueError):
+        minhash_join_index(new, bad, "text", "doc_id")
