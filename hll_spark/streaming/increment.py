@@ -1,0 +1,71 @@
+"""Streaming ingest dedup: filter a page stream against a static
+corpus near-dup index.
+
+The production crawl shape: pages arrive continuously; the standing
+corpus is represented by its materialized MinHash index
+(:func:`hll_spark.operators.dedup.minhash_index` — a storable
+(id, sig, bk) table). Inside ``foreachBatch`` every micro-batch is a
+bounded DataFrame, so the batch-side indexed join applies unchanged:
+the static index is hashed ZERO times per batch (its signatures are
+stored), the stream side once. No streaming-specific join-support
+matrix to fight — candidate generation needs explode + distinct +
+rejoin, which stream-static joins can't express but a per-batch plan
+runs as ordinary batch Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def streaming_dedup_increment(
+    stream_df: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_path: str,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+):
+    """Continuously append to ``out_path`` the streamed docs that do
+    NOT near-duplicate anything in the static ``index``
+    (from :func:`~hll_spark.operators.dedup.minhash_index`, typically
+    ``spark.read.parquet(...)`` over the stored table).
+
+    Semantics per micro-batch: exactly
+    :func:`~hll_spark.operators.dedup.dedup_increment` against the
+    index — a doc survives iff no index doc shares a band bucket AND
+    clears the signature verify at ``threshold``. Novelty is judged
+    against the CORPUS only; duplicates *within* the stream (across
+    batches) are not tracked here — that is cumulative state
+    (streaming_sketch_distinct / exact_dedup at compaction), not an
+    index lookup. Refresh the index on a schedule by restarting the
+    query over a re-read table.
+
+    Returns a DataStreamWriter; caller adds
+    checkpointLocation/trigger and ``.start()``. With a checkpoint,
+    batch replay after failure rewrites the same batch's output —
+    pair with an idempotent table format (Iceberg/Delta) or dedup on
+    ``id_col`` at read time for exactly-once output.
+    """
+    from hll_spark.operators.dedup import minhash_join_index
+
+    # fail at wire-up, not first batch, on a wrong index frame
+    if index.schema["sig"].dataType.simpleString() != "array<bigint>":
+        raise ValueError("index.sig must be array<long> (from minhash_index)")
+
+    def keep_novel(bdf: DataFrame, batch_id: int) -> None:
+        matched = (
+            minhash_join_index(
+                bdf, index, text_col, id_col, threshold, k, bands, shingle_n
+            )
+            .select(F.col("left_id").alias(id_col))
+            .distinct()
+        )
+        bdf.join(matched, id_col, "left_anti").write.mode("append").parquet(
+            out_path
+        )
+
+    return stream_df.writeStream.foreachBatch(keep_novel).outputMode("append")

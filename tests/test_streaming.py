@@ -675,3 +675,75 @@ def test_streaming_quantiles_tdigest_and_name_guard(spark, tmp_path):
     got = spark.read.parquet(outd).toPandas().iloc[0]
     true99 = np.quantile(vals, 0.99)
     assert abs(got["p99"] - true99) < 0.15
+
+
+def test_streaming_dedup_increment_filters_vs_static_index(spark, tmp_path):
+    # static corpus: 3 clone carriers + 2 singletons; stream batch 1
+    # carries one clone of corpus doc 0 + two novel docs, batch 2 one
+    # clone of corpus doc 1 + one novel — only the novel docs land in
+    # the output table, cumulatively across batches
+    from hll_spark.operators.dedup import minhash_index
+    from hll_spark.streaming.increment import streaming_dedup_increment
+
+    def toks(prefix, i, n=60):
+        return " ".join(f"{prefix}{i}_{j}" for j in range(n))
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(100, 105),
+                "text": [toks("c", i) for i in range(3)]
+                + [toks("k", i, 12) for i in (3, 4)],
+            }
+        )
+    )
+    idx_path = str(tmp_path / "idx.parquet")
+    minhash_index(corpus, "text", "doc_id").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available(schema_df):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        writer = streaming_dedup_increment(
+            stream, index, "text", "doc_id", out, threshold=0.5
+        )
+        q = (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch1 = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [toks("c", 0), toks("n", 1, 12), toks("n", 2, 12)]}
+    )
+    spark.createDataFrame(batch1).write.mode("append").parquet(src)
+    run_available(batch1)
+    kept1 = sorted(spark.read.parquet(out).toPandas()["doc_id"])
+    assert kept1 == [1, 2]  # the clone of corpus doc 100 is dropped
+
+    batch2 = pd.DataFrame(
+        {"doc_id": [3, 4], "text": [toks("c", 1), toks("n", 4, 12)]}
+    )
+    spark.createDataFrame(batch2).write.mode("append").parquet(src)
+    run_available(batch2)
+    kept2 = sorted(spark.read.parquet(out).toPandas()["doc_id"])
+    assert kept2 == [1, 2, 4]  # appended; checkpoint skips batch 1
+
+
+def test_streaming_dedup_increment_rejects_bad_index(spark, tmp_path):
+    from hll_spark.streaming.increment import streaming_dedup_increment
+
+    bad = spark.range(3).selectExpr(
+        "id AS doc_id", "array(1.0) AS sig", "array(1L) AS bk"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    with pytest.raises(ValueError):
+        streaming_dedup_increment(
+            stream, bad, "text", "doc_id", str(tmp_path / "o")
+        )
