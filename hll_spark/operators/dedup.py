@@ -433,6 +433,12 @@ def minhash_join_index(
     values the index was built with — sig length is checked at plan
     build, band-key semantics can't be (store them with the table).
     """
+    missing = {id_col, "sig", "bk"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"index is missing column(s) {sorted(missing)} — build it "
+            "with minhash_index(corpus, ...)"
+        )
     if index.schema["sig"].dataType.simpleString() != "array<bigint>":
         raise ValueError("index.sig must be array<long> (from minhash_index)")
     enr_l = _minhash_enriched(

@@ -53,6 +53,12 @@ def streaming_dedup_increment(
     from hll_spark.operators.dedup import minhash_join_index
 
     # fail at wire-up, not first batch, on a wrong index frame
+    missing = {id_col, "sig", "bk"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"index is missing column(s) {sorted(missing)} — build it "
+            "with minhash_index(corpus, ...)"
+        )
     if index.schema["sig"].dataType.simpleString() != "array<bigint>":
         raise ValueError("index.sig must be array<long> (from minhash_index)")
 

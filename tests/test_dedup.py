@@ -507,3 +507,11 @@ def test_minhash_join_index_rejects_wrong_schema(spark, increment_corpora):
     bad = corpus.selectExpr("doc_id", "array(1.0) AS sig", "array(1L) AS bk")
     with pytest.raises(ValueError):
         minhash_join_index(new, bad, "text", "doc_id")
+
+
+def test_minhash_join_index_rejects_missing_columns(spark, increment_corpora):
+    from hll_spark.operators.dedup import minhash_join_index
+
+    new, corpus = increment_corpora
+    with pytest.raises(ValueError, match="missing column"):
+        minhash_join_index(new, corpus.select("doc_id", "text"), "text", "doc_id")
