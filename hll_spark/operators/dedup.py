@@ -502,26 +502,109 @@ def dedup_increment(
     k: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    verify: str = "rep",
 ) -> DataFrame:
     """Rows of ``new`` that do NOT near-duplicate anything in
     ``corpus`` — the keep-set of an incremental crawl ingest.
 
-    Composition of :func:`minhash_join` + left_anti: a new doc is
-    dropped iff it shares a band bucket with some corpus doc AND the
-    signature verify clears ``threshold``. O(|new|) verification rows
-    per matched doc-bucket, never a corpus self-join; at production
-    scale the corpus's banded/signature tables are precomputed (see
-    minhash_join) so each increment costs one enrich pass over the
-    increment plus one bucket join.
+    ``verify="rep"`` (default, the at-scale path): each CORPUS band
+    bucket elects its min-id member as representative, and every
+    increment doc is verified against only the distinct reps of the
+    buckets it lands in — ≤ ``bands`` signature checks per doc,
+    O(|new|·bands) total, regardless of how many corpus docs share a
+    bucket. This is the cross-corpus form of
+    :func:`minhash_dedup_keep`'s star rule (a doc is dropped iff it
+    signature-matches a bucket representative); on boilerplate-heavy
+    corpora where one template bucket holds thousands of corpus docs,
+    the full pairwise verify is quadratic in bucket co-occupancy —
+    measured on a 200k-doc template corpus (BENCH/BASELINE.md §3):
+    pairwise 152 s, rep path seconds for the same 20k increment.
+
+    ``verify="all"``: exhaustive — a doc is dropped iff ANY bucket
+    co-member clears ``threshold`` (exactly :func:`minhash_join` +
+    left_anti). Maximal recall w.r.t. the LSH candidates; cost grows
+    with bucket co-occupancy. Use when cluster sizes are known small.
+
+    At production scale the corpus index is precomputed
+    (:func:`minhash_index`) — use :func:`dedup_increment_index`.
     """
-    matched = (
-        minhash_join(
-            new, corpus, text_col, id_col, threshold, k, bands, shingle_n
+    idx = minhash_index(
+        corpus, text_col, id_col, k, bands, shingle_n, _slot="minhash_join_r"
+    )
+    return dedup_increment_index(
+        new, idx, text_col, id_col, threshold, k, bands, shingle_n, verify
+    )
+
+
+def dedup_increment_index(
+    new: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    verify: str = "rep",
+) -> DataFrame:
+    """:func:`dedup_increment` against a PRECOMPUTED corpus index
+    (from :func:`minhash_index`, typically read back from storage).
+    See dedup_increment for the ``verify`` semantics."""
+    if verify not in ("rep", "all"):
+        raise ValueError(f"verify must be 'rep' or 'all', got {verify!r}")
+    if verify == "all":
+        matched = (
+            minhash_join_index(
+                new, index, text_col, id_col, threshold, k, bands, shingle_n
+            )
+            .select(F.col("left_id").alias(id_col))
+            .distinct()
         )
-        .select(F.col("left_id").alias(id_col))
+        return new.join(matched, id_col, "left_anti")
+    missing = {id_col, "sig", "bk"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"index is missing column(s) {sorted(missing)} — build it "
+            "with minhash_index(corpus, ...)"
+        )
+    enr_l = _minhash_enriched(
+        new, text_col, id_col, k, bands, shingle_n, slot="minhash_join_l"
+    )
+    banded_l = enr_l.select(
+        F.col(id_col),
+        F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
+    )
+    # one row per corpus bucket: its min-id member is the representative
+    reps = (
+        index.select(
+            F.col(id_col).alias("__rep"),
+            F.posexplode(F.col("bk")).alias("band_id", "band_hash"),
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.min("__rep").alias("__rep"))
+    )
+    cand = (
+        banded_l.join(reps, ["band_id", "band_hash"])
+        .select(id_col, "__rep")
         .distinct()
     )
-    return new.join(matched, id_col, "left_anti")
+    sig_n = enr_l.select(F.col(id_col), F.col("__s.sig").alias("__sig_l"))
+    sig_r = index.select(
+        F.col(id_col).alias("__rep"), F.col("sig").alias("__sig_r")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("__sig_l", "__sig_r", lambda x, y: x == y), lambda v: v
+        )
+    )
+    drop = (
+        cand.join(sig_n, id_col)
+        .join(sig_r, "__rep")
+        .where(n_match.cast("double") / F.lit(float(k)) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return new.join(drop, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

@@ -15,7 +15,7 @@ runs as ordinary batch Spark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 
 def streaming_dedup_increment(
@@ -28,6 +28,7 @@ def streaming_dedup_increment(
     k: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    verify: str = "rep",
 ):
     """Continuously append to ``out_path`` the streamed docs that do
     NOT near-duplicate anything in the static ``index``
@@ -35,9 +36,11 @@ def streaming_dedup_increment(
     ``spark.read.parquet(...)`` over the stored table).
 
     Semantics per micro-batch: exactly
-    :func:`~hll_spark.operators.dedup.dedup_increment` against the
-    index — a doc survives iff no index doc shares a band bucket AND
-    clears the signature verify at ``threshold``. Novelty is judged
+    :func:`~hll_spark.operators.dedup.dedup_increment_index` — by
+    default the rep path (each corpus bucket's min-id member verifies
+    the doc, ≤ ``bands`` checks per doc — immune to boilerplate
+    buckets holding thousands of corpus docs); ``verify="all"`` for
+    exhaustive bucket-co-member verification. Novelty is judged
     against the CORPUS only; duplicates *within* the stream (across
     batches) are not tracked here — that is cumulative state
     (streaming_sketch_distinct / exact_dedup at compaction), not an
@@ -50,9 +53,11 @@ def streaming_dedup_increment(
     pair with an idempotent table format (Iceberg/Delta) or dedup on
     ``id_col`` at read time for exactly-once output.
     """
-    from hll_spark.operators.dedup import minhash_join_index
+    from hll_spark.operators.dedup import dedup_increment_index
 
     # fail at wire-up, not first batch, on a wrong index frame
+    if verify not in ("rep", "all"):
+        raise ValueError(f"verify must be 'rep' or 'all', got {verify!r}")
     missing = {id_col, "sig", "bk"} - set(index.columns)
     if missing:
         raise ValueError(
@@ -63,15 +68,8 @@ def streaming_dedup_increment(
         raise ValueError("index.sig must be array<long> (from minhash_index)")
 
     def keep_novel(bdf: DataFrame, batch_id: int) -> None:
-        matched = (
-            minhash_join_index(
-                bdf, index, text_col, id_col, threshold, k, bands, shingle_n
-            )
-            .select(F.col("left_id").alias(id_col))
-            .distinct()
-        )
-        bdf.join(matched, id_col, "left_anti").write.mode("append").parquet(
-            out_path
-        )
+        dedup_increment_index(
+            bdf, index, text_col, id_col, threshold, k, bands, shingle_n, verify
+        ).write.mode("append").parquet(out_path)
 
     return stream_df.writeStream.foreachBatch(keep_novel).outputMode("append")

@@ -515,3 +515,31 @@ def test_minhash_join_index_rejects_missing_columns(spark, increment_corpora):
     new, corpus = increment_corpora
     with pytest.raises(ValueError, match="missing column"):
         minhash_join_index(new, corpus.select("doc_id", "text"), "text", "doc_id")
+
+
+def test_dedup_increment_rep_equals_all_on_small_clusters(spark, increment_corpora):
+    # on bucket-singleton corpora the star rule and exhaustive verify
+    # agree exactly; the rep path must also drop the J~0.85 near-clone
+    from hll_spark.operators.dedup import dedup_increment
+
+    new, corpus = increment_corpora
+    kept = {
+        mode: sorted(
+            r["doc_id"]
+            for r in dedup_increment(
+                new, corpus, "text", "doc_id", threshold=0.5, verify=mode
+            )
+            .select("doc_id")
+            .collect()
+        )
+        for mode in ("rep", "all")
+    }
+    assert kept["rep"] == kept["all"] == [3, 4, 5, 6]
+
+
+def test_dedup_increment_rejects_unknown_verify(spark, increment_corpora):
+    from hll_spark.operators.dedup import dedup_increment
+
+    new, corpus = increment_corpora
+    with pytest.raises(ValueError, match="verify"):
+        dedup_increment(new, corpus, "text", "doc_id", verify="fuzzy")
