@@ -777,6 +777,102 @@ def hamming_band_pairs(
     )
 
 
+def hamming_band_join(
+    left_hashed: DataFrame,
+    right_hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """Cross-table analog of :func:`hamming_band_pairs`:
+    (left_id, right_id, hamming) for every pair with one side from
+    each input and Hamming(hash) <= max_hamming. Same pigeonhole
+    banding (recall exactly 1 within the budget), inner-joined across
+    tables instead of self-joined — the incremental shape for the
+    simhash/dhash/audio family: "which of today's media near-duplicate
+    the standing corpus?". The hash frames are each a pure function of
+    the payload, so the corpus side can be computed once, stored, and
+    re-read per increment (the decode/UDF cost is paid only for new
+    rows)."""
+    n_chunks = max_hamming + 1
+    base_w = 64 // n_chunks
+    widths = [base_w + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def chunked(df: DataFrame, out_id: str, out_hash: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(hash_col).alias(out_hash),
+            F.posexplode(
+                F.array(
+                    *[
+                        (F.shiftrightunsigned(F.col(hash_col), off)).bitwiseAND(
+                            F.lit((1 << w) - 1)
+                        )
+                        for off, w in zip(offsets, widths)
+                    ]
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+
+    cand = (
+        chunked(left_hashed, "left_id", "sh_l")
+        .join(chunked(right_hashed, "right_id", "sh_r"), ["chunk_id", "chunk"])
+        .select("left_id", "sh_l", "right_id", "sh_r")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+def simhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-corpus SimHash near-dup join: (left_id, right_id,
+    hamming) with one doc from each input — :func:`simhash_pairs`'
+    incremental sibling (see :func:`hamming_band_join`)."""
+    def hashed(df):
+        return df.select(
+            F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash")
+        )
+
+    return hamming_band_join(
+        hashed(left), hashed(right), id_col, "simhash", max_hamming
+    )
+
+
+def image_dup_join(
+    left: DataFrame,
+    right: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Cross-corpus perceptual IMAGE near-dup join (dHash + pigeonhole
+    banding): which new images near-duplicate the standing image
+    corpus. Both sides decode in-partition (binary never shuffles);
+    store the corpus side's (id, dhash) frame once and pass it back in
+    to skip re-decoding the corpus per increment."""
+    from .multimodal import image_dhash
+
+    def hashed(df):
+        return (
+            image_dhash(df, payload_col=payload_col, id_col=id_col)
+            .where(F.col("dhash").isNotNull())
+            .withColumnRenamed("media_id", id_col)
+        )
+
+    return hamming_band_join(hashed(left), hashed(right), id_col, "dhash", max_hamming)
+
+
 def image_dup_pairs(
     df: DataFrame,
     payload_col: str,

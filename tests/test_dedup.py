@@ -543,3 +543,16 @@ def test_dedup_increment_rejects_unknown_verify(spark, increment_corpora):
     new, corpus = increment_corpora
     with pytest.raises(ValueError, match="verify"):
         dedup_increment(new, corpus, "text", "doc_id", verify="fuzzy")
+
+
+def test_simhash_join_finds_cross_corpus_clones(spark, increment_corpora):
+    from hll_spark.operators.dedup import simhash_join
+
+    new, corpus = increment_corpora
+    got = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in simhash_join(new, corpus, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert got[(0, 100)] == 0 and got[(1, 101)] == 0  # exact clones
+    # anything else within budget must be the planted near-clone
+    assert set(got) - {(0, 100), (1, 101)} <= {(2, 102)}

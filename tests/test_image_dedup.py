@@ -263,3 +263,65 @@ def test_audio_dup_pairs_end_to_end(spark):
     assert {(2 * i, 2 * i + 1) for i in range(8)} <= got
     flat = {x for p in got for x in p}
     assert 100 not in flat and 101 not in flat
+
+
+def test_band_join_parity_with_brute_force(spark):
+    # cross-table analog of the self-join brute-force parity: split
+    # the same planted near-dup population into two tables and demand
+    # the exact cross-pair set (recall 1 within the Hamming budget)
+    from hll_spark.operators.dedup import hamming_band_join
+
+    rng = np.random.default_rng(23)
+    n = 300
+    base = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+    for i in range(40):
+        src = int(base[i])
+        flips = rng.choice(64, size=rng.integers(1, 4), replace=False)
+        v = src
+        for f in flips:
+            v ^= 1 << int(f)
+        base[n - 1 - i] = np.int64(np.uint64(v % (1 << 64)).astype(np.int64))
+    left = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(0, n, 2), "h": base[0::2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(1, n, 2), "h": base[1::2]})
+    )
+    got = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in hamming_band_join(left, right, "id", "h", 3).collect()
+    }
+    u = base.astype(np.uint64)
+
+    def popcount(arr):
+        return np.unpackbits(arr.view(np.uint8).reshape(len(arr), 8), axis=1).sum(axis=1)
+
+    want = set()
+    for a in range(0, n, 2):  # left ids are even positions
+        ham = popcount(u ^ u[a])
+        for b in np.nonzero(ham <= 3)[0]:
+            if b % 2 == 1:  # right ids are odd positions
+                want.add((a, int(b), int(ham[b])))
+    assert got == want
+
+
+def test_image_dup_join_cross_corpus(spark):
+    # increment images 0-5 clone corpus images 100-105; increment 6-7
+    # are novel; null/corrupt payloads drop out of both sides
+    from hll_spark.operators.dedup import image_dup_join
+
+    rng = np.random.default_rng(29)
+    imgs = [rng.integers(0, 256, (24, 27)).astype(np.uint8) for _ in range(8)]
+    new_rows = [(i, bytearray(encode_png(imgs[i]))) for i in range(8)]
+    new_rows.append((50, None))
+    corp_rows = [(100 + i, bytearray(encode_png(imgs[i]))) for i in range(6)]
+    corp_rows.append((150, bytearray(b"corrupt")))
+    new = spark.createDataFrame(new_rows, "media_id bigint, payload binary")
+    corpus = spark.createDataFrame(corp_rows, "media_id bigint, payload binary")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in image_dup_join(new, corpus, "payload", "media_id", max_hamming=2).collect()
+    }
+    assert {(i, 100 + i) for i in range(6)} <= got
+    flat = {x for p in got for x in p}
+    assert 50 not in flat and 150 not in flat
