@@ -1743,3 +1743,26 @@ def audio_dup_pairs(
         .withColumnRenamed("media_id", id_col)
     )
     return hamming_band_pairs(hashed, id_col, "afp", max_hamming)
+
+
+def audio_dup_join(
+    left: DataFrame,
+    right: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Cross-corpus AUDIO near-dup join — :func:`audio_dup_pairs`'
+    incremental sibling (see :func:`hamming_band_join`): new audio vs
+    a standing corpus whose (id, afp) fingerprint frame can be stored
+    once and re-read per increment."""
+    from .multimodal import audio_afp
+
+    def hashed(df):
+        return (
+            audio_afp(df, payload_col=payload_col, id_col=id_col)
+            .where(F.col("afp").isNotNull())
+            .withColumnRenamed("media_id", id_col)
+        )
+
+    return hamming_band_join(hashed(left), hashed(right), id_col, "afp", max_hamming)

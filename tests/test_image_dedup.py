@@ -325,3 +325,24 @@ def test_image_dup_join_cross_corpus(spark):
     assert {(i, 100 + i) for i in range(6)} <= got
     flat = {x for p in got for x in p}
     assert 50 not in flat and 150 not in flat
+
+
+def test_audio_dup_join_cross_corpus(spark):
+    from hll_spark.operators.dedup import audio_dup_join
+    from hll_spark.operators.multimodal import encode_wav
+
+    rng = np.random.default_rng(43)
+    sigs = [rng.integers(-30000, 30000, 650).astype(np.int16) for _ in range(6)]
+    new_rows = [(i, bytearray(encode_wav(s))) for i, s in enumerate(sigs)]
+    new_rows.append((50, None))
+    corp_rows = [(100 + i, bytearray(encode_wav(sigs[i]))) for i in range(4)]
+    corp_rows.append((150, bytearray(b"RIFFjunkWAVEbroken")))
+    new = spark.createDataFrame(new_rows, "media_id bigint, payload binary")
+    corpus = spark.createDataFrame(corp_rows, "media_id bigint, payload binary")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in audio_dup_join(new, corpus, "payload", "media_id", 2).collect()
+    }
+    assert {(i, 100 + i) for i in range(4)} <= got
+    flat = {x for p in got for x in p}
+    assert 50 not in flat and 150 not in flat
