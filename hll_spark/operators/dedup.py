@@ -924,6 +924,48 @@ def _band_bucket_udf(dim: int, n_bands: int, n_planes: int, seed: int):
     return _pudf(bucket, ArrayType(LongType()))
 
 
+def _tuned_hyperplane_params(
+    threshold: float, n_bands: int | None, n_planes: int | None
+) -> tuple[int, int]:
+    """(n_bands, n_planes) for banded hyperplane LSH at ``threshold``
+    (shared by the self-join and cross-corpus forms; tuning rationale
+    in :func:`embedding_dup_pairs`'s docstring), plus the
+    pruning-power warning for the loose-threshold regime."""
+    if n_planes is None or n_bands is None:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        # threshold >= 1.0 gives p == 1.0 and log(p) == 0; clamp so the
+        # exact-duplicate case tunes to the finest buckets instead of
+        # dividing by zero.
+        p = min(p, 1.0 - 1e-9)
+        r = n_planes if n_planes is not None else max(
+            1, min(32, int(math.floor(math.log(0.17) / math.log(p))))
+        )
+        per_band = min(p**r, 1.0 - 1e-12)
+        n_bands = n_bands if n_bands is not None else max(
+            1, min(96, int(math.ceil(math.log(1e-6) / math.log(1.0 - per_band))))
+        )
+        n_planes = r
+    # Pruning-power check: a random (orthogonal-ish) pair collides in one
+    # band with prob ~2^-r, so the expected candidate fraction of ALL
+    # pairs is ~ n_bands * 2^-r. When that approaches 1 the banding
+    # cannot prune (the loose-threshold regime documented in
+    # embedding_dup_pairs) and the join is quadratic by construction —
+    # warn rather than run silently.
+    random_rate = n_bands * 2.0 ** (-n_planes)
+    if random_rate > 0.05:
+        warnings.warn(
+            f"hyperplane banding: threshold={threshold} tunes to "
+            f"r={n_planes} planes x b={n_bands} bands, whose random-pair "
+            f"candidate rate ~{random_rate:.2g} of ALL pairs — hyperplane "
+            "banding cannot prune in this regime and the candidate join "
+            "is effectively quadratic. Use a genuine near-dup threshold "
+            "(>= ~0.8) or the IVF path at scale.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return n_bands, n_planes
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -957,37 +999,7 @@ def embedding_dup_pairs(
     the IVF path instead. The all-pairs exact form lives in
     ``embedding_dup_pairs_allpairs`` as the small-scale oracle.
     """
-    if n_planes is None or n_bands is None:
-        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-        # threshold >= 1.0 gives p == 1.0 and log(p) == 0; clamp so the
-        # exact-duplicate case tunes to the finest buckets instead of
-        # dividing by zero.
-        p = min(p, 1.0 - 1e-9)
-        r = n_planes if n_planes is not None else max(
-            1, min(32, int(math.floor(math.log(0.17) / math.log(p))))
-        )
-        per_band = min(p**r, 1.0 - 1e-12)
-        n_bands = n_bands if n_bands is not None else max(
-            1, min(96, int(math.ceil(math.log(1e-6) / math.log(1.0 - per_band))))
-        )
-        n_planes = r
-    # Pruning-power check: a random (orthogonal-ish) pair collides in one
-    # band with prob ~2^-r, so the expected candidate fraction of ALL
-    # pairs is ~ n_bands * 2^-r. When that approaches 1 the banding
-    # cannot prune (the loose-threshold regime documented above) and the
-    # join is quadratic by construction — warn rather than run silently.
-    random_rate = n_bands * 2.0 ** (-n_planes)
-    if random_rate > 0.05:
-        warnings.warn(
-            f"embedding_dup_pairs: threshold={threshold} tunes to "
-            f"r={n_planes} planes x b={n_bands} bands, whose random-pair "
-            f"candidate rate ~{random_rate:.2g} of ALL pairs — hyperplane "
-            "banding cannot prune in this regime and the candidate join "
-            "is effectively quadratic. Use a genuine near-dup threshold "
-            "(>= ~0.8) or the IVF path at scale.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+    n_bands, n_planes = _tuned_hyperplane_params(threshold, n_bands, n_planes)
     if dim is None:
         # Spark array types don't carry a fixed length; one 1-row lookup
         # at plan-build time. Pass dim explicitly to avoid it.
@@ -1068,6 +1080,75 @@ def embedding_dup_pairs_allpairs(
             F.col(f"b.{id_col}").alias("id_b"),
             "cosine",
         )
+    )
+
+
+def embedding_join(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_bands: int | None = None,
+    n_planes: int | None = None,
+    seed: int = 1234,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC near-dup join: (left_id, right_id,
+    cosine) for pairs with one vector from each input and cosine >=
+    threshold — :func:`embedding_dup_pairs`' incremental sibling,
+    completing the cross-corpus family (lexical minhash_join, Hamming
+    simhash/image/audio joins, semantic here).
+
+    Same banded hyperplane LSH: both sides bucket under the SAME seed
+    and tuned (r, b), candidates come from an inner join on
+    (band_id, bucket) across tables, and the exact JVM-side cosine
+    verifies candidates only. The corpus side's bucket keys and unit
+    vectors are pure functions of (vec, seed, r, b) — precompute and
+    store them to skip re-bucketing the standing corpus per increment.
+    The loose-threshold warning applies unchanged.
+    """
+    n_bands, n_planes = _tuned_hyperplane_params(threshold, n_bands, n_planes)
+    if dim is None:
+        head = left.select(vec_col).head() or right.select(vec_col).head()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "embedding_join: cannot infer vector dim from empty "
+                "inputs (or null first vector) — pass dim explicitly"
+            )
+        dim = len(head[0])
+    bucket_udf = _band_bucket_udf(dim, n_bands, n_planes, seed)
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    def prepared(df, out_id):
+        banded = df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(bucket_udf(F.col(vec_col))).alias("band_id", "bucket"),
+        )
+        unit = df.select(
+            F.col(id_col).alias(out_id),
+            F.transform(vec_col, lambda x: x / norm).alias(f"__unit_{out_id}"),
+        )
+        return banded, unit
+
+    banded_l, unit_l = prepared(left, "left_id")
+    banded_r, unit_r = prepared(right, "right_id")
+    candidates = (
+        banded_l.join(banded_r, ["band_id", "bucket"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("__unit_left_id", "__unit_right_id", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        candidates.join(unit_l, "left_id")
+        .join(unit_r, "right_id")
+        .withColumn("cosine", F.round(dot, 6))
+        .where(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
     )
 
 

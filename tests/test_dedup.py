@@ -556,3 +556,68 @@ def test_simhash_join_finds_cross_corpus_clones(spark, increment_corpora):
     assert got[(0, 100)] == 0 and got[(1, 101)] == 0  # exact clones
     # anything else within budget must be the planted near-clone
     assert set(got) - {(0, 100), (1, 101)} <= {(2, 102)}
+
+
+def test_embedding_join_cross_corpus_one_hot(spark):
+    # one-hot corpora: new vec i == corpus vec i exactly (cosine 1.0)
+    # for i < 4; new vecs 4-5 one-hot on dims absent from the corpus
+    # (every cross cosine exactly 0) — the emitted pair set is provable
+    from hll_spark.operators.dedup import embedding_join
+
+    dim = 8
+
+    def onehot(i):
+        return [1.0 if j == i else 0.0 for j in range(dim)]
+
+    new = spark.createDataFrame(
+        [(i, onehot(i)) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, onehot(i)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["left_id"], r["right_id"], r["cosine"])
+        for r in embedding_join(
+            new, corpus, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    assert got == {(i, 100 + i, 1.0) for i in range(4)}
+
+
+def test_embedding_join_matches_allpairs_on_random_vectors(spark):
+    # recall/precision vs the exact all-pairs cross cosine at a tight
+    # threshold on structured vectors: clones + noise
+    import numpy as np
+
+    from hll_spark.operators.dedup import embedding_join
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16))
+    new_rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # corpus: 10 exact clones of new 0-9 + 10 fresh random vectors
+    corp_rows = [(100 + i, [float(x) for x in base[i]]) for i in range(10)]
+    fresh = rng.normal(size=(10, 16))
+    corp_rows += [(200 + i, [float(x) for x in fresh[i]]) for i in range(10)]
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(corp_rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in embedding_join(
+            new, corpus, "embedding", "vec_id", threshold=0.98
+        ).collect()
+    }
+    # exact cross-pairs at the same threshold, computed in numpy
+    def unit(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    un, uc = unit(base), unit(np.vstack([base[:10], fresh]))
+    cos = un @ uc.T
+    corp_ids = [100 + i for i in range(10)] + [200 + i for i in range(10)]
+    want = {
+        (i, corp_ids[j])
+        for i in range(20)
+        for j in range(20)
+        if round(cos[i, j], 6) >= 0.98
+    }
+    assert got == want  # tuned for miss prob <= 1e-6 at the threshold
