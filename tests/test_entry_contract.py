@@ -90,81 +90,81 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) >= 1
 
 
+# The rounds the CURRENT window was built against. Pinned (not
+# globbed) so the invariant does not self-invalidate the moment the
+# driver writes the CURRENT round's CORRECTNESS file (the r4 lesson:
+# globbing ALL CORRECTNESS_r*.json made every in-window query "seen"
+# as soon as CORRECTNESS_r04.json landed). Bump this set together
+# with the queries() reorder at the start of each round.
+WINDOW_BUILT_AGAINST_ROUNDS = {1, 2, 3, 4}
+
+# The 24 re-verify slots of the r5 window (positions 27-50), pinned
+# EXACTLY: the two rows whose gate changed this round, the r2-era
+# ORACLE rows (oldest driver evidence), and the highest-traffic
+# r3-green operators. Any drift — an insertion pushing one out, or an
+# unplanned already-checked query taking a slot — fails the test.
+REVERIFY_BACKFILL = [
+    "curate_corpus_docs",
+    "semdedup_keep_embeddings",
+    "exact_quantiles_price",
+    "session_counts",
+    "setop_partkeys_except",
+    "asof_last_order",
+    "pricing_summary",
+    "join_mktsegment_orders",
+    "window_top_order_per_cust",
+    "customers_without_orders",
+    "rollup_user_counts",
+    "json_props_stats",
+    "media_metadata_documents",
+    "extract_text_pages",
+    "extract_text_pages_arrow",
+    "streaming_sink_distinct",
+    "mg_top_sources",
+    "minhash_dedup_parity",
+    "hll_users_salted",
+    "checkpoint_resume_estimate",
+    "hll_users_by_event_type",
+    "cms_event_type_counts",
+    "bloom_fk_prefilter",
+    "embedding_dup_pairs_tight",
+]
+
+
 def test_never_driver_checked_queries_sit_in_the_driver_window():
     # The driver evaluates only the FIRST 50 queries() entries per
     # round; the rotation contract (VERDICT r3 #1) is that any query
-    # with no CORRECTNESS row in ANY committed round must be inside
-    # that window. This pins the invariant so a future insertion
-    # can't silently push a never-checked query past the cap.
-    import glob
+    # with no CORRECTNESS row in any PRIOR round must be inside that
+    # window. This pins the invariant so a future insertion can't
+    # silently push a never-checked query past the cap.
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+    for r in WINDOW_BUILT_AGAINST_ROUNDS:
+        path = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
         try:
             seen |= set(json.load(open(path)).keys())
         except Exception:
             continue
-    # Deliberate r4 deviations, pinned EXACTLY so any future drift still
-    # fails this test:
-    #   - embedding_dup_pairs HAS prior rows (r1-r3, graded weak: the
-    #     old plan was quadratic at loose thresholds) but was
-    #     re-implemented in r4 via the blocked/banded LSH path
-    #     (q_embedding_dup_pairs -> embedding_dup_pairs_blocked), so it
-    #     holds a window slot to get a driver row ON THE NEW PLAN —
-    #     closing VERDICT r3 "What's wrong #1" with driver evidence.
-    #   - countsketch_event_counts / profile_orders_columns /
-    #     fk_discovery_tpch arrived after the window filled (50
-    #     never-checked already in it); they lead the tail, first in
-    #     line for the r5 rotation, and their ORACLE comparisons run
-    #     in this suite meanwhile (test_oracle_parity covers them).
-    window_exceptions = {"embedding_dup_pairs"}
-    deferred = {
-        "minhash_join_parity",
-        "dedup_increment_parity",
-        "countsketch_event_counts",
-        "sliding_distinct_users",
-        "kmeans_clusters_embeddings",
-        "sliding_distinct_by_type",
-        "salted_join_brand_volume",
-        "image_dup_pairs_parity",
-        "audio_dup_pairs_parity",
-        "warc_ingest_parity",
-        "host_pagerank_parity",
-        "robots_filter_parity",
-        "pseudonymize_docs",
-        "k_anonymity_orders",
-        "split_sentences_docs",
-        "page_meta_parity",
-        "warc_corpus_parity",
-        "fix_mojibake_parity",
-        "anchor_texts_parity",
-        "corpus_diff_orders",
-        "profile_orders_columns",
-        "fk_discovery_tpch",
-        "hll_overlap_events",
-        "theta_overlap_orders",
-        "chunk_documents",
-        "bm25_retrieval_documents",
-    }
+    assert seen, "no CORRECTNESS rows found for the pinned rounds"
 
     names = list(entry_mod.queries().keys())
     never = [q for q in names if q not in seen]
-    late = {q for q in never if names.index(q) >= 50}
-    assert late <= deferred, (
-        f"never-driver-checked queries past the 50-entry window "
-        f"(beyond the pinned deferrals {deferred}): {late - deferred}"
+    # Every never-checked query leads the window (r5: exactly the 26
+    # late-r4 deferrals, VERDICT r4 next-round #1).
+    assert never == names[: len(never)], (
+        f"never-driver-checked queries must occupy the leading window "
+        f"slots; got positions "
+        f"{[(q, names.index(q)) for q in never if names.index(q) >= len(never)]}"
     )
-    wasted = {q for q in names[:50] if q in seen}
-    assert wasted <= window_exceptions, (
-        f"window slots spent on already-checked, unchanged queries: "
-        f"{wasted - window_exceptions}"
+    assert len(never) <= 50, (
+        f"{len(never)} never-checked queries exceed the 50-slot window"
     )
-    # deferrals must lead the tail so the r5 window picks them up first
-    late_idx = sorted(names.index(q) for q in late)
-    assert late_idx == list(range(50, 50 + len(late_idx))), (
-        f"deferred never-checked queries do not lead the tail: "
-        f"{[(q, names.index(q)) for q in late]}"
+    # The remaining window slots are the pinned re-verify backfill.
+    backfill = names[len(never):50]
+    assert backfill == REVERIFY_BACKFILL, (
+        f"re-verify window slots drifted from the pinned list: "
+        f"{backfill} != {REVERIFY_BACKFILL}"
     )
