@@ -194,7 +194,10 @@ def kmeans_assign(
 ) -> DataFrame:
     """Adds the nearest-centroid index (and optionally the squared L2
     distance) — one Arrow-batched vectorized pandas UDF against the
-    broadcast (k, d) matrix."""
+    broadcast (k, d) matrix. Rows with a null vector get a null
+    cluster/distance (kmeans_fit and kmeans_quantized_profile filter
+    nulls up front; this keeps the row-preserving assign contract
+    instead of crashing _stack on a null — ADVICE r4)."""
     cents = np.asarray(centroids, dtype=np.float64)
     from pyspark.sql.functions import pandas_udf
 
@@ -202,8 +205,14 @@ def kmeans_assign(
     def assign_udf(vecs: pd.Series) -> pd.DataFrame:
         if vecs.empty:
             return pd.DataFrame({"cluster": [], "d2": []})
-        cl, d2 = _assign(_stack(vecs), cents)
-        return pd.DataFrame({"cluster": cl.astype(np.int32), "d2": d2})
+        out_cl = pd.array([pd.NA] * len(vecs), dtype="Int32")
+        out_d2 = pd.array([pd.NA] * len(vecs), dtype="Float64")
+        ok = vecs.notna().to_numpy()
+        if ok.any():
+            cl, d2 = _assign(_stack(vecs[ok]), cents)
+            out_cl[ok] = cl.astype(np.int32)
+            out_d2[ok] = d2
+        return pd.DataFrame({"cluster": out_cl, "d2": out_d2})
 
     tagged = df.withColumn("__a", assign_udf(F.col(vec_col).cast("array<double>")))
     out = tagged.withColumn(out_col, F.col("__a.cluster"))
@@ -227,7 +236,17 @@ def kmeans_quantized_profile(
     Output (cluster, n_members, cost_q) — cost_q the EXACT int64 sum
     of quantized squared distances, so the whole result is engine-
     portable and DuckDB-mirrorable (the float fit path, kmeans_fit,
-    is differential-tested in pytest instead)."""
+    is differential-tested in pytest instead).
+
+    Exactness bound (ADVICE r4): per-coordinate diffs are squared in
+    int64, so every |quantized coordinate| must stay below 2^31*sqrt(d)
+    ... conservatively we require |q| < 2^30, which keeps diff^2 <= 2^62
+    and a d<=4096-dim row sum inside int64 (2^62 * 4096 overflows —
+    the bound asserted is on the BATCH max so the d*max^2 product is
+    checked too). At the default scale=2^20 that means vector
+    magnitudes up to ~2^10 = 1024.0 are exact; beyond the bound the
+    UDF raises instead of silently wrapping (numpy int64 wraps;
+    DuckDB's BIGINT errors — the oracle and the sketch must agree)."""
     clean = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     cents_f = initial_centroids(clean, vec_col, id_col, k)
     qcents = quantize_matrix(cents_f, scale)
@@ -239,7 +258,21 @@ def kmeans_quantized_profile(
             return pd.DataFrame({"cluster": [], "d2": []})
         q = quantize_matrix(_stack(vecs), scale)
         # exact int64 pairwise squared distances (k and d are small:
-        # the (n, k, d) intermediate is bounded by the Arrow batch)
+        # the (n, k, d) intermediate is bounded by the Arrow batch).
+        # Overflow guard: numpy int64 wraps silently; enforce the
+        # documented magnitude bound so diff^2 sums stay exact.
+        mx = max(
+            int(np.max(np.abs(q), initial=0)),
+            int(np.max(np.abs(qcents), initial=0)),
+        )
+        d_dim = q.shape[1]
+        if mx and d_dim * (2 * mx) ** 2 >= 2**63:
+            raise OverflowError(
+                f"kmeans_quantized_profile: quantized magnitude {mx} at "
+                f"dim {d_dim} can overflow int64 squared-distance sums "
+                f"(need dim*(2*max)^2 < 2^63); lower `scale` (current "
+                f"{scale}) or normalize the vectors"
+            )
         diff = q[:, None, :] - qcents[None, :, :]
         d2 = np.einsum("nkd,nkd->nk", diff, diff)
         cl = np.argmin(d2, axis=1)

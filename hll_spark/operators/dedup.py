@@ -416,6 +416,47 @@ def minhash_index(
     )
 
 
+def validate_minhash_index(
+    index: DataFrame, id_col: str, k: int, bands: int
+) -> None:
+    """Fail at plan build on an index frame that does not match the
+    (k, bands) the caller is hashing the new side with.
+
+    A mismatched index (built with a different k or band count) would
+    otherwise yield silently empty or under-estimated join results —
+    missed duplicates with no error (ADVICE r4, medium). Checks the
+    columns, the element type, and — via ONE head() row — the stored
+    sig/bk lengths against k/bands. ``shingle_n`` has no structural
+    trace in the index and cannot be validated here: store it (and
+    k/bands) alongside the table and treat them as part of its schema.
+    An empty index vacuously passes the length check.
+    """
+    missing = {id_col, "sig", "bk"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"index is missing column(s) {sorted(missing)} — build it "
+            "with minhash_index(corpus, ...)"
+        )
+    if index.schema["sig"].dataType.simpleString() != "array<bigint>":
+        raise ValueError("index.sig must be array<long> (from minhash_index)")
+    head = index.select(
+        F.size("sig").alias("__k"), F.size("bk").alias("__b")
+    ).head()
+    if head is not None:
+        if head["__k"] != k:
+            raise ValueError(
+                f"index sig length {head['__k']} != k={k} — the index "
+                "was built with different minhash parameters; rebuild "
+                "it or pass the k it was built with"
+            )
+        if head["__b"] != bands:
+            raise ValueError(
+                f"index band count {head['__b']} != bands={bands} — "
+                "the index was built with different banding; rebuild "
+                "it or pass the bands it was built with"
+            )
+
+
 def minhash_join_index(
     new: DataFrame,
     index: DataFrame,
@@ -430,17 +471,11 @@ def minhash_join_index(
     :func:`minhash_index`, possibly read back from storage): only the
     ``new`` side is hashed; the index side contributes its stored
     (sig, bk) columns directly. (k, bands, shingle_n) must match the
-    values the index was built with — sig length is checked at plan
-    build, band-key semantics can't be (store them with the table).
+    values the index was built with — sig/bk lengths are checked at
+    plan build (:func:`validate_minhash_index`), shingle_n can't be
+    (store it with the table).
     """
-    missing = {id_col, "sig", "bk"} - set(index.columns)
-    if missing:
-        raise ValueError(
-            f"index is missing column(s) {sorted(missing)} — build it "
-            "with minhash_index(corpus, ...)"
-        )
-    if index.schema["sig"].dataType.simpleString() != "array<bigint>":
-        raise ValueError("index.sig must be array<long> (from minhash_index)")
+    validate_minhash_index(index, id_col, k, bands)
     enr_l = _minhash_enriched(
         new, text_col, id_col, k, bands, shingle_n, slot="minhash_join_l"
     )
@@ -561,12 +596,7 @@ def dedup_increment_index(
             .distinct()
         )
         return new.join(matched, id_col, "left_anti")
-    missing = {id_col, "sig", "bk"} - set(index.columns)
-    if missing:
-        raise ValueError(
-            f"index is missing column(s) {sorted(missing)} — build it "
-            "with minhash_index(corpus, ...)"
-        )
+    validate_minhash_index(index, id_col, k, bands)
     enr_l = _minhash_enriched(
         new, text_col, id_col, k, bands, shingle_n, slot="minhash_join_l"
     )
@@ -966,6 +996,17 @@ def _tuned_hyperplane_params(
     return n_bands, n_planes
 
 
+def _drop_zero_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows whose vector is null or all-zero: cosine is undefined
+    for a zero vector, and Spark's NaN ordering (NaN > any number)
+    would otherwise let ``NaN >= threshold`` pass and emit bogus pairs
+    (ADVICE r4). Null vectors make ``aggregate`` yield null, which the
+    ``> 0`` predicate also rejects. The blocked-GEMM variant applies
+    the same filter so all cosine-pair variants agree by contract."""
+    sq = F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+    return df.where(sq > 0)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -1011,6 +1052,7 @@ def embedding_dup_pairs(
                 "explicitly"
             )
         dim = len(head[0])
+    df = _drop_zero_norm(df, vec_col)
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = df.select(
         F.col(id_col),
@@ -1060,6 +1102,7 @@ def embedding_dup_pairs_allpairs(
 ) -> DataFrame:
     """All-pairs exact variant — O(n^2); small-scale oracle cross-check
     for :func:`embedding_dup_pairs` only, never the at-scale path."""
+    df = _drop_zero_norm(df, vec_col)
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = df.select(
         F.col(id_col),
@@ -1117,6 +1160,8 @@ def embedding_join(
                 "inputs (or null first vector) — pass dim explicitly"
             )
         dim = len(head[0])
+    left = _drop_zero_norm(left, vec_col)
+    right = _drop_zero_norm(right, vec_col)
     bucket_udf = _band_bucket_udf(dim, n_bands, n_planes, seed)
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -1194,6 +1239,7 @@ def embedding_dup_pairs_blocked(
         raise ValueError("n_blocks must be >= 1")
     from pyspark.sql.types import StructField, StructType
 
+    df = _drop_zero_norm(df, vec_col)
     id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [

@@ -53,19 +53,17 @@ def streaming_dedup_increment(
     pair with an idempotent table format (Iceberg/Delta) or dedup on
     ``id_col`` at read time for exactly-once output.
     """
-    from hll_spark.operators.dedup import dedup_increment_index
+    from hll_spark.operators.dedup import (
+        dedup_increment_index,
+        validate_minhash_index,
+    )
 
     # fail at wire-up, not first batch, on a wrong index frame
+    # (columns, sig element type, AND stored sig/bk lengths vs k/bands
+    # — a mismatched index would silently miss duplicates)
     if verify not in ("rep", "all"):
         raise ValueError(f"verify must be 'rep' or 'all', got {verify!r}")
-    missing = {id_col, "sig", "bk"} - set(index.columns)
-    if missing:
-        raise ValueError(
-            f"index is missing column(s) {sorted(missing)} — build it "
-            "with minhash_index(corpus, ...)"
-        )
-    if index.schema["sig"].dataType.simpleString() != "array<bigint>":
-        raise ValueError("index.sig must be array<long> (from minhash_index)")
+    validate_minhash_index(index, id_col, k, bands)
 
     def keep_novel(bdf: DataFrame, batch_id: int) -> None:
         dedup_increment_index(
