@@ -379,6 +379,11 @@ EXTRA_QUERIES_R4B = [
     "dedup_increment_parity",
 ]
 
+# round-5 additions: the end-to-end curation-chain parity query
+EXTRA_QUERIES_R5 = [
+    "curate_corpus_parity",
+]
+
 
 # the original 16-query suite whose total is the headline "value";
 # kept fixed so the number stays comparable across rounds
@@ -414,6 +419,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         + EXTRA_QUERIES_R3
         + EXTRA_QUERIES_R4
         + EXTRA_QUERIES_R4B
+        + EXTRA_QUERIES_R5
     ):
         qs[name](spark, sf_dir).collect()  # warm: parquet footers, JIT, plan
         # best of 3 warm runs: robust to background-load spikes on this
@@ -850,6 +856,7 @@ def main() -> None:
         | set(EXTRA_QUERIES_R3)
         | set(EXTRA_QUERIES_R4)
         | set(EXTRA_QUERIES_R4B)
+        | set(EXTRA_QUERIES_R5)
     )
     timings = {k: v for k, v in all_timings.items() if k not in later}
     extra = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES}
@@ -857,6 +864,9 @@ def main() -> None:
     extra_r4 = {k: v for k, v in all_timings.items() if k in EXTRA_QUERIES_R4}
     extra_r4b = {
         k: v for k, v in all_timings.items() if k in EXTRA_QUERIES_R4B
+    }
+    extra_r5 = {
+        k: v for k, v in all_timings.items() if k in EXTRA_QUERIES_R5
     }
     total = round(sum(timings.values()), 3)
     # The suite record MUST be the last stdout line and stay compact
@@ -872,6 +882,7 @@ def main() -> None:
         "queries_extra_r3": extra_r3,
         "queries_extra_r4": extra_r4,
         "queries_extra_r4b": extra_r4b,
+        "queries_extra_r5": extra_r5,
         "sf": SF_DIR,
         "docs_per_sec": round(docs_per_sec),
         "flagship_rows": n_rows,

@@ -127,7 +127,6 @@ REVERIFY_BACKFILL = [
     "hll_users_by_event_type",
     "cms_event_type_counts",
     "bloom_fk_prefilter",
-    "embedding_dup_pairs_tight",
 ]
 
 

@@ -62,6 +62,7 @@ def test_bench_times_every_registered_query():
         + bench.EXTRA_QUERIES_R3
         + bench.EXTRA_QUERIES_R4
         + bench.EXTRA_QUERIES_R4B
+        + bench.EXTRA_QUERIES_R5
     )
     assert len(timed) == len(set(timed)), "duplicate bench query names"
     qs = set(entry_mod.queries())
