@@ -2888,12 +2888,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 window (VERDICT r4 "Next round" #1): positions 1-26 are the
     # 26 late-r4 queries that have NO driver CORRECTNESS row in any of
     # rounds 1-4 (they led the rotation tail last round, test-pinned).
-    # Positions 27-50 backfill with deliberate RE-verification slots:
-    # the two no-oracle rows upgraded this round (curate_corpus_docs
-    # now composes its stages' DuckDB mirrors end-to-end;
-    # semdedup_keep_embeddings — see its docstring), then the r2-era
-    # ORACLE queries (oldest driver evidence in the repo, last row two
-    # rounds ago), then the highest-traffic r3-green operators
+    # The remaining window slots backfill with deliberate
+    # RE-verification rows: the two no-oracle chain queries whose
+    # semantics gained an end-to-end oracle this round via
+    # curate_corpus_parity (curate_corpus_docs is the same chain on
+    # the at-scale MinHash path; semdedup_keep_embeddings keeps its
+    # ORACLE sibling semdedup_parity), then the r2-era ORACLE queries
+    # (oldest driver evidence in the repo, last row two rounds ago),
+    # then the highest-traffic r3-green operators
     # (extraction, streaming, checkpoint resume, salted HLL, core
     # sketch estimators). After this round every registered query has
     # at least one driver row — the rotation has fully converged
