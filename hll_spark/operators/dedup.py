@@ -236,8 +236,13 @@ def minhash_lsh_pairs(
     work and output stay O(n) regardless of cluster sizes.
     """
     # bucket join ships only (band_id, key, id) — signatures rejoin on
-    # the candidate pairs, never through the explode
-    enriched = _minhash_enriched(df, text_col, id_col, k, bands, shingle_n)
+    # the candidate pairs, never through the explode. Keyed by id up
+    # front: duplicate input rows would otherwise multiply candidate
+    # and verify rows and emit duplicate pairs (see minhash_index).
+    enriched = _minhash_enriched(
+        _one_row_per_id(df, text_col, id_col), text_col, id_col,
+        k, bands, shingle_n,
+    )
     banded = enriched.select(
         F.col(id_col),
         F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
@@ -307,7 +312,13 @@ def minhash_dedup_keep(
     pipelines run; full transitive closure needs iterative
     min-propagation, deliberately out of scope.
     """
-    enriched = _minhash_enriched(df, text_col, id_col, k, bands, shingle_n)
+    # keyed by id (duplicate rows collapse deterministically before
+    # hashing; the final anti-join on the original frame preserves
+    # every surviving input row — see minhash_index)
+    enriched = _minhash_enriched(
+        _one_row_per_id(df, text_col, id_col), text_col, id_col,
+        k, bands, shingle_n,
+    )
     banded = enriched.select(
         F.col(id_col),
         F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
@@ -395,8 +406,21 @@ def minhash_index(
     shingle_n: int = 3,
     _slot: str = "minhash_index",
 ) -> DataFrame:
-    """Materializable near-dup index of a corpus: one row per doc,
-    (id, sig array<long>, bk array<long>).
+    """Materializable near-dup index of a corpus: EXACTLY one row per
+    id, (id, sig array<long>, bk array<long>).
+
+    The index is KEYED BY ``id_col``: duplicate input rows (the normal
+    crawl case — the same url fetched repeatedly) collapse to one
+    deterministic representative (the min-text-hash row) BEFORE
+    hashing. This is load-bearing at scale, not hygiene: every
+    verify/join downstream joins signatures by id, and duplicate ids
+    on both join sides multiply — a rep with c copies in the index
+    crossed with its candidate rows costs c× the verify work and emits
+    duplicate join pairs. Measured on the duplicate-dense rehearsal
+    fixture (~4 copies/url): the un-keyed index made the increment
+    verify join explode 380 k → 67.8 M rows (~130 s of pure join
+    blow-up at 63 k new docs); keyed, the join is 1:1. Collapsing also
+    skips hashing the duplicate texts entirely.
 
     The index is a pure function of (text, k, bands, shingle_n) —
     write it to parquet/Iceberg ONCE and every later increment joins
@@ -407,12 +431,36 @@ def minhash_index(
     re-shuffles only the exploded (band_id, band_hash, id) triples.
     """
     enr = _minhash_enriched(
-        corpus, text_col, id_col, k, bands, shingle_n, slot=_slot
+        _one_row_per_id(corpus, text_col, id_col),
+        text_col, id_col, k, bands, shingle_n, slot=_slot,
     )
     return enr.select(
         F.col(id_col),
         F.col("__s.sig").alias("sig"),
         F.col("__s.bk").alias("bk"),
+    )
+
+
+def _one_row_per_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, text) with exactly one row per id: duplicate ids collapse
+    to the min-text-hash row — deterministic at any parallelism (ties
+    only between identical texts). One map-side-combined aggregate;
+    identical texts (the overwhelmingly common duplicate-id case)
+    partially collapse before the shuffle."""
+    return df.groupBy(id_col).agg(
+        F.min_by(text_col, F.xxhash64(text_col)).alias(text_col)
+    )
+
+
+def _unique_sigs(index: DataFrame, key: str, out_id: str, out_sig: str) -> DataFrame:
+    """(out_id, out_sig) with one row per id from a possibly
+    duplicate-id (legacy / externally built) index frame — min-sig-hash
+    representative, deterministic. Indexes built by
+    :func:`minhash_index` are already unique; the aggregate then
+    reduces to a rename-cost pass and keeps the join-explosion guard
+    for stored tables that predate the keyed contract."""
+    return index.groupBy(F.col(key).alias(out_id)).agg(
+        F.min_by("sig", F.xxhash64("sig")).alias(out_sig)
     )
 
 
@@ -474,10 +522,17 @@ def minhash_join_index(
     values the index was built with — sig/bk lengths are checked at
     plan build (:func:`validate_minhash_index`), shingle_n can't be
     (store it with the table).
+
+    Both sides are keyed by id for the join (duplicate ids collapse to
+    the deterministic representative — see :func:`minhash_index`), so
+    the output enumerates distinct (left_id, right_id) PAIRS exactly
+    once each; duplicate input rows neither multiply the verify work
+    nor duplicate output pairs.
     """
     validate_minhash_index(index, id_col, k, bands)
     enr_l = _minhash_enriched(
-        new, text_col, id_col, k, bands, shingle_n, slot="minhash_join_l"
+        _one_row_per_id(new, text_col, id_col),
+        text_col, id_col, k, bands, shingle_n, slot="minhash_join_l",
     )
     idx_l = enr_l.select(
         F.col(id_col),
@@ -508,12 +563,12 @@ def _banded_index_join(
         .select("left_id", "right_id")
         .distinct()
     )
-    sig_l = idx_l.select(
-        F.col(id_col).alias("left_id"), F.col("sig").alias("__sig_l")
-    )
-    sig_r = idx_r.select(
-        F.col(id_col).alias("right_id"), F.col("sig").alias("__sig_r")
-    )
+    # one signature row per id: a duplicate-id index frame would
+    # multiply every candidate row it joins (c copies -> c x the
+    # verify work AND duplicate output pairs) — the measured 380 k ->
+    # 67.8 M join explosion on the duplicate-dense rehearsal fixture
+    sig_l = _unique_sigs(idx_l, id_col, "left_id", "__sig_l")
+    sig_r = _unique_sigs(idx_r, id_col, "right_id", "__sig_r")
     n_match = F.size(
         F.filter(
             F.zip_with("__sig_l", "__sig_r", lambda x, y: x == y), lambda v: v
@@ -597,8 +652,14 @@ def dedup_increment_index(
         )
         return new.join(matched, id_col, "left_anti")
     validate_minhash_index(index, id_col, k, bands)
+    # the keep-set is decided per id, so the new side is keyed by id
+    # up front: duplicate new rows (same url crawled twice in one
+    # increment) are hashed once and verified once — the final
+    # anti-join on the ORIGINAL frame still returns every surviving
+    # input row
     enr_l = _minhash_enriched(
-        new, text_col, id_col, k, bands, shingle_n, slot="minhash_join_l"
+        _one_row_per_id(new, text_col, id_col),
+        text_col, id_col, k, bands, shingle_n, slot="minhash_join_l",
     )
     banded_l = enr_l.select(
         F.col(id_col),
@@ -619,9 +680,10 @@ def dedup_increment_index(
         .distinct()
     )
     sig_n = enr_l.select(F.col(id_col), F.col("__s.sig").alias("__sig_l"))
-    sig_r = index.select(
-        F.col(id_col).alias("__rep"), F.col("sig").alias("__sig_r")
-    )
+    # one signature row per rep id (duplicate-id guard; see
+    # _banded_index_join) — hot reps are hot precisely because their
+    # duplicates are, so this is where the explosion concentrated
+    sig_r = _unique_sigs(index, id_col, "__rep", "__sig_r")
     n_match = F.size(
         F.filter(
             F.zip_with("__sig_l", "__sig_r", lambda x, y: x == y), lambda v: v

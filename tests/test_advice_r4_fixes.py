@@ -187,3 +187,71 @@ def test_sliding_oracle_anchors_match_on_null_bearing_events():
     # pre-fix anchor (2024-03-01, from the null-user row) every window
     # missed u2 and the 1d/7d windows were empty.
     assert got == {"w1_1d": 1, "w2_7d": 2, "w3_30d": 2}
+
+
+class TestDuplicateIdJoinExplosion:
+    """r5 finding (profiled on the rehearsal fixture): duplicate ids
+    in a corpus/index multiplied the signature joins on BOTH sides —
+    380k candidate rows exploded to 67.8M joined rows (~130s of pure
+    join blow-up) and minhash_join emitted duplicate pairs. The index
+    is now KEYED by id (min-text-hash representative) and the verify
+    paths dedupe signature frames defensively."""
+
+    def _dup_corpus(self, spark, copies=4):
+        # 6 distinct docs, each id repeated `copies` times
+        rows = []
+        for i in range(6):
+            text = " ".join(f"tok{i}_{j}" for j in range(30))
+            for _ in range(copies):
+                rows.append((i, text))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_index_is_keyed_by_id(self, spark):
+        from hll_spark.operators.dedup import minhash_index
+
+        idx = minhash_index(self._dup_corpus(spark), "text", "doc_id")
+        assert idx.count() == 6
+        assert idx.select("doc_id").distinct().count() == 6
+
+    def test_index_rep_is_deterministic_for_conflicting_texts(self, spark):
+        from hll_spark.operators.dedup import minhash_index
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (1, "wholly different words"),
+             (2, "another doc entirely here")],
+            "doc_id long, text string",
+        )
+        a = minhash_index(df, "text", "doc_id").orderBy("doc_id").collect()
+        b = minhash_index(
+            df.repartition(7), "text", "doc_id"
+        ).orderBy("doc_id").collect()
+        assert [r.sig for r in a] == [r.sig for r in b]
+
+    def test_join_emits_each_pair_once_despite_duplicates(self, spark):
+        from hll_spark.operators.dedup import minhash_index, minhash_join_index
+
+        corpus = self._dup_corpus(spark, copies=5)
+        new = corpus  # same ids/texts: every doc matches itself
+        idx = minhash_index(corpus, "text", "doc_id")
+        out = minhash_join_index(new, idx, "text", "doc_id").collect()
+        pairs = [(r.left_id, r.right_id) for r in out]
+        assert sorted(pairs) == sorted(set(pairs)), "duplicate pairs emitted"
+        assert set(pairs) == {(i, i) for i in range(6)}
+
+    def test_increment_keepset_unchanged_by_duplication(self, spark):
+        from hll_spark.operators.dedup import (
+            dedup_increment_index, minhash_index,
+        )
+
+        corpus = self._dup_corpus(spark, copies=3)
+        novel = spark.createDataFrame(
+            [(100, " ".join(f"new{j} fresh{j}" for j in range(20)))] * 4
+            + [(0, " ".join(f"tok0_{j}" for j in range(30)))],
+            "doc_id long, text string",
+        )
+        idx = minhash_index(corpus, "text", "doc_id")
+        kept = dedup_increment_index(novel, idx, "text", "doc_id")
+        rows = kept.collect()
+        # id 0 duplicates the corpus -> dropped; all 4 copies of the
+        # novel id 100 survive (anti-join preserves input multiplicity)
+        assert sorted(r.doc_id for r in rows) == [100] * 4
