@@ -220,6 +220,7 @@ def minhash_lsh_pairs(
     k: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs with estimated Jaccard >= threshold.
 
@@ -240,7 +241,7 @@ def minhash_lsh_pairs(
     # front: duplicate input rows would otherwise multiply candidate
     # and verify rows and emit duplicate pairs (see minhash_index).
     enriched = _minhash_enriched(
-        _one_row_per_id(df, text_col, id_col), text_col, id_col,
+        _one_row_per_id(df, text_col, id_col, unique_ids), text_col, id_col,
         k, bands, shingle_n,
     )
     banded = enriched.select(
@@ -293,6 +294,7 @@ def minhash_dedup_keep(
     k: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Near-dup DEDUP that survives boilerplate-heavy corpora: returns
     the rows of ``df`` to KEEP.
@@ -316,7 +318,7 @@ def minhash_dedup_keep(
     # hashing; the final anti-join on the original frame preserves
     # every surviving input row — see minhash_index)
     enriched = _minhash_enriched(
-        _one_row_per_id(df, text_col, id_col), text_col, id_col,
+        _one_row_per_id(df, text_col, id_col, unique_ids), text_col, id_col,
         k, bands, shingle_n,
     )
     banded = enriched.select(
@@ -360,6 +362,7 @@ def minhash_join(
     k: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Cross-corpus near-duplicate JOIN: (left_id, right_id,
     jaccard_est) for every pair with one side from each input and
@@ -390,10 +393,12 @@ def minhash_join(
     output keeps them in separate columns.
     """
     idx_r = minhash_index(
-        right, text_col, id_col, k, bands, shingle_n, _slot="minhash_join_r"
+        right, text_col, id_col, k, bands, shingle_n,
+        unique_ids=unique_ids, _slot="minhash_join_r",
     )
     return minhash_join_index(
-        left, idx_r, text_col, id_col, threshold, k, bands, shingle_n
+        left, idx_r, text_col, id_col, threshold, k, bands, shingle_n,
+        unique_ids=unique_ids,
     )
 
 
@@ -404,6 +409,7 @@ def minhash_index(
     k: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    unique_ids: bool = False,
     _slot: str = "minhash_index",
 ) -> DataFrame:
     """Materializable near-dup index of a corpus: EXACTLY one row per
@@ -431,7 +437,7 @@ def minhash_index(
     re-shuffles only the exploded (band_id, band_hash, id) triples.
     """
     enr = _minhash_enriched(
-        _one_row_per_id(corpus, text_col, id_col),
+        _one_row_per_id(corpus, text_col, id_col, unique_ids),
         text_col, id_col, k, bands, shingle_n, slot=_slot,
     )
     return enr.select(
@@ -441,24 +447,44 @@ def minhash_index(
     )
 
 
-def _one_row_per_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _one_row_per_id(
+    df: DataFrame, text_col: str, id_col: str, unique_ids: bool = False
+) -> DataFrame:
     """(id, text) with exactly one row per id: duplicate ids collapse
     to the min-text-hash row — deterministic at any parallelism (ties
     only between identical texts). One map-side-combined aggregate;
     identical texts (the overwhelmingly common duplicate-id case)
-    partially collapse before the shuffle."""
+    partially collapse before the shuffle.
+
+    ``unique_ids=True`` skips the aggregate (projecting the two
+    columns only): the keying shuffle is pure overhead when the caller
+    guarantees ids are already unique (e.g. a corpus that has been
+    through exact_dedup, or synthetic ids). Passing True over a
+    duplicate-id input silently reintroduces the join-explosion the
+    keying exists to prevent — the flag is a contract, not a hint."""
+    if unique_ids:
+        return df.select(id_col, text_col)
     return df.groupBy(id_col).agg(
         F.min_by(text_col, F.xxhash64(text_col)).alias(text_col)
     )
 
 
-def _unique_sigs(index: DataFrame, key: str, out_id: str, out_sig: str) -> DataFrame:
+def _unique_sigs(
+    index: DataFrame, key: str, out_id: str, out_sig: str,
+    unique_ids: bool = False,
+) -> DataFrame:
     """(out_id, out_sig) with one row per id from a possibly
     duplicate-id (legacy / externally built) index frame — min-sig-hash
     representative, deterministic. Indexes built by
     :func:`minhash_index` are already unique; the aggregate then
     reduces to a rename-cost pass and keeps the join-explosion guard
-    for stored tables that predate the keyed contract."""
+    for stored tables that predate the keyed contract.
+    ``unique_ids=True`` (the caller vouches for the index) skips the
+    aggregate — one less shuffle of the stored index per increment."""
+    if unique_ids:
+        return index.select(
+            F.col(key).alias(out_id), F.col("sig").alias(out_sig)
+        )
     return index.groupBy(F.col(key).alias(out_id)).agg(
         F.min_by("sig", F.xxhash64("sig")).alias(out_sig)
     )
@@ -514,6 +540,7 @@ def minhash_join_index(
     k: int = 128,
     bands: int = 32,
     shingle_n: int = 3,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """:func:`minhash_join` against a PRECOMPUTED corpus index (from
     :func:`minhash_index`, possibly read back from storage): only the
@@ -531,7 +558,7 @@ def minhash_join_index(
     """
     validate_minhash_index(index, id_col, k, bands)
     enr_l = _minhash_enriched(
-        _one_row_per_id(new, text_col, id_col),
+        _one_row_per_id(new, text_col, id_col, unique_ids),
         text_col, id_col, k, bands, shingle_n, slot="minhash_join_l",
     )
     idx_l = enr_l.select(
@@ -539,7 +566,9 @@ def minhash_join_index(
         F.col("__s.sig").alias("sig"),
         F.col("__s.bk").alias("bk"),
     )
-    return _banded_index_join(idx_l, index, id_col, threshold, k)
+    return _banded_index_join(
+        idx_l, index, id_col, threshold, k, unique_ids=unique_ids
+    )
 
 
 def _banded_index_join(
@@ -548,6 +577,7 @@ def _banded_index_join(
     id_col: str,
     threshold: float,
     k: int,
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Candidate generation + verify over two (id, sig, bk) frames."""
     banded_l = idx_l.select(
@@ -567,8 +597,8 @@ def _banded_index_join(
     # multiply every candidate row it joins (c copies -> c x the
     # verify work AND duplicate output pairs) — the measured 380 k ->
     # 67.8 M join explosion on the duplicate-dense rehearsal fixture
-    sig_l = _unique_sigs(idx_l, id_col, "left_id", "__sig_l")
-    sig_r = _unique_sigs(idx_r, id_col, "right_id", "__sig_r")
+    sig_l = _unique_sigs(idx_l, id_col, "left_id", "__sig_l", unique_ids)
+    sig_r = _unique_sigs(idx_r, id_col, "right_id", "__sig_r", unique_ids)
     n_match = F.size(
         F.filter(
             F.zip_with("__sig_l", "__sig_r", lambda x, y: x == y), lambda v: v
@@ -593,6 +623,7 @@ def dedup_increment(
     bands: int = 32,
     shingle_n: int = 3,
     verify: str = "rep",
+    unique_ids: bool = False,
 ) -> DataFrame:
     """Rows of ``new`` that do NOT near-duplicate anything in
     ``corpus`` — the keep-set of an incremental crawl ingest.
@@ -619,10 +650,12 @@ def dedup_increment(
     (:func:`minhash_index`) — use :func:`dedup_increment_index`.
     """
     idx = minhash_index(
-        corpus, text_col, id_col, k, bands, shingle_n, _slot="minhash_join_r"
+        corpus, text_col, id_col, k, bands, shingle_n,
+        unique_ids=unique_ids, _slot="minhash_join_r",
     )
     return dedup_increment_index(
-        new, idx, text_col, id_col, threshold, k, bands, shingle_n, verify
+        new, idx, text_col, id_col, threshold, k, bands, shingle_n, verify,
+        unique_ids=unique_ids,
     )
 
 
@@ -636,6 +669,7 @@ def dedup_increment_index(
     bands: int = 32,
     shingle_n: int = 3,
     verify: str = "rep",
+    unique_ids: bool = False,
 ) -> DataFrame:
     """:func:`dedup_increment` against a PRECOMPUTED corpus index
     (from :func:`minhash_index`, typically read back from storage).
@@ -645,7 +679,8 @@ def dedup_increment_index(
     if verify == "all":
         matched = (
             minhash_join_index(
-                new, index, text_col, id_col, threshold, k, bands, shingle_n
+                new, index, text_col, id_col, threshold, k, bands, shingle_n,
+                unique_ids=unique_ids,
             )
             .select(F.col("left_id").alias(id_col))
             .distinct()
@@ -658,7 +693,7 @@ def dedup_increment_index(
     # anti-join on the ORIGINAL frame still returns every surviving
     # input row
     enr_l = _minhash_enriched(
-        _one_row_per_id(new, text_col, id_col),
+        _one_row_per_id(new, text_col, id_col, unique_ids),
         text_col, id_col, k, bands, shingle_n, slot="minhash_join_l",
     )
     banded_l = enr_l.select(
@@ -683,7 +718,7 @@ def dedup_increment_index(
     # one signature row per rep id (duplicate-id guard; see
     # _banded_index_join) — hot reps are hot precisely because their
     # duplicates are, so this is where the explosion concentrated
-    sig_r = _unique_sigs(index, id_col, "__rep", "__sig_r")
+    sig_r = _unique_sigs(index, id_col, "__rep", "__sig_r", unique_ids)
     n_match = F.size(
         F.filter(
             F.zip_with("__sig_l", "__sig_r", lambda x, y: x == y), lambda v: v

@@ -29,6 +29,7 @@ def streaming_dedup_increment(
     bands: int = 32,
     shingle_n: int = 3,
     verify: str = "rep",
+    unique_ids: bool = False,
 ):
     """Continuously append to ``out_path`` the streamed docs that do
     NOT near-duplicate anything in the static ``index``
@@ -67,7 +68,8 @@ def streaming_dedup_increment(
 
     def keep_novel(bdf: DataFrame, batch_id: int) -> None:
         dedup_increment_index(
-            bdf, index, text_col, id_col, threshold, k, bands, shingle_n, verify
+            bdf, index, text_col, id_col, threshold, k, bands, shingle_n,
+            verify, unique_ids=unique_ids,
         ).write.mode("append").parquet(out_path)
 
     return stream_df.writeStream.foreachBatch(keep_novel).outputMode("append")

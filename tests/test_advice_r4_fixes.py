@@ -255,3 +255,30 @@ class TestDuplicateIdJoinExplosion:
         # id 0 duplicates the corpus -> dropped; all 4 copies of the
         # novel id 100 survive (anti-join preserves input multiplicity)
         assert sorted(r.doc_id for r in rows) == [100] * 4
+
+    def test_unique_ids_flag_same_result_on_unique_corpus(self, spark):
+        from hll_spark.operators.dedup import (
+            dedup_increment_index, minhash_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i, " ".join(f"c{i}_{j}" for j in range(25))) for i in range(8)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100, " ".join(f"c3_{j}" for j in range(25))),
+             (101, "totally novel content words here")],
+            "doc_id long, text string",
+        )
+        idx_checked = minhash_index(corpus, "text", "doc_id")
+        idx_fast = minhash_index(corpus, "text", "doc_id", unique_ids=True)
+        assert sorted(r.sig for r in idx_checked.collect()) == sorted(
+            r.sig for r in idx_fast.collect()
+        )
+        a = dedup_increment_index(new, idx_fast, "text", "doc_id")
+        b = dedup_increment_index(
+            new, idx_fast, "text", "doc_id", unique_ids=True
+        )
+        assert sorted(r.doc_id for r in a.collect()) == sorted(
+            r.doc_id for r in b.collect()
+        ) == [101]
