@@ -2474,13 +2474,25 @@ def q_join_mktsegment_orders(spark, sf):
 
 
 def q_window_top_order_per_cust(spark, sf):
+    # ROW_NUMBER()=1 per key with (price DESC, orderkey ASC) ordering is
+    # exactly an argmax: max_by over the struct (o_totalprice,
+    # -o_orderkey) picks the same single row per customer (orderkeys are
+    # unique, so the struct order is total). Unlike the window form this
+    # aggregates map-side — one struct per (custkey, partition) crosses
+    # the shuffle instead of every order row, and no per-partition sort
+    # (guide §2.3 "aggregate before you shuffle").
     orders = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .where("rn = 1")
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max_by(
+                "o_orderkey",
+                F.struct(
+                    F.col("o_totalprice"),
+                    (-F.col("o_orderkey")).alias("__nk"),
+                ),
+            ).alias("o_orderkey")
+        )
         .select("o_custkey", "o_orderkey")
     )
 

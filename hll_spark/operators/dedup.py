@@ -70,13 +70,22 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     partial/final hash aggregate (map-side combine) on the digest.
     """
     digest = _row_digest(cols)
-    keep = (
-        df.withColumn("__d", digest)
-        .groupBy("__d")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    return df.join(keep, id_col, "left_semi")
+    with_d = df.withColumn("__d", digest)
+    keep = with_d.groupBy("__d").agg(F.min(id_col).alias("__keep_id"))
+    # Semi-join back on the DIGEST (plus the id equality) rather than on
+    # the id alone: the keep frame is already hash-partitioned by __d
+    # from its aggregation, so the join reuses that exchange and only
+    # the probe side shuffles — two exchanges total instead of four
+    # (guide §2.4 "share one exchange"). Same keep-set: ids are unique,
+    # so (digest, min-id-of-that-digest) selects exactly the row the
+    # id-only semi-join kept; the digest is never null (sha2 of a JSON
+    # struct), so plain equality is safe.
+    return with_d.join(
+        keep.select(F.col("__d").alias("__kd"), "__keep_id"),
+        (F.col("__d") == F.col("__kd"))
+        & (F.col(id_col) == F.col("__keep_id")),
+        "left_semi",
+    ).drop("__d")
 
 
 def duplicate_groups(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
