@@ -327,6 +327,35 @@ def sketch_partials(
 # levels 1+2: tree merge of serialized partials
 
 
+def _estimate_partials_partitions(partials: DataFrame) -> int:
+    """Estimated partition count of the level-0 partials frame, for the
+    single-vs-two-level merge topology choice.
+
+    Uses the logical plan's size statistics (catalog/file-index bytes)
+    divided by ``files.maxPartitionBytes`` instead of forcing physical
+    RDD materialization: ``.rdd.getNumPartitions()`` costs ~45 ms of
+    eager planning + RDD wrapper per query construction (measured r6),
+    while the stats walk is ~free and the 4096-partition threshold only
+    picks a merge topology — both topologies are value-identical, so an
+    estimate is sufficient. Falls back to the exact probe when stats
+    are unavailable (non-classic backends)."""
+    try:
+        size = int(
+            partials._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_pb = int(
+            partials.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .filesMaxPartitionBytes()
+        )
+        return max(1, -(-size // max(max_pb, 1)))
+    except Exception:
+        try:
+            return partials.rdd.getNumPartitions()
+        except Exception:
+            return 1 << 20  # unknown: choose the scale-safe topology
+
+
 def _merge_blobs(spec: SketchSpec, blobs: pd.Series) -> bytes:
     acc = None
     for blob in blobs:
@@ -356,10 +385,7 @@ def merge_sketch_partials(
     """
     by = list(by or [])
     if two_level is None and not by:
-        try:
-            two_level = partials.rdd.getNumPartitions() > 4096
-        except Exception:
-            two_level = True
+        two_level = _estimate_partials_partitions(partials) > 4096
     out_schema = StructType(
         ([partials.schema[k] for k in by] if by else [])
         + [StructField("sketch", BinaryType()), StructField("rows_seen", LongType())]
@@ -373,7 +399,40 @@ def merge_sketch_partials(
         return pd.DataFrame(row)
 
     if by:
-        return partials.groupBy(*by).applyInPandas(merge_group, out_schema)
+        # hash-repartition on the group keys + ONE mapInPandas call per
+        # partition, instead of groupBy().applyInPandas: the latter
+        # ships each group as its own Arrow batch and invokes the UDF
+        # per group, whose per-call overhead dominates when groups are
+        # small (r6: 0.68s -> 0.54s on the 80-group month query). Same
+        # shuffle (AQE still coalesces the keyless-size repartition),
+        # same result: every group's blobs co-locate, and the in-task
+        # pandas groupby merges them with identical semantics
+        # (dropna=False keeps null group keys, like applyInPandas).
+        def merge_partition(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            frames = [pdf for pdf in batches if len(pdf)]
+            if not frames:
+                return
+            pdf = (
+                pd.concat(frames, ignore_index=True)
+                if len(frames) > 1
+                else frames[0]
+            )
+            rows: dict[str, list] = {k: [] for k in by}
+            rows["sketch"] = []
+            rows["rows_seen"] = []
+            for key, idx in pdf.groupby(by, sort=False, dropna=False).indices.items():
+                key = key if isinstance(key, tuple) else (key,)
+                for i, k in enumerate(by):
+                    rows[k].append(key[i])
+                rows["sketch"].append(_merge_blobs(spec, pdf["sketch"].iloc[idx]))
+                rows["rows_seen"].append(int(pdf["rows_seen"].iloc[idx].sum()))
+            yield pd.DataFrame(rows)
+
+        return partials.repartition(*[F.col(k) for k in by]).mapInPandas(
+            merge_partition, out_schema
+        )
 
     stage = partials
     if two_level:
