@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hll_spark.session import apply_malloc_tunables  # noqa: E402
+from hll_spark.localdf import fast_local_df  # noqa: E402
 
 # env route for the case where this import precedes JVM launch; when
 # the harness created the session first, the worker-side kernels apply
@@ -1649,7 +1650,7 @@ def q_image_dup_pairs(spark, sf):
         s = i % 20
         img = ((k * k * ((s % 11) + 3) + s * 31) % 256).astype(np.uint8)
         rows.append((i, bytearray(encode_png(img))))
-    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = fast_local_df(spark, rows, "media_id bigint, payload binary")
     return image_dup_pairs(
         media, "payload", "media_id", max_hamming=6
     ).orderBy("id_a", "id_b")
@@ -1706,7 +1707,7 @@ def q_anchor_texts(spark, sf):
         rows.append(
             (f"https://h{i % 6}.example.com/p/{i}", "".join(parts))
         )
-    docs = spark.createDataFrame(rows, "url string, html string")
+    docs = fast_local_df(spark, rows, "url string, html string")
     return anchor_texts(docs, "html", "url").orderBy("dst_host", "anchor")
 
 
@@ -1733,7 +1734,7 @@ def q_fix_mojibake(spark, sf):
     for i, t in enumerate(texts):
         rows.append((2 * i, t.encode("utf-8").decode("cp1252")))
         rows.append((2 * i + 1, t))  # clean sibling: fixed point
-    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs = fast_local_df(spark, rows, "doc_id bigint, text string")
     return fix_mojibake(docs, "text").orderBy("doc_id")
 
 
@@ -1784,7 +1785,7 @@ def q_warc_corpus(spark, sf):
             }
         )
     blob = encode_warc(recs, gzip_members=True)
-    files = spark.createDataFrame(
+    files = fast_local_df(spark, 
         [(0, bytearray(blob))], "file_id bigint, payload binary"
     )
     pages = parse_warc_records(files)
@@ -1847,7 +1848,7 @@ def q_page_meta(spark, sf):
             f"</head><body>body {i}</body></html>"
         )
         rows.append((i, html))
-    pages = spark.createDataFrame(rows, "page_id bigint, html string")
+    pages = fast_local_df(spark, rows, "page_id bigint, html string")
     return (
         extract_page_meta(pages, "html")
         .select(
@@ -1919,7 +1920,7 @@ def q_robots_filter(spark, sf):
             "User-agent: x\nUser-agent: *\nDisallow: /p3\nDisallow: /p4\n",
         ),
     ]
-    robots = spark.createDataFrame(bodies, "host string, body string")
+    robots = fast_local_df(spark, bodies, "host string, body string")
     rules = parse_robots(robots, "host", "body")
     urls = spark.range(60).select(
         F.concat(
@@ -1960,7 +1961,7 @@ def q_host_pagerank(spark, sf):
         rows.append(
             (f"https://h{i % 9}.example.com/p/{i}", f"<html>{hrefs}</html>")
         )
-    docs = spark.createDataFrame(rows, "url string, html string")
+    docs = fast_local_df(spark, rows, "url string, html string")
     g = host_link_graph(extract_links(docs, "html", "url"))
     return pagerank_hosts(g, iterations=3).orderBy("host")
 
@@ -2004,7 +2005,7 @@ def q_warc_ingest(spark, sf):
         blobs.append(
             (b, bytearray(encode_warc(recs, gzip_members=(b == 1))))
         )
-    files = spark.createDataFrame(blobs, "file_id bigint, payload binary")
+    files = fast_local_df(spark, blobs, "file_id bigint, payload binary")
     pages = parse_warc_records(files)
     return (
         pages.where(F.col("record_type") == "response")
@@ -2042,7 +2043,7 @@ def q_audio_dup_pairs(spark, sf):
         p = i % 20
         s = (((p * 13 + t * t * ((p % 5) + 2)) % 211) - 100).astype(np.int16)
         rows.append((i, bytearray(encode_wav(s))))
-    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    media = fast_local_df(spark, rows, "media_id bigint, payload binary")
     return audio_dup_pairs(
         media, "payload", "media_id", max_hamming=6
     ).orderBy("id_a", "id_b")
@@ -2197,7 +2198,7 @@ def q_bm25_retrieval_documents(spark, sf):
     # join against the query vocabulary BEFORE the tf shuffle.
     from hll_spark.operators.vocab import bm25_retrieve
 
-    queries = spark.createDataFrame(
+    queries = fast_local_df(spark, 
         [(0, "hash join"), (1, "window agg stream"),
          (2, "vector column scan")],
         "query_id long, qtext string",
@@ -2419,7 +2420,7 @@ def q_decoded_media_stats(spark, sf):
         rows.append(
             (400 + v, "video", bytearray(encode_avi_mjpeg(vid, fps=5)))
         )
-    media = spark.createDataFrame(
+    media = fast_local_df(spark, 
         rows, "media_id long, kind string, payload binary"
     ).repartition(4)
     return media_sample_stats(media)

@@ -1525,6 +1525,8 @@ def decontaminate_contains(
     broadcast); corpus-scale contamination sets belong in
     :func:`decontaminate_ngrams`' join instead.
     """
+    from .scanutil import fan_out_scan
+
     snips = snippets.select(
         F.array_sort(F.collect_list(snippet_col)).alias("__snips")
     )
@@ -1533,8 +1535,11 @@ def decontaminate_contains(
             F.col("__snips"), lambda s: F.col(text_col).contains(s)
         )
     )
+    # the contains-scan is the CPU stage; repair starved scan
+    # parallelism before it (guide §2.5 — no-op at natural split counts)
     return (
-        df.crossJoin(F.broadcast(snips))
+        fan_out_scan(df.select(id_col, text_col))
+        .crossJoin(F.broadcast(snips))
         .withColumn("n_hits", hits.cast("long"))
         .select(
             id_col,
@@ -1575,7 +1580,11 @@ def decontaminate_ngrams(
         benchmark.select(F.explode(grams(bench_text_col)).alias("gram"))
         .distinct()
     )
-    doc_grams = df.select(
+    from .scanutil import fan_out_scan
+
+    # the gram explosion is the CPU stage; repair starved scan
+    # parallelism before it (guide §2.5 — no-op at natural split counts)
+    doc_grams = fan_out_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode_outer(grams(text_col)).alias("gram")
     )
     hit_counts = (
@@ -1655,7 +1664,10 @@ def decontaminate_ngrams_bloom(
         bf = BloomFilter.from_bytes(bc.value)
         return pd.Series(bf.might_contain_hashed(hashed.to_numpy(np.int64)))
 
-    doc_grams = df.select(
+    from .scanutil import fan_out_scan
+
+    # same scan-parallelism repair as decontaminate_ngrams (guide §2.5)
+    doc_grams = fan_out_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(grams(text_col)).alias("gram")
     )
     candidates = doc_grams.where(might_contain(F.xxhash64("gram")))

@@ -153,7 +153,10 @@ def join_plan_report(
         rec = "salted_join"
     else:
         rec = "shuffle_hash_join"
-    return left.sparkSession.createDataFrame(
+    from ..localdf import fast_local_df
+
+    return fast_local_df(
+        left.sparkSession,
         [
             (
                 est["rows_left"],
@@ -502,8 +505,10 @@ def fk_containment_report(
     # coalesce also cover empty/all-null columns, whose ungrouped agg
     # yields 0 rows — they stay in the report with an empty sketch
     pair_rows = [(c, p) for c in labels for p in labels if c != p]
-    pairs_base = spark.createDataFrame(
-        pair_rows, "child_label string, parent_label string"
+    from ..localdf import fast_local_df
+
+    pairs_base = fast_local_df(
+        spark, pair_rows, "child_label string, parent_label string"
     )
     child = allsk.select(
         F.col("label").alias("child_label"), F.col("sketch").alias("sk_c")

@@ -141,10 +141,12 @@ def fit_bigram_lm(
             .select("w")
             .collect()
         )
+        from ..localdf import fast_local_df
+
         if top:
-            vocab = spark.createDataFrame([(r.w,) for r in top], "w string")
+            vocab = fast_local_df(spark, [(r.w,) for r in top], "w string")
         else:  # empty/blank corpus: closed vocab is just the <unk> bucket
-            vocab = spark.createDataFrame([], "w string")
+            vocab = fast_local_df(spark, [], "w string")
         v_eff = len(top) + 1
     else:
         v_eff = vocab.count() + 1

@@ -629,9 +629,11 @@ def ams_self_join_size(
     Plan: the standard two-level sketch tree (only blobs shuffle),
     final estimate driver-side from one merged blob.
     """
+    from ..localdf import fast_local_df
+
     spark = df.sparkSession
     s, rows = _ams_blob(df, col, depth, width, seed)
-    return spark.createDataFrame(
+    return fast_local_df(spark, 
         [(float(s.f2()), float(s.error_bound()), rows)],
         "est_self_join_rows double, sigma double, rows_seen bigint",
     )
@@ -669,9 +671,11 @@ def ams_join_size(
             f"{rt}); cast to a common type first, as the join itself "
             "would"
         )
+    from ..localdf import fast_local_df
+
     a, rows_l = _ams_blob(left, left_col, depth, width, seed)
     b, rows_r = _ams_blob(right, right_col, depth, width, seed)
-    return left.sparkSession.createDataFrame(
+    return fast_local_df(left.sparkSession, 
         [
             (
                 max(0.0, float(a.inner(b))),

@@ -256,7 +256,9 @@ def bpe_learn(
             StructField("pair_count", LongType(), False),
         ]
     )
-    return spark.createDataFrame(merges, schema)
+    from ..localdf import fast_local_df
+
+    return fast_local_df(spark, merges, schema)
 
 
 def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
