@@ -11,17 +11,21 @@ LSH buckets; this module is the general-graph answer.
 
 Algorithm: alternating large-star / small-star label propagation
 (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14). Both steps are a groupBy(min) + join per round — plain
-shuffles on the node id, no driver-side graph state — and the edge
-set provably converges to stars (node -> component-min) in
-O(log^2 n) rounds; in practice a handful. At 100 TB scale every
-shuffle in a round keys on a node id of the CURRENT edge list (which
-only shrinks): per round that is two groupBy-min aggregates, two
-joins, two distincts and the union inside large-star's symmetrize —
-roughly 6-8 key-hash shuffles, all map-side combinable, plus one tiny
-digest aggregate. Per-round ``localCheckpoint`` truncates the lineage
-so the plan does not grow with the iteration count (the classic
-iterative-Spark failure mode).
+SoCC'14). Each star step is ONE unbounded window-min over the node id
+plus the output distinct — no join, no separate groupBy: the per-node
+minimum attaches to every edge row in the same shuffle that groups
+the rows (r6 rewrite; the former groupBy(min)+join-back shape paid an
+extra exchange per star for the join probe side and doubled the AQE
+stage count). The edge set provably converges to stars
+(node -> component-min) in O(log^2 n) rounds; in practice a handful.
+At 100 TB scale every shuffle in a round keys on a node id of the
+CURRENT edge list (which only shrinks): per round that is two
+window-min passes and two distincts — 4 key-hash shuffles — plus one
+tiny digest aggregate. Per-round ``localCheckpoint(eager=False)``
+truncates the lineage so the plan does not grow with the iteration
+count (the classic iterative-Spark failure mode); lazy, so the
+materialization rides the digest job instead of paying a separate
+eager action per round (one Spark job per round instead of two).
 
 Spark-first notes: the per-round convergence test compares a
 commutative edge-set digest (count + xor of xxhash64) computed
@@ -31,13 +35,24 @@ in one tiny aggregate — no exceptAll anti-join, no collect of edges.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _by_src():
+    # built per call: WindowSpec construction needs the live JVM, so a
+    # module-level constant would break session-less imports
+    return Window.partitionBy("src")
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both orientations of every edge, self-loops dropped. No distinct:
+    the window-min consumers are duplicate-insensitive and every star
+    step ends in its own output distinct (a pre-dedup here would buy
+    nothing but one more full-edge-list exchange)."""
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
-    return edges.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+    return edges.unionByName(rev).where(F.col("src") != F.col("dst"))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -45,15 +60,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     m = min(neighbors(u) + {u}).  Symmetrizes internally (the paper's
     map step emits both directions each round — after round 1 the edge
     list is directed child->label, and a path graph would otherwise
-    lose its edges and mislabel every node as isolated)."""
+    lose its edges and mislabel every node as isolated). The per-node
+    minimum is an unbounded window-min in the same exchange that
+    groups the edges — value-identical to the former groupBy+join."""
     edges = _symmetrize(edges)
-    mins = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("_mn"))
-        .select("src", F.least(F.col("src"), F.col("_mn")).alias("m"))
-    )
+    m = F.least(F.col("src"), F.min("dst").over(_by_src()))
     return (
-        edges.join(mins, "src")
+        edges.withColumn("m", m)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -63,21 +76,21 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient each edge large->small, then for each node u attach every
-    SMALLER-or-equal neighbor (and u itself) to the minimum."""
+    SMALLER-or-equal neighbor (and u itself) to the minimum.
+
+    With the strict large->small orientation min(dst) < src always
+    holds, so the paper's least(src, min) is just the window-min; the
+    per-src self edge (src, m) is emitted per ROW and deduplicated by
+    the output distinct (duplicate-insensitive, same result)."""
     directed = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).distinct()
-    mins = (
-        directed.groupBy("src")
-        .agg(F.min("dst").alias("_mn"))
-        .select("src", F.least(F.col("src"), F.col("_mn")).alias("m"))
     )
-    attached = directed.join(mins, "src").select(
-        F.col("dst").alias("src"), F.col("m").alias("dst")
+    attached = directed.withColumn(
+        "m", F.min("dst").over(_by_src())
     )
-    self_edges = mins.select("src", F.col("m").alias("dst"))
     return (
-        attached.unionByName(self_edges)
+        attached.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(attached.select("src", F.col("m").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -112,14 +125,17 @@ def connected_components(
     node ids must be integral (the min-label order is the id order).
     """
     # no up-front symmetrize: _large_star symmetrizes internally every
-    # round, so a pre-pass would only add a full-edge-list shuffle
+    # round, so a pre-pass would only add a full-edge-list shuffle.
+    # Checkpoints are LAZY: the digest aggregate right after each one
+    # is the action that materializes it, so every round is exactly one
+    # Spark job (eager checkpoints used to double the job count).
     e = edges.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     digest = _edge_digest(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         d2 = _edge_digest(e2)
         e.unpersist()
         e = e2

@@ -39,6 +39,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 BOS = "<s>"
 UNK = "<unk>"
 
+# training inputs estimated above this (logical-plan stats) get the
+# fitted model cached so its two broadcast consumers share one
+# aggregation; below it the duplicate tiny aggregates overlap on idle
+# cores and the cache costs more than it saves (see fit_bigram_lm)
+_LM_CKPT_MIN_BYTES = int(
+    __import__("os").environ.get("HLL_SPARK_LM_CKPT_MIN_BYTES", str(1 << 30))
+)
+
+
+def _plan_bytes(df: DataFrame) -> int:
+    """Optimized-logical-plan size estimate in bytes (0 when stats are
+    unavailable — callers treat that as 'small')."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
+
 # Java's \s byte set, pinned explicitly so the SQL mirror can use the
 # identical class (RE2's \s lacks \x0B)
 _WS = "[ \\t\\n\\x0B\\f\\r]+"
@@ -111,6 +130,7 @@ def fit_bigram_lm(
     text_col: str = "text",
     vocab_size: int = 10_000,
     vocab: DataFrame | None = None,
+    n_vocab: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Fit the LM on ``train``. Returns ``(vocab, model, contexts,
     v_eff)``: vocab is a <= vocab_size-row (w) frame built from a
@@ -123,7 +143,10 @@ def fit_bigram_lm(
 
     Pass a prebuilt ``vocab`` (a (w) frame) to fit counts over a FIXED
     event space — required when two models must share a vocabulary so
-    their probabilities are comparable (see ``dsir_importance``)."""
+    their probabilities are comparable (see ``dsir_importance``);
+    ``n_vocab`` (its row count, when the caller already knows it — e.g.
+    it came from another fit) skips the one count job that would
+    otherwise re-measure the frame."""
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     spark = train.sparkSession
@@ -149,9 +172,23 @@ def fit_bigram_lm(
             vocab = fast_local_df(spark, [], "w string")
         v_eff = len(top) + 1
     else:
-        v_eff = vocab.count() + 1
+        v_eff = (n_vocab if n_vocab is not None else vocab.count()) + 1
     mapped = _unk_map(_bigrams(train, text_col, None), vocab)
     model = mapped.groupBy("w_prev", "w").agg(F.count("*").alias("cnt"))
+    # ``model`` and ``contexts`` ride SEPARATE broadcast exchanges
+    # downstream (scoring joins both), and contexts is an aggregate OF
+    # model — without a lineage cut the corpus bigram explode+aggregate
+    # executes once per exchange (twice per model, 4x in
+    # dsir_importance). On a LARGE training corpus that duplication is
+    # a full extra pass, so cache the fitted model once (it is bounded
+    # by the distinct-gram count — broadcast-sized by the module
+    # contract). On a small corpus the duplicate 1-task aggregates run
+    # concurrently on idle cores and the cache's materialization is
+    # pure overhead (interleaved A/B, r6: +0.2 s at sf0.1), so the cut
+    # is gated on the plan-stats size of the training input — a scale
+    # decision from input statistics, not a local-mode constant.
+    if _plan_bytes(train) > _LM_CKPT_MIN_BYTES:
+        model = model.localCheckpoint(eager=False)
     contexts = model.groupBy("w_prev").agg(F.sum("cnt").alias("ctx"))
     return vocab, model, contexts, v_eff
 
@@ -269,7 +306,7 @@ def dsir_importance(
         target, text_col, vocab_size
     )
     _, model_s, ctx_s, _ = fit_bigram_lm(
-        df, text_col, vocab_size, vocab=vocab
+        df, text_col, vocab_size, vocab=vocab, n_vocab=v_eff - 1
     )
     scored = _unk_map(_bigrams(df, text_col, id_col), vocab)
 
