@@ -753,10 +753,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via shingle inverted index.
 
-    Plan: explode distinct shingle hashes -> drop shingles with document
-    frequency > ``max_shingle_df`` from CANDIDATE GENERATION only ->
-    self-join on the remaining shingles -> verify candidates with the
-    FULL shingle sets (array_intersect), so Jaccard itself is exact.
+    Plan (r6 integer form): explode distinct shingle hashes -> split
+    shingles into RARE (document frequency <= ``max_shingle_df``) and
+    HOT -> the rare self-join's per-pair row count IS the shared-rare-
+    shingle count (one shuffle aggregate — no pair distinct, no array
+    re-attach) -> add the shared-HOT count for those candidate pairs
+    via two integer joins against the bounded hot postings -> Jaccard
+    from exact integer counts and per-doc set sizes. Value-identical
+    to the former array_intersect verify (|A∩B| partitions disjointly
+    over rare and hot shingles) but nothing wider than (id, shingle)
+    int rows is ever shuffled and the per-pair JVM array-hash work is
+    gone (13.6 CPU-seconds of array_intersect at sf0.1 -> plain
+    codegen counting; an AllPairs prefix-filter variant was measured
+    and rejected — its per-candidate postings expansion costs more
+    than the direct count everywhere the self-join is cap-bounded).
 
     The DF cap bounds the self-join's largest bucket at
     ``max_shingle_df`` docs regardless of corpus-wide boilerplate — the
@@ -778,23 +788,50 @@ def ngram_jaccard_pairs(
             index=texts.index,
         )
 
-    sh_udf = pandas_udf(shingles_batch, ArrayType(LongType()))
-    # cached: the shingle pandas-UDF pass is read 3-4x (explode for
-    # candidates, DF count, and both sides of the array verify)
-    sh = _bounded_cache(
-        "ngram", df.select(F.col(id_col), sh_udf(F.col(text_col)).alias("sh"))
+
+    from .scanutil import fan_out_scan
+
+    # non-deterministic mark (guide §4.4): the explode's implicit
+    # size>0/isnotnull filter otherwise pushes below the fan-out
+    # exchange and re-evaluates the UDF there — the plan showed the
+    # shingle hash running TWICE, once on the starved pre-repartition
+    # scan (ArrowEvalPython below AND above the Exchange)
+    sh_udf = pandas_udf(shingles_batch, ArrayType(LongType())).asNondeterministic()
+    # cached: the exploded (id, shingle) postings are read several
+    # times (df aggregate, prefix ranking, verify joins, sizes).
+    # fan_out_scan first: the shingle UDF is the CPU-heavy per-row
+    # stage and a single-row-group input would otherwise hash the
+    # corpus one-core.
+    exploded = _bounded_cache(
+        "ngram",
+        fan_out_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), sh_udf(F.col(text_col)).alias("sh"))
+        .select(F.col(id_col), F.explode("sh").alias("shingle")),
     )
-    exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    # per-doc distinct-shingle counts (exploded rows are unique per doc)
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    hot = None
     if max_shingle_df is not None:
-        rare = (
+        hot_all = _bounded_cache(
+            "ngram_hot",
             exploded.groupBy("shingle")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_shingle_df)
-            .select("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("shingle"),
         )
-        exploded = exploded.join(rare, "shingle")
-    a, b = exploded.alias("a"), exploded.alias("b")
-    candidates = (
+        # one cheap probe over the cached postings: when NO shingle
+        # exceeds the cap (the common case away from boilerplate-heavy
+        # corpora) the anti-join and the whole shared-hot counting
+        # branch — including a full shuffle of the candidate pairs —
+        # drop out of the plan entirely
+        if hot_all.head(1):
+            hot = hot_all
+    rare_post = (
+        exploded.join(hot, "shingle", "left_anti") if hot is not None
+        else exploded
+    )
+    a, b = rare_post.alias("a"), rare_post.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -803,20 +840,39 @@ def ngram_jaccard_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c_rare"))
     )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sh_b"))
-    n_common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    if hot is not None:
+        # shared-hot count per candidate pair: expand each pair by the
+        # hot shingles of side a, keep those side b also holds. The
+        # expansion is bounded by (candidate pairs) x (distinct hot
+        # shingles per doc), and distinct hot shingles are <= total
+        # postings / max_shingle_df by definition — never corpus-scale.
+        hot_post = exploded.join(hot, "shingle")
+        ha = hot_post.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+        hb = hot_post.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+        c_hot = (
+            pairs.select("id_a", "id_b")
+            .join(ha, "id_a")
+            .join(hb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__c_hot"))
+        )
+        pairs = pairs.join(c_hot, ["id_a", "id_b"], "left")
+    else:
+        pairs = pairs.withColumn("__c_hot", F.lit(None).cast("long"))
+    common = pairs
+    n_common = F.col("__c_rare") + F.coalesce(F.col("__c_hot"), F.lit(0))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__n_b"))
     return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        common.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                n_common
-                / (F.size("__sh_a") + F.size("__sh_b") - n_common),
-                6,
+                n_common / (F.col("__n_a") + F.col("__n_b") - n_common), 6
             ),
         )
         .where(F.col("jaccard") >= threshold)

@@ -44,6 +44,30 @@ def _estimated_scan_partitions(df: DataFrame) -> tuple[int, int]:
     return max(1, -(-size // max(max_pb, 1))), size
 
 
+def plan_is_small(df: DataFrame, max_bytes: int | None = None) -> bool:
+    """True when ``df``'s optimized-plan size estimate is available and
+    under ``max_bytes`` (default FAN_OUT_MAX_BYTES).
+
+    Use on frames whose statistics are trustworthy (scans, cached
+    frames, pre-join inputs): join outputs inherit multiplied
+    cardinality estimates that can read in the terabytes for
+    kilobyte-sized results, so gate on the join's INPUT, not its
+    output. Callers use this to force CPU-bound stages wide on small
+    inputs, where AQE's byte-floor (minPartitionSize) would otherwise
+    coalesce a compute-heavy shuffle down to a couple of tasks; on
+    large inputs the byte volume itself gives AQE the parallelism and
+    the caller leaves the plan alone."""
+    if max_bytes is None:
+        max_bytes = FAN_OUT_MAX_BYTES
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return False
+    return size <= max_bytes
+
+
 def fan_out_scan(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` to the default parallelism when
     (and only when) its scan is parallelism-starved and small.
