@@ -173,20 +173,34 @@ def fit_quality_classifier(
         raise ValueError(f"lr_micro must be >= 1, got {lr_micro}")
     if pos_weight < 1:
         raise ValueError(f"pos_weight must be >= 1, got {pos_weight}")
-    feats = hashed_features(
-        train, text_col, id_col, n_features, bigrams, seed
-    ).persist()
     labels = train.select(
         F.col(id_col),
         F.col(label_col).cast("int").cast("long").alias("__y"),
     ).persist()
-    n = labels.count()
+    # the bias rides the SAME aggregations as the feature weights, as a
+    # synthetic always-present feature (feat = -1, outside the hash
+    # range): score = sum of weights over {doc's features + bias} and
+    # grad(-1) = sum of errors — integer-identical to the former
+    # separate bias frame, but each GD iteration drops the second
+    # error-aggregate subtree (the per-iteration err recompute +
+    # broadcast + crossJoin) and the scoring join needs no left-join
+    # fallback, since every doc carries at least the bias row.
+    feats = (
+        hashed_features(train, text_col, id_col, n_features, bigrams, seed)
+        .unionByName(
+            labels.select(id_col, F.lit(-1).cast("long").alias("feat"))
+        )
+        .persist()
+    )
+    ncounts = labels.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__p")
+    ).collect()[0]
+    n = int(ncounts["__n"])
     if n == 0:
         raise ValueError("fit_quality_classifier: empty training frame")
     n_eff = n
     if pos_weight > 1:
-        n_pos = labels.where(F.col("__y") == 1).count()
-        n_eff = n + (pos_weight - 1) * n_pos
+        n_eff = n + (pos_weight - 1) * int(ncounts["__p"] or 0)
     if lr_micro > n_eff * MICRO:
         raise ValueError(
             f"lr_micro={lr_micro} too large for n_eff={n_eff} docs "
@@ -194,14 +208,17 @@ def fit_quality_classifier(
         )
     divisor = (n_eff * MICRO) // lr_micro
 
-    spark = train.sparkSession
     weights = (
         feats.select("feat").distinct().withColumn("w", F.lit(0).cast("long"))
     )
-    bias = spark.range(1).select(F.lit(0).cast("long").alias("b"))
 
     for _ in range(iters):
-        scores = _doc_scores(feats, labels, weights, bias, id_col)
+        scores = (
+            feats.join(F.broadcast(weights), "feat")
+            .groupBy(id_col)
+            .agg(F.sum("w").alias("__s"))
+            .join(labels, id_col)
+        )
         raw_err = _hard_sigmoid_micro(F.col("__s")) - F.col("__y") * MICRO
         err = scores.select(
             id_col,
@@ -225,17 +242,8 @@ def fit_quality_classifier(
             )
             .localCheckpoint(eager=False)
         )
-        bias = (
-            bias.crossJoin(
-                F.broadcast(
-                    err.agg(F.sum("__err").alias("__gb")).select(
-                        F.coalesce(F.col("__gb"), F.lit(0)).alias("__gb")
-                    )
-                )
-            )
-            .select((F.col("b") - _floordiv(F.col("__gb"), divisor)).alias("b"))
-            .localCheckpoint(eager=False)
-        )
+    bias = weights.where(F.col("feat") == -1).select(F.col("w").alias("b"))
+    weights = weights.where(F.col("feat") >= 0)
     return QualityClassifier(weights, bias, n_features, bigrams, seed)
 
 

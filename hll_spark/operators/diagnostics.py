@@ -126,25 +126,34 @@ def join_plan_report(
     columns are the point. At 100 TB this costs three sketch scans and
     moves only KB of blobs — the join it prices would move the corpus.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from .sketches import ams_join_size, mg_top_items
 
     right_col = right_col or left_col
-    est = ams_join_size(
-        left, left_col, right, right_col,
-        depth=ams_depth, width=ams_width,
-    ).collect()[0]
 
-    def top_share(df: DataFrame, col: str, rows: int) -> float:
-        if rows <= 0:
-            return 0.0
-        top = (
-            mg_top_items(df, col, top_n=1, k=256)
-            .collect()
+    # three independent sketch reports (AMS join-size pass over both
+    # sides + one Misra-Gries top-1 per side); run them from driver
+    # threads so their full-scan jobs overlap (guide §2.6) instead of
+    # serializing four table scans
+    def top1(df: DataFrame, col: str):
+        top = mg_top_items(df, col, top_n=1, k=256).collect()
+        return float(top[0]["count_lb"]) if top else 0.0
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_est = pool.submit(
+            lambda: ams_join_size(
+                left, left_col, right, right_col,
+                depth=ams_depth, width=ams_width,
+            ).collect()[0]
         )
-        return float(top[0]["count_lb"]) / rows if top else 0.0
+        f_l = pool.submit(top1, left, left_col)
+        f_r = pool.submit(top1, right, right_col)
+        est = f_est.result()
+        top_l, top_r = f_l.result(), f_r.result()
 
-    share_l = top_share(left, left_col, est["rows_left"])
-    share_r = top_share(right, right_col, est["rows_right"])
+    share_l = top_l / est["rows_left"] if est["rows_left"] > 0 else 0.0
+    share_r = top_r / est["rows_right"] if est["rows_right"] > 0 else 0.0
     if est["rows_right"] <= broadcast_threshold_rows:
         rec = "broadcast_right"
     elif est["rows_left"] <= broadcast_threshold_rows:

@@ -671,10 +671,19 @@ def ams_join_size(
             f"{rt}); cast to a common type first, as the join itself "
             "would"
         )
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..localdf import fast_local_df
 
-    a, rows_l = _ams_blob(left, left_col, depth, width, seed)
-    b, rows_r = _ams_blob(right, right_col, depth, width, seed)
+    # the two sketch passes are independent full-scan jobs; submit them
+    # from two driver threads so the second back-fills executors freed
+    # by the first's tail instead of waiting for it (guide §2.6) — at
+    # any scale this halves the report's critical path
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(_ams_blob, left, left_col, depth, width, seed)
+        fb = pool.submit(_ams_blob, right, right_col, depth, width, seed)
+        a, rows_l = fa.result()
+        b, rows_r = fb.result()
     return fast_local_df(left.sparkSession, 
         [
             (

@@ -48,7 +48,11 @@ class CheckpointStore:
         if self._iceberg:
             return self.spark.catalog.tableExists(target)
         try:
-            return self.spark.read.parquet(target).limit(1).count() >= 0
+            # schema resolution lists the footer driver-side — probe
+            # presence without scheduling the job a limit(1).count()
+            # would (two exists() probes per resumable aggregate)
+            self.spark.read.parquet(target).schema
+            return True
         except Exception:
             return False
 
@@ -67,9 +71,21 @@ class CheckpointStore:
 
     def append_metrics(self, job_id: str, stage: str, metrics: dict) -> None:
         target = self._target(job_id, f"{stage}__metrics")
+        from ..localdf import fast_local_df
+
         row = dict(metrics)
         row.update({"job_id": job_id, "stage": stage, "written_at": time.time()})
-        mdf = self.spark.createDataFrame([row])
+        keys = sorted(row)
+        types = {
+            bool: "boolean", int: "bigint", float: "double", str: "string",
+        }
+        schema = ", ".join(
+            f"`{k}` {types.get(type(row[k]), 'string')}" for k in keys
+        )
+        vals = tuple(
+            row[k] if type(row[k]) in types else str(row[k]) for k in keys
+        )
+        mdf = fast_local_df(self.spark, [vals], schema)
         if self._iceberg:
             try:
                 mdf.writeTo(target).append()
@@ -117,12 +133,17 @@ def checkpointed_sketch_aggregate(
         store.write(lineage, job_id, stage)
         wall_ms = (time.time() - t0) * 1000
         persisted = store.read(job_id, stage)
+        # one aggregate job for both stage metrics (was a count job
+        # plus a separate sum job over the same checkpoint)
+        mrow = persisted.agg(
+            F.count(F.lit(1)).alias("__n"), F.sum("rows_seen").alias("__r")
+        ).collect()[0]
         store.append_metrics(
             job_id,
             stage,
             {
-                "n_partials": persisted.count(),
-                "rows_seen": persisted.agg(F.sum("rows_seen")).collect()[0][0],
+                "n_partials": mrow["__n"],
+                "rows_seen": mrow["__r"],
                 "wall_ms": wall_ms,
                 "sketch_name": spec.name,
             },
