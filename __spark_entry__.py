@@ -2835,12 +2835,15 @@ def q_repetition_metrics_documents(spark, sf):
     # duplicate-paragraph fraction + duplicate word-n-gram fractions
     # (n=2, n=5) — all pure JVM higher-order array expressions, zero
     # shuffle, value-checked against DuckDB list lambdas
+    from hll_spark.operators.scanutil import fan_out_scan
     from hll_spark.operators.text import (
         duplicate_ngram_fraction,
         duplicate_paragraph_fraction,
     )
 
-    docs = _t(spark, sf, "documents")
+    # the three per-row array-lambda batteries are the CPU cost here
+    # and the single-row-group scan runs them one-core (guide §2.5)
+    docs = fan_out_scan(_t(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         F.round(duplicate_paragraph_fraction("text"), 6).alias(

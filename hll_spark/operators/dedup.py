@@ -1214,16 +1214,29 @@ def embedding_dup_pairs(
                 "explicitly"
             )
         dim = len(head[0])
+    from .scanutil import fan_out_scan, plan_is_small
+
     df = _drop_zero_norm(df, vec_col)
+    small_input = plan_is_small(df)
+    # single-file inputs give the whole candidate machinery 1-2 tasks;
+    # fan the scan out so the bucket UDF, the banded self-join probe
+    # and the cosine verify all run at cluster width (guide §2.5)
+    df = fan_out_scan(df.select(F.col(id_col), F.col(vec_col)))
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = df.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x / norm).alias("unit"),
     )
+    # non-deterministic mark (guide §4.4): without it the generator's
+    # implicit filter duplicates the bucket UDF below itself on each
+    # join side (a cache of the banded frame was also tried — the UDF
+    # is one matmul per batch, so the materialization cost more than
+    # the recompute it saved)
     banded = df.select(
         F.col(id_col),
         F.posexplode(
-            _band_bucket_udf(dim, n_bands, n_planes, seed)(F.col(vec_col))
+            _band_bucket_udf(dim, n_bands, n_planes, seed)
+            .asNondeterministic()(F.col(vec_col))
         ).alias("band_id", "bucket"),
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -1240,6 +1253,14 @@ def embedding_dup_pairs(
         )
         .distinct()
     )
+    if small_input:
+        # the per-candidate exact cosine is CPU-bound but byte-light;
+        # AQE's byte-floor would run it 1-2 wide after the distinct
+        # (1.4 CPU-seconds on one task measured at sf0.1). Gated on the
+        # INPUT's stats — join-output estimates are unusable.
+        candidates = candidates.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     ua = unit.select(F.col(id_col).alias("id_a"), F.col("unit").alias("unit_a"))
     ub = unit.select(F.col(id_col).alias("id_b"), F.col("unit").alias("unit_b"))
     dot = F.aggregate(
@@ -1781,8 +1802,12 @@ def repeated_span_stats(
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
+    from .scanutil import fan_out_scan
+
     words = F.split(F.col(text_col), " +")
-    doc_grams = df.select(
+    # fan_out_scan: the n-gram explode is the CPU-heavy stage and a
+    # single-row-group input runs it one-core (guide §2.5)
+    doc_grams = fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.posexplode(_word_ngrams(words, n)).alias("pos", "gram")
     )
     # corpus-wide occurrence count as a WINDOW over gram, not a
@@ -1884,6 +1909,9 @@ def remove_repeated_spans(
     from pyspark.sql import Window as _W
 
     words = F.split(F.col(text_col), " +")
+    # no fan_out_scan here (unlike repeated_span_stats): the rebuild
+    # joins removals back to the docs table, and the extra exchange
+    # measured net-slower in an interleaved A/B at sf0.1
     doc_grams = df.select(
         F.col(id_col), F.posexplode(_word_ngrams(words, n)).alias("pos", "gram")
     )

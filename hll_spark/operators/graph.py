@@ -109,14 +109,21 @@ def pagerank_hosts(
         F.col("dst_host").alias("dst"),
         F.col("n_links").cast("long").alias("w"),
     )
+    # both loop-invariant frames get a LAZY lineage cut: nodes is
+    # referenced once per iteration (the left side of the rank join)
+    # and would otherwise replay the caller's whole edge-derivation
+    # chain (for the parity query: HTML link extraction) every
+    # iteration; lazy so the materialization rides the first action
+    # instead of paying an eager job at plan-build time
     nodes = (
         e.select(F.col("src").alias("host"))
         .unionByName(e.select(F.col("dst").alias("host")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     w_out = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     # per-edge denominator fixed across iterations: join once, reuse
-    ew = e.join(w_out, "src").localCheckpoint()
+    ew = e.join(w_out, "src").localCheckpoint(eager=False)
 
     ranks = nodes.withColumn("rank_micro", F.lit(1_000_000).cast("long"))
     for i in range(iterations):
