@@ -51,12 +51,9 @@ _LM_CKPT_MIN_BYTES = int(
 def _plan_bytes(df: DataFrame) -> int:
     """Optimized-logical-plan size estimate in bytes (0 when stats are
     unavailable — callers treat that as 'small')."""
-    try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return 0
+    from .scanutil import plan_bytes
+
+    return plan_bytes(df)
 
 # Java's \s byte set, pinned explicitly so the SQL mirror can use the
 # identical class (RE2's \s lacks \x0B)

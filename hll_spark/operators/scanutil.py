@@ -44,6 +44,17 @@ def _estimated_scan_partitions(df: DataFrame) -> tuple[int, int]:
     return max(1, -(-size // max(max_pb, 1))), size
 
 
+def plan_bytes(df: DataFrame) -> int:
+    """Optimized-logical-plan size estimate in bytes; 0 when stats are
+    unavailable (callers treat that as 'not provably large')."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 0
+
+
 def plan_is_small(df: DataFrame, max_bytes: int | None = None) -> bool:
     """True when ``df``'s optimized-plan size estimate is available and
     under ``max_bytes`` (default FAN_OUT_MAX_BYTES).
