@@ -246,7 +246,15 @@ def kmeans_quantized_profile(
     checked too). At the default scale=2^20 that means vector
     magnitudes up to ~2^10 = 1024.0 are exact; beyond the bound the
     UDF raises instead of silently wrapping (numpy int64 wraps;
-    DuckDB's BIGINT errors — the oracle and the sketch must agree)."""
+    DuckDB's BIGINT errors — the oracle and the sketch must agree).
+    Scope of the guard (ADVICE r5): it bounds each ROW's d2; the
+    per-cluster ``cost_q = SUM(d2)`` can still exceed int64 when many
+    near-bound rows land in one cluster — there non-ANSI Spark wraps
+    while DuckDB errors. The guard is sized so that inputs within the
+    documented magnitude bound (|v| <= ~1024 at the default scale)
+    stay exact for clusters up to ~2^20 such rows; for adversarial
+    magnitudes close to the per-row bound, lower ``scale`` so the
+    headroom covers the expected cluster size."""
     clean = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     cents_f = initial_centroids(clean, vec_col, id_col, k)
     qcents = quantize_matrix(cents_f, scale)

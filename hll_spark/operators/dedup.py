@@ -696,6 +696,51 @@ def dedup_increment_index(
         )
         return new.join(matched, id_col, "left_anti")
     validate_minhash_index(index, id_col, k, bands)
+    reps, sig_r = _increment_rep_frames(index, id_col, unique_ids)
+    return _dedup_increment_rep(
+        new, reps, sig_r, text_col, id_col, threshold, k, bands,
+        shingle_n, unique_ids,
+    )
+
+
+def _increment_rep_frames(
+    index: DataFrame, id_col: str, unique_ids: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The two INDEX-only frames the rep-verify increment joins every
+    batch against: (bucket representatives, per-rep unique signatures).
+    Pure functions of the static index — streaming callers compute
+    them once at wire-up and reuse (ADVICE r5: per-batch latency must
+    not scale with index size)."""
+    # one row per corpus bucket: its min-id member is the representative
+    reps = (
+        index.select(
+            F.col(id_col).alias("__rep"),
+            F.posexplode(F.col("bk")).alias("band_id", "band_hash"),
+        )
+        .groupBy("band_id", "band_hash")
+        .agg(F.min("__rep").alias("__rep"))
+    )
+    # one signature row per rep id (duplicate-id guard; see
+    # _banded_index_join) — hot reps are hot precisely because their
+    # duplicates are, so this is where the explosion concentrated
+    sig_r = _unique_sigs(index, id_col, "__rep", "__sig_r", unique_ids)
+    return reps, sig_r
+
+
+def _dedup_increment_rep(
+    new: DataFrame,
+    reps: DataFrame,
+    sig_r: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    k: int,
+    bands: int,
+    shingle_n: int,
+    unique_ids: bool = False,
+) -> DataFrame:
+    """Rep-verify increment against precomputed index frames (see
+    :func:`_increment_rep_frames`)."""
     # the keep-set is decided per id, so the new side is keyed by id
     # up front: duplicate new rows (same url crawled twice in one
     # increment) are hashed once and verified once — the final
@@ -709,25 +754,12 @@ def dedup_increment_index(
         F.col(id_col),
         F.posexplode(F.col("__s.bk")).alias("band_id", "band_hash"),
     )
-    # one row per corpus bucket: its min-id member is the representative
-    reps = (
-        index.select(
-            F.col(id_col).alias("__rep"),
-            F.posexplode(F.col("bk")).alias("band_id", "band_hash"),
-        )
-        .groupBy("band_id", "band_hash")
-        .agg(F.min("__rep").alias("__rep"))
-    )
     cand = (
         banded_l.join(reps, ["band_id", "band_hash"])
         .select(id_col, "__rep")
         .distinct()
     )
     sig_n = enr_l.select(F.col(id_col), F.col("__s.sig").alias("__sig_l"))
-    # one signature row per rep id (duplicate-id guard; see
-    # _banded_index_join) — hot reps are hot precisely because their
-    # duplicates are, so this is where the explosion concentrated
-    sig_r = _unique_sigs(index, id_col, "__rep", "__sig_r", unique_ids)
     n_match = F.size(
         F.filter(
             F.zip_with("__sig_l", "__sig_r", lambda x, y: x == y), lambda v: v
@@ -1159,14 +1191,17 @@ def _tuned_hyperplane_params(
 
 
 def _drop_zero_norm(df: DataFrame, vec_col: str) -> DataFrame:
-    """Drop rows whose vector is null or all-zero: cosine is undefined
-    for a zero vector, and Spark's NaN ordering (NaN > any number)
-    would otherwise let ``NaN >= threshold`` pass and emit bogus pairs
-    (ADVICE r4). Null vectors make ``aggregate`` yield null, which the
-    ``> 0`` predicate also rejects. The blocked-GEMM variant applies
-    the same filter so all cosine-pair variants agree by contract."""
+    """Drop rows whose vector is null, all-zero, or contains NaN:
+    cosine is undefined for a zero vector, and Spark's NaN ordering
+    (NaN > any number) would otherwise let ``NaN >= threshold`` pass
+    and emit bogus pairs (ADVICE r4). Null vectors make ``aggregate``
+    yield null, which the ``> 0`` predicate also rejects; a NaN
+    ELEMENT makes the squared norm NaN, which the same NaN ordering
+    would otherwise let through (ADVICE r5) — rejected explicitly.
+    The blocked-GEMM variant applies the same filter so all
+    cosine-pair variants agree by contract."""
     sq = F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
-    return df.where(sq > 0)
+    return df.where(~F.isnan(sq) & (sq > 0))
 
 
 def embedding_dup_pairs(

@@ -55,6 +55,8 @@ def streaming_dedup_increment(
     ``id_col`` at read time for exactly-once output.
     """
     from hll_spark.operators.dedup import (
+        _dedup_increment_rep,
+        _increment_rep_frames,
         dedup_increment_index,
         validate_minhash_index,
     )
@@ -66,10 +68,30 @@ def streaming_dedup_increment(
         raise ValueError(f"verify must be 'rep' or 'all', got {verify!r}")
     validate_minhash_index(index, id_col, k, bands)
 
-    def keep_novel(bdf: DataFrame, batch_id: int) -> None:
-        dedup_increment_index(
-            bdf, index, text_col, id_col, threshold, k, bands, shingle_n,
-            verify, unique_ids=unique_ids,
-        ).write.mode("append").parquet(out_path)
+    if verify == "rep":
+        # the index-only frames (bucket representatives + unique rep
+        # signatures) are pure functions of the STATIC index: compute
+        # them once at wire-up with lazy lineage cuts — the first
+        # batch materializes them, later batches join the cached
+        # frames — instead of re-running the index validation head()
+        # and the index-wide keying shuffle inside every micro-batch
+        # (ADVICE r5: per-batch latency scaled with index size)
+        reps, sig_r = _increment_rep_frames(index, id_col, unique_ids)
+        reps = reps.localCheckpoint(eager=False)
+        sig_r = sig_r.localCheckpoint(eager=False)
+
+        def keep_novel(bdf: DataFrame, batch_id: int) -> None:
+            _dedup_increment_rep(
+                bdf, reps, sig_r, text_col, id_col, threshold, k, bands,
+                shingle_n, unique_ids,
+            ).write.mode("append").parquet(out_path)
+
+    else:
+
+        def keep_novel(bdf: DataFrame, batch_id: int) -> None:
+            dedup_increment_index(
+                bdf, index, text_col, id_col, threshold, k, bands, shingle_n,
+                verify, unique_ids=unique_ids,
+            ).write.mode("append").parquet(out_path)
 
     return stream_df.writeStream.foreachBatch(keep_novel).outputMode("append")

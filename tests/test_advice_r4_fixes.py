@@ -80,6 +80,12 @@ class TestZeroNormVectors:
             (3, [0.0, 0.0, 0.0, 0.0]),   # zero vector
             (4, [0.0, 0.0, 0.0, 0.0]),   # zero vector
             (5, None),                    # null vector
+            # NaN element: squared norm is NaN and NaN > 0 is TRUE
+            # under Spark's NaN ordering, so without the explicit
+            # isnan rejection these two emit a cosine=NaN pair
+            # (ADVICE r5)
+            (6, [float("nan"), 1.0, 0.0, 0.0]),
+            (7, [float("nan"), 1.0, 0.0, 0.0]),
         ]
         return spark.createDataFrame(rows, "vec_id long, v array<double>")
 
