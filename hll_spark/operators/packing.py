@@ -46,6 +46,31 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+
+def _range_partitions(df: DataFrame) -> int:
+    """Partition count for the phase-1 range shuffle, from logical-plan
+    statistics instead of ``df.rdd.getNumPartitions()`` — the RDD probe
+    eagerly materializes the physical plan per query build (the same
+    ~45 ms-per-build cost the sketch merge dropped in r6). Any positive
+    count is CORRECT here (phases 2-3 derive per-partition totals from
+    whatever layout phase 1 produced); the estimate only sizes the
+    shuffle."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_pb = int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .filesMaxPartitionBytes()
+        )
+        return max(1, min(-(-size // max(max_pb, 1)), 100_000))
+    except Exception:
+        try:
+            return _range_partitions(df)
+        except Exception:
+            return 200
+
 _MANIFEST_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -89,7 +114,7 @@ def pack_sequences(
     # pins the exact partition layout so the totals pass (phase 2) and
     # the span pass (phase 3) cannot see different samplings.
     ordered = (
-        base.repartitionByRange(max(df.rdd.getNumPartitions(), 1), "__ord")
+        base.repartitionByRange(_range_partitions(df), "__ord")
         .sortWithinPartitions("__ord")
         .localCheckpoint(eager=False)
     )
@@ -204,7 +229,7 @@ def select_to_token_budget(
         for i, (_, d) in enumerate(norm)
     ]
     ordered = (
-        base.repartitionByRange(max(df.rdd.getNumPartitions(), 1), *sort_exprs)
+        base.repartitionByRange(_range_partitions(df), *sort_exprs)
         .sortWithinPartitions(*sort_exprs)
         .localCheckpoint(eager=False)
     )
@@ -415,7 +440,7 @@ def select_to_token_budget_grouped(
         for i, (_, d) in enumerate(norm)
     ]
     ordered = (
-        base.repartitionByRange(max(df.rdd.getNumPartitions(), 1), *sort_exprs)
+        base.repartitionByRange(_range_partitions(df), *sort_exprs)
         .sortWithinPartitions(*sort_exprs)
         .localCheckpoint(eager=False)
     )
