@@ -607,9 +607,13 @@ def hll_overlap_matrix(
 
     from ..sketchlib.hll import HllSketch, hll_intersect_estimate
 
-    sk = hll_sketch_agg(
-        df, col, [group_col], cfg, hash_mode, merge_buckets
-    )
+    # level-0 partials only: the per-group tree merge would add a
+    # keyed shuffle + a Python merge stage whose entire output is
+    # immediately funneled into the ONE matrix-emit task below — merge
+    # the (partition x group) blobs there instead (same single-reducer
+    # funnel either way; union order is irrelevant, HLL union is
+    # byte-canonical)
+    sk = sketch_partials(df, col, hll_spec(cfg), [group_col], hash_mode)
     gtype = sk.schema[group_col].dataType
     out_schema = StructType(
         [
@@ -627,10 +631,18 @@ def hll_overlap_matrix(
         # a NULL group key never joins under the former g_a < g_b
         # condition; keep that contract
         pdf = pdf[pdf[group_col].notna()]
-        pdf = pdf.sort_values(group_col, kind="mergesort")
-        groups = list(pdf[group_col])
-        blobs = [bytes(b) for b in pdf["sketch"]]
-        sketches = [HllSketch.from_bytes(b) for b in blobs]
+        # merge the level-0 partial blobs per group (moved here from
+        # the former per-group merge stage; see the build note above)
+        merged: dict = {}
+        for g, blob in zip(pdf[group_col], pdf["sketch"]):
+            s = HllSketch.from_bytes(bytes(blob))
+            if g in merged:
+                merged[g] = merged[g].union(s)
+            else:
+                merged[g] = s
+        groups = sorted(merged)
+        sketches = [merged[g] for g in groups]
+        blobs = [s.to_bytes() for s in sketches]
         ests = [s.estimate() for s in sketches]
         rows = []
         for i in range(len(groups)):

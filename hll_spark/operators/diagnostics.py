@@ -440,6 +440,75 @@ def profile_table(
     return partials.groupBy("col_name").applyInPandas(finish, out_schema)
 
 
+def _multi_theta_sketches(
+    df: DataFrame, col_lbls: list, k: int, hash_mode: str
+) -> DataFrame:
+    """(label, sketch) — one theta sketch per requested column of ONE
+    table, from a single scan (profile_table's one-scan-many-sketches
+    shape): per input partition the mapInArrow kernel updates every
+    column's sketch from the same batches, then the per-label partials
+    tree-merge. Sketch values are identical to per-column
+    ``theta_sketch_agg`` runs — the same null-dropped hashed values
+    feed the same update/merge kernels."""
+    import pyarrow as pa
+
+    from ..sketchlib.theta import ThetaSketch
+    from .agg import _arrow_values, merge_sketch_partials
+    from .sketches import theta_spec
+
+    spec = theta_spec(k)
+    proj = []
+    for i, (col, _) in enumerate(col_lbls):
+        c = F.col(col)
+        if hash_mode == "xxhash64":
+            proj.append(
+                F.when(c.isNotNull(), F.xxhash64(c)).alias(f"__h{i}")
+            )
+        else:
+            proj.append(c.alias(f"__h{i}"))
+    src = df.select(*proj)
+    labels = [lbl for _, lbl in col_lbls]
+
+    partial_schema = StructType(
+        [
+            StructField("label", StringType()),
+            StructField("sketch", BinaryType()),
+            StructField("rows_seen", LongType()),
+        ]
+    )
+    arrow_schema = pa.schema(
+        [
+            ("label", pa.string()),
+            ("sketch", pa.binary()),
+            ("rows_seen", pa.int64()),
+        ]
+    )
+
+    def build(batches) -> "Iterator[pa.RecordBatch]":
+        states = [spec.zero_fn() for _ in labels]
+        rows = [0] * len(labels)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            for i in range(len(labels)):
+                vals = _arrow_values(rb.column(i), hash_mode)
+                states[i] = spec.update_fn(states[i], vals)
+                rows[i] += len(vals)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "label": labels,
+                "sketch": [spec.to_bytes_fn(s) for s in states],
+                "rows_seen": rows,
+            },
+            schema=arrow_schema,
+        )
+
+    partials = src.mapInArrow(build, partial_schema)
+    return merge_sketch_partials(partials, spec, by=["label"]).select(
+        "label", "sketch"
+    )
+
+
 def fk_containment_report(
     columns,
     k: int = 65536,
@@ -493,17 +562,40 @@ def fk_containment_report(
 
     spark = cols[0][0].sparkSession
     empty_blob = ThetaSketch(k=k).to_bytes()
-    frames = []
     for df, col, lbl in cols:
         if col not in df.columns:
             raise ValueError(f"unknown column {col!r} for label {lbl!r}")
-        sk = theta_sketch_agg(
-            df.select(col).where(F.col(col).isNotNull()),
-            col,
-            k=k,
-            hash_mode=hash_mode,
-        )
-        frames.append(sk.select(F.lit(lbl).alias("label"), "sketch"))
+
+    # group the requested columns by their source plan so one TABLE is
+    # scanned once however many of its columns are profiled (the TPC-H
+    # driver query reads two orders columns — previously two full
+    # scans; at 100 TB each duplicate scan is a full pass). Grouping
+    # key: the analyzed plan's semantic hash, object identity as the
+    # fallback for non-JVM backends.
+    def _pkey(df: DataFrame):
+        try:
+            return df._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:
+            return id(df)
+
+    by_src: dict = {}
+    for df, col, lbl in cols:
+        by_src.setdefault(_pkey(df), (df, []))[1].append((col, lbl))
+    frames = []
+    for _, (df, col_lbls) in by_src.items():
+        if len(col_lbls) == 1:
+            col, lbl = col_lbls[0]
+            sk = theta_sketch_agg(
+                df.select(col).where(F.col(col).isNotNull()),
+                col,
+                k=k,
+                hash_mode=hash_mode,
+            )
+            frames.append(sk.select(F.lit(lbl).alias("label"), "sketch"))
+        else:
+            frames.append(
+                _multi_theta_sketches(df, col_lbls, k, hash_mode)
+            )
     allsk = frames[0]
     for f in frames[1:]:
         allsk = allsk.unionByName(f)

@@ -833,7 +833,13 @@ def theta_overlap_matrix(
 
     from ..sketchlib.theta import ThetaSketch
 
-    sk = theta_sketch_agg(df, col, k, [group_col], hash_mode)
+    # level-0 partials only — the per-group merge stage's whole output
+    # funnels into the ONE matrix-emit task below anyway, so merge the
+    # (partition x group) blobs there (same rationale as
+    # agg.hll_overlap_matrix; theta union is order-insensitive)
+    from .agg import sketch_partials
+
+    sk = sketch_partials(df, col, theta_spec(k), [group_col], hash_mode)
     gtype = sk.schema[group_col].dataType
     out_schema = StructType(
         [StructField("g_a", gtype), StructField("g_b", gtype)]
@@ -853,10 +859,18 @@ def theta_overlap_matrix(
         # NULL group keys never join under the former g_a < g_b
         # condition; keep that contract
         pdf = pdf[pdf[group_col].notna()]
-        pdf = pdf.sort_values(group_col, kind="mergesort")
-        groups = list(pdf[group_col])
-        blobs = [bytes(b) for b in pdf["sketch"]]
-        sketches = [ThetaSketch.from_bytes(b) for b in blobs]
+        # merge the level-0 partial blobs per group (moved here from
+        # the former per-group merge stage; see the build note above)
+        merged: dict = {}
+        for g, blob in zip(pdf[group_col], pdf["sketch"]):
+            s = ThetaSketch.from_bytes(bytes(blob))
+            if g in merged:
+                merged[g] = merged[g].union(s)
+            else:
+                merged[g] = s
+        groups = sorted(merged)
+        sketches = [merged[g] for g in groups]
+        blobs = [s.to_bytes() for s in sketches]
         ests = [s.estimate_float() for s in sketches]
         rows = []
         for i in range(len(groups)):
