@@ -223,6 +223,12 @@ def sketch_partials(
     proj = df.where(_not_null_cond(col)).select(
         *by, _value_expr(df, col, hash_mode)
     )
+    # NOTE (r6): a fan_out_scan here was A/B-tested and REVERTED —
+    # at bench scale the level-0 kernel work per query is tens of ms,
+    # so 32-way fan-out just multiplies Python-worker invocations and
+    # the number of partials the merge stages must union (KLL/t-digest
+    # merges are themselves Python): hll_custkey_by_month 0.64->1.11 s,
+    # kll_quantiles_price 0.49->1.22 s. Large inputs already scan wide.
 
     if not by:
         out_schema = StructType(
