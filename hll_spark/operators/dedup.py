@@ -1380,7 +1380,11 @@ def embedding_join(
         dim = len(head[0])
     left = _drop_zero_norm(left, vec_col)
     right = _drop_zero_norm(right, vec_col)
-    bucket_udf = _band_bucket_udf(dim, n_bands, n_planes, seed)
+    # non-deterministic mark: same §4.4 duplicate-below-generator fix
+    # as embedding_dup_pairs
+    bucket_udf = _band_bucket_udf(
+        dim, n_bands, n_planes, seed
+    ).asNondeterministic()
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
 
     def prepared(df, out_id):
